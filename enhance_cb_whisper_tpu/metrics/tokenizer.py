@@ -1,0 +1,121 @@
+"""Rule-based unicode tokenizer with sentence splitting.
+
+Behavioral re-implementation of the reference's PriberamTokenizer
+(src/priberam_tokenizer.py:8-173): a single regex pass classifying spans as
+alphanumeric words, newline runs, whitespace runs, full stops (". ", "。",
+"።") or single unicode-punctuation characters, with unmatched spans emitted
+as UNK tokens.  Sentences split after newline runs and after full stops —
+a latin ". " only ends a sentence when the sentence already has more than
+two tokens and the token before the stop is longer than two characters
+(the reference's abbreviation heuristic); the non-latin stops always do.
+
+The entity-recall scorer consumes only the FIRST sentence of each transcript
+(reference src/scorer.py:48-49), so the splitting rules are load-bearing.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import unicodedata
+from typing import List, NamedTuple
+
+
+class Token(NamedTuple):
+    index: int
+    start: int
+    end: int
+    text: str
+    type: str
+
+
+_NONLATIN_FULL_STOPS = ("。", "።")  # 。 ።
+
+
+def _punctuation_class() -> str:
+    chars = [
+        "\\" + chr(i)
+        for i in range(0x10000)
+        if unicodedata.category(chr(i)).startswith("P")
+    ]
+    return "".join(chars)
+
+
+_TOKEN_RE = re.compile(
+    r"(?P<alphanum>[\w]+)"
+    r"|(?P<newline>[\r\n]+)"
+    r"|(?P<space>[\s \u00a0]+)"
+    r"|(?P<full_stop>([.] )|。|።)"
+    rf"|(?P<punctuation>[{_punctuation_class()}])",
+    flags=re.UNICODE | re.MULTILINE,
+)
+_NEWLINE_RE = re.compile(r"[\r\n]+", flags=re.UNICODE | re.MULTILINE)
+
+_TYPE_BY_GROUP = {
+    "alphanum": "text",
+    "newline": "paragraph",
+    "space": "space",
+    "punctuation": "punctuation",
+    "full_stop": "full_stop",
+}
+
+
+class PriberamTokenizer:
+    """Tokenize ``text`` into a list of sentences, each a list of Tokens."""
+
+    def tokenize(self, text: str) -> List[List[Token]]:
+        sentences: List[List[Token]] = []
+        open_sentence = False  # whether the current sentence accepts tokens
+        index = -1
+
+        def emit(start: int, end: int, tok_text: str, tok_type: str):
+            nonlocal open_sentence, index
+            if not open_sentence:
+                index = 0
+                sentences.append([])
+                open_sentence = True
+            index += 1
+            sentences[-1].append(Token(index, start, end, tok_text, tok_type))
+
+        pos = 0
+        for match in _TOKEN_RE.finditer(text):
+            if pos < match.start():  # unmatched span → UNK token
+                emit(pos, match.start(), text[pos : match.start()], "UNK")
+                pos = match.start()
+
+            tok_type = _TYPE_BY_GROUP[match.lastgroup]
+            if tok_type == "paragraph":
+                # one token per newline run inside the match, then close the
+                # sentence so the next token starts a fresh one
+                for nl in _NEWLINE_RE.finditer(match.group()):
+                    emit(
+                        pos + nl.start(),
+                        pos + nl.start() + len(nl.group()),
+                        nl.group(),
+                        "paragraph",
+                    )
+                open_sentence = False
+            else:
+                emit(match.start(), match.start() + len(match.group()), match.group(), tok_type)
+                if tok_type == "full_stop" and (
+                    match.group() in _NONLATIN_FULL_STOPS
+                    or (
+                        len(sentences[-1]) > 2
+                        and len(sentences[-1][-2].text) > 2
+                    )
+                ):
+                    open_sentence = False
+            pos = match.end()
+
+        if pos < len(text):  # trailing unmatched span
+            emit(pos, len(text), text[pos:], "UNK")
+
+        return sentences
+
+    def just_split_sentences(self, text: str) -> List[List[Token]]:
+        out: List[List[Token]] = []
+        for sent in self.tokenize(text):
+            out.append(
+                [Token(0, sent[0].start, sent[-1].end, text[sent[0].start : sent[-1].end], "UNK")]
+            )
+        return out
