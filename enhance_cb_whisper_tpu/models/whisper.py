@@ -1,0 +1,365 @@
+"""Whisper encoder-decoder in functional JAX.
+
+A from-scratch TPU implementation of the Whisper architecture the reference
+drives through HF ``WhisperModel`` / ``WhisperForConditionalGeneration``
+(src/utils.py:130-205 for encoder feature extraction,
+src/model/pba_whisper.py for generation).  Design choices:
+
+* **Functional, explicit params**: the model is a set of pure functions over
+  a nested dict of arrays (loaded from HF checkpoints by
+  :mod:`.whisper_loader`).  No module state — the KV cache is an explicit
+  pytree threaded through ``lax.scan`` in the decode loop, which keeps the
+  whole autoregressive step jit-compiled with static shapes.
+* **Layer-stacked encoder output**: the encoder can return all hidden
+  states; the KWS path consumes a slice of them ([10:22] for whisper-medium,
+  L2-normalized) as a single stacked array — one device array instead of the
+  reference's tuple-of-tensors (src/utils.py:188-195).
+* **MXU-friendly**: attention and MLPs are einsums in the compute dtype
+  (bfloat16 on TPU), f32 accumulation; LayerNorms in f32.
+
+Weight layout convention (HF names, jax-native layouts):
+  linear kernels are stored [in, out]; conv1d kernels [width, in, out].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 1024
+    encoder_layers: int = 24
+    encoder_attention_heads: int = 16
+    decoder_layers: int = 24
+    decoder_attention_heads: int = 16
+    encoder_ffn_dim: int = 4096
+    decoder_ffn_dim: int = 4096
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    # token ids (whisper-multilingual defaults; overridden by the loader
+    # from the HF generation config)
+    decoder_start_token_id: int = 50258
+    eos_token_id: int = 50257
+    pad_token_id: int = 50257
+
+    @property
+    def encoder_head_dim(self) -> int:
+        return self.d_model // self.encoder_attention_heads
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "WhisperConfig":
+        return cls(
+            vocab_size=hf_config.vocab_size,
+            num_mel_bins=hf_config.num_mel_bins,
+            d_model=hf_config.d_model,
+            encoder_layers=hf_config.encoder_layers,
+            encoder_attention_heads=hf_config.encoder_attention_heads,
+            decoder_layers=hf_config.decoder_layers,
+            decoder_attention_heads=hf_config.decoder_attention_heads,
+            encoder_ffn_dim=hf_config.encoder_ffn_dim,
+            decoder_ffn_dim=hf_config.decoder_ffn_dim,
+            max_source_positions=hf_config.max_source_positions,
+            max_target_positions=hf_config.max_target_positions,
+            decoder_start_token_id=hf_config.decoder_start_token_id,
+            eos_token_id=hf_config.eos_token_id,
+            pad_token_id=hf_config.pad_token_id,
+        )
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def _layer_norm(p: Dict[str, Any], x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["weight"] + p["bias"]).astype(x.dtype)
+
+
+def _linear(p: Dict[str, Any], x: jax.Array) -> jax.Array:
+    y = jnp.einsum("...i,io->...o", x, p["weight"].astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads)
+
+
+def _attention(
+    q: jax.Array,  # [B, Tq, H, Dh] (already scaled)
+    k: jax.Array,  # [B, Tk, H, Dh]
+    v: jax.Array,  # [B, Tk, H, Dh]
+    mask: Optional[jax.Array] = None,  # broadcastable to [B, H, Tq, Tk], True=keep
+) -> jax.Array:
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _mha(
+    p: Dict[str, Any],
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    head_dim = x_q.shape[-1] // num_heads
+    q = _split_heads(_linear(p["q_proj"], x_q), num_heads) * (head_dim**-0.5)
+    k = _split_heads(_linear(p["k_proj"], x_kv), num_heads)
+    v = _split_heads(_linear(p["v_proj"], x_kv), num_heads)
+    o = _attention(q, k, v, mask)
+    return _linear(p["out_proj"], o.reshape(*o.shape[:2], -1))
+
+
+def _conv1d(p: Dict[str, Any], x: jax.Array, stride: int) -> jax.Array:
+    # x: [B, T, C_in]; kernel: [W, C_in, C_out]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return y + p["bias"].astype(x.dtype)
+
+
+def sinusoid_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed encoder positional table (matches the buffer HF stores
+    in ``encoder.embed_positions.weight``)."""
+    log_timescale_increment = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def encoder_layer(p: Dict[str, Any], x: jax.Array, num_heads: int) -> jax.Array:
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    x = x + _mha(p["self_attn"], h, h, num_heads)
+    h = _layer_norm(p["final_layer_norm"], x)
+    h = jax.nn.gelu(_linear(p["fc1"], h), approximate=False)
+    return x + _linear(p["fc2"], h)
+
+
+def encoder_forward(
+    params: Dict[str, Any],
+    input_features: jax.Array,  # [B, n_mels, 3000]
+    config: WhisperConfig,
+    output_hidden_states: bool = False,
+    dtype: Any = jnp.float32,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Returns (last_hidden_state [B, 1500, D], hidden_states [n_layers+1, B, 1500, D]
+    or None).
+
+    ``hidden_states[i]`` is the input to layer i (index 0 = post-conv+pos
+    embeddings), matching HF's ``output_hidden_states=True`` tuple that the
+    reference slices [10:22] (src/utils.py:188-192).
+    """
+    p = params["encoder"]
+    x = jnp.transpose(input_features, (0, 2, 1)).astype(dtype)  # [B, T, n_mels]
+    x = jax.nn.gelu(_conv1d(p["conv1"], x, stride=1), approximate=False)
+    x = jax.nn.gelu(_conv1d(p["conv2"], x, stride=2), approximate=False)
+    x = x + p["embed_positions"]["weight"].astype(dtype)
+
+    states = [x] if output_hidden_states else None
+    for i in range(config.encoder_layers):
+        x = encoder_layer(p["layers"][i], x, config.encoder_attention_heads)
+        if output_hidden_states:
+            states.append(x)
+    last = _layer_norm(p["layer_norm"], x)
+    if output_hidden_states:
+        # HF replaces the final entry with the post-LayerNorm output
+        states[-1] = last
+        return last, jnp.stack(states, axis=0)
+    return last, None
+
+
+def encoder_kws_stack(
+    params: Dict[str, Any],
+    input_features: jax.Array,
+    config: WhisperConfig,
+    layer_slice: Tuple[int, int] = (10, 22),
+    valid_frames: Optional[jax.Array] = None,
+    dtype: Any = jnp.float32,
+) -> jax.Array:
+    """The KWS embedding producer: hidden_states[lo:hi], L2-normalized over
+    the embedding dim (reference src/utils.py:188-195, cb_whisper.py:100-106).
+
+    Returns [B, n_slabs, T_enc, D].  If ``valid_frames`` is given, frames at
+    or beyond it are zeroed (the reference instead truncates to
+    ceil(unpadded/2); zero-padding keeps the shape static for XLA).
+    """
+    _, states = encoder_forward(
+        params, input_features, config, output_hidden_states=True, dtype=dtype
+    )
+    lo, hi = layer_slice
+    stack = jnp.transpose(states[lo:hi], (1, 0, 2, 3)).astype(jnp.float32)
+    stack = stack / jnp.linalg.norm(stack, axis=-1, keepdims=True)
+    if valid_frames is not None:
+        t = jnp.arange(stack.shape[2])
+        mask = (t[None, :] < valid_frames[:, None])[:, None, :, None]
+        stack = jnp.where(mask, stack, 0.0)
+    return stack
+
+
+# ---------------------------------------------------------------------------
+# decoder (explicit KV cache)
+
+
+def init_cache(
+    config: WhisperConfig, batch: int, max_len: int, dtype: Any = jnp.float32
+) -> Dict[str, Any]:
+    head_dim = config.d_model // config.decoder_attention_heads
+    shape = (batch, max_len, config.decoder_attention_heads, head_dim)
+    return {
+        "index": jnp.zeros((), dtype=jnp.int32),
+        "layers": [
+            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(config.decoder_layers)
+        ],
+    }
+
+
+def precompute_cross_kv(
+    params: Dict[str, Any], encoder_out: jax.Array, config: WhisperConfig
+) -> list:
+    """Cross-attention K/V depend only on the encoder output; compute once
+    per segment instead of per decode step."""
+    out = []
+    h = config.decoder_attention_heads
+    for layer in params["decoder"]["layers"]:
+        p = layer["encoder_attn"]
+        out.append(
+            {
+                "k": _split_heads(_linear(p["k_proj"], encoder_out), h),
+                "v": _split_heads(_linear(p["v_proj"], encoder_out), h),
+            }
+        )
+    return out
+
+
+def _decoder_layer(
+    p: Dict[str, Any],
+    x: jax.Array,
+    cross_kv: Dict[str, jax.Array],
+    num_heads: int,
+    self_mask: jax.Array,
+    cache_layer: Optional[Dict[str, jax.Array]],
+    cache_index: Optional[jax.Array],
+    cross_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    head_dim = x.shape[-1] // num_heads
+
+    # self attention
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    q = _split_heads(_linear(p["self_attn"]["q_proj"], h), num_heads) * (head_dim**-0.5)
+    k = _split_heads(_linear(p["self_attn"]["k_proj"], h), num_heads)
+    v = _split_heads(_linear(p["self_attn"]["v_proj"], h), num_heads)
+    if cache_layer is not None:
+        k = jax.lax.dynamic_update_slice(cache_layer["k"], k.astype(cache_layer["k"].dtype),
+                                         (0, cache_index, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache_layer["v"], v.astype(cache_layer["v"].dtype),
+                                         (0, cache_index, 0, 0))
+        new_cache_layer = {"k": k, "v": v}
+    else:
+        new_cache_layer = None
+    attn = _attention(q, k.astype(q.dtype), v.astype(q.dtype), self_mask)
+    x = x + _linear(p["self_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
+
+    # cross attention (precomputed K/V)
+    h = _layer_norm(p["encoder_attn_layer_norm"], x)
+    q = _split_heads(_linear(p["encoder_attn"]["q_proj"], h), num_heads) * (head_dim**-0.5)
+    attn = _attention(q, cross_kv["k"].astype(q.dtype), cross_kv["v"].astype(q.dtype), cross_mask)
+    x = x + _linear(p["encoder_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
+
+    # mlp
+    h = _layer_norm(p["final_layer_norm"], x)
+    h = jax.nn.gelu(_linear(p["fc1"], h), approximate=False)
+    return x + _linear(p["fc2"], h), new_cache_layer
+
+
+def decoder_forward(
+    params: Dict[str, Any],
+    input_ids: jax.Array,  # [B, T]
+    cross_kv: list,
+    config: WhisperConfig,
+    cache: Optional[Dict[str, Any]] = None,
+    attention_mask: Optional[jax.Array] = None,  # [B, T_total] 1=attend
+    cross_mask: Optional[jax.Array] = None,  # broadcastable [B, 1, 1, T_enc]
+    dtype: Any = jnp.float32,
+) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
+    """Teacher-forcing (cache=None) or incremental decoding (cache given).
+
+    With a cache, ``input_ids`` is the next chunk (usually length 1); its
+    positions start at ``cache['index']``.  ``attention_mask`` covers the
+    full cached length (prompt padding is masked out, reproducing the
+    reference's ``decoder_attention_mask`` from pad ids,
+    src/model/pba_whisper.py:543).
+
+    Returns (logits [B, T, vocab], updated cache).
+    """
+    p = params["decoder"]
+    b, t = input_ids.shape
+    offset = cache["index"] if cache is not None else 0
+
+    tok = p["embed_tokens"]["weight"][input_ids].astype(dtype)
+    positions = jax.lax.dynamic_slice_in_dim(
+        p["embed_positions"]["weight"], offset, t, axis=0
+    ).astype(dtype)
+    x = tok + positions[None]
+
+    if cache is not None:
+        max_len = cache["layers"][0]["k"].shape[1]
+        key_pos = jnp.arange(max_len)
+        query_pos = offset + jnp.arange(t)
+        mask = key_pos[None, :] <= query_pos[:, None]  # causal over cache
+        mask = mask[None, None]  # [1, 1, T, max_len]
+        if attention_mask is not None:
+            mask = jnp.logical_and(mask, attention_mask[:, None, None, :].astype(bool))
+    else:
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+        mask = causal[None, None]
+        if attention_mask is not None:
+            mask = jnp.logical_and(mask, attention_mask[:, None, None, :].astype(bool))
+
+    new_layers = []
+    for i in range(config.decoder_layers):
+        x, new_cache_layer = _decoder_layer(
+            p["layers"][i],
+            x,
+            cross_kv[i],
+            config.decoder_attention_heads,
+            mask,
+            cache["layers"][i] if cache is not None else None,
+            offset if cache is not None else None,
+            cross_mask,
+        )
+        new_layers.append(new_cache_layer)
+
+    x = _layer_norm(p["layer_norm"], x)
+    logits = jnp.einsum(
+        "btd,vd->btv", x.astype(jnp.float32), p["embed_tokens"]["weight"].astype(jnp.float32)
+    )
+    new_cache = (
+        {"index": offset + t, "layers": new_layers} if cache is not None else None
+    )
+    return logits, new_cache

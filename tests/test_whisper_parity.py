@@ -1,0 +1,157 @@
+"""Golden-parity tests: functional JAX Whisper vs HF WhisperModel (torch CPU)
+on a tiny randomly-initialized configuration (SURVEY.md §4 test strategy)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from enhance_cb_whisper_tpu.models.whisper import (
+    WhisperConfig,
+    decoder_forward,
+    encoder_forward,
+    encoder_kws_stack,
+    init_cache,
+    precompute_cross_kv,
+    sinusoid_positions,
+)
+from enhance_cb_whisper_tpu.models.whisper_loader import load_hf_whisper
+
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    hf_config = transformers.WhisperConfig(
+        vocab_size=128,
+        num_mel_bins=8,
+        d_model=32,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=64,
+        decoder_ffn_dim=64,
+        max_source_positions=24,
+        max_target_positions=16,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        decoder_start_token_id=3,
+        suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    torch.manual_seed(0)
+    hf = transformers.WhisperModel(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    return hf, config, params
+
+
+def _mel(config, batch=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(
+        (batch, config.num_mel_bins, config.max_source_positions * 2), dtype=np.float32
+    )
+
+
+def test_encoder_matches_hf(tiny):
+    hf, config, params = tiny
+    mel = _mel(config)
+    with torch.no_grad():
+        hf_out = hf.encoder(torch.from_numpy(mel), output_hidden_states=True)
+    last, states = encoder_forward(params, mel, config, output_hidden_states=True)
+    np.testing.assert_allclose(
+        np.asarray(last), hf_out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-5
+    )
+    assert states.shape[0] == config.encoder_layers + 1
+    for i, hs in enumerate(hf_out.hidden_states):
+        np.testing.assert_allclose(
+            np.asarray(states[i]), hs.numpy(), rtol=2e-4, atol=2e-5,
+            err_msg=f"hidden state {i}",
+        )
+
+
+def test_encoder_kws_stack_normalized(tiny):
+    hf, config, params = tiny
+    mel = _mel(config, batch=1)
+    stack = encoder_kws_stack(params, mel, config, layer_slice=(1, 3))
+    assert stack.shape == (1, 2, config.max_source_positions, config.d_model)
+    norms = np.linalg.norm(np.asarray(stack), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+    # valid_frames zeroes the tail
+    stack2 = encoder_kws_stack(
+        params, mel, config, layer_slice=(1, 3), valid_frames=np.array([5])
+    )
+    assert np.all(np.asarray(stack2)[:, :, 5:, :] == 0)
+    np.testing.assert_allclose(
+        np.asarray(stack2)[:, :, :5], np.asarray(stack)[:, :, :5], rtol=1e-6
+    )
+
+
+def test_decoder_teacher_forcing_matches_hf(tiny):
+    hf, config, params = tiny
+    mel = _mel(config)
+    ids = np.array([[3, 7, 11, 2], [1, 5, 9, 13]], dtype=np.int64)
+    with torch.no_grad():
+        enc = hf.encoder(torch.from_numpy(mel)).last_hidden_state
+        hf_out = hf.decoder(
+            input_ids=torch.from_numpy(ids), encoder_hidden_states=enc
+        ).last_hidden_state
+        # logits = tied embedding projection
+        want = (hf_out @ hf.decoder.embed_tokens.weight.T).numpy()
+
+    enc_j, _ = encoder_forward(params, mel, config)
+    cross_kv = precompute_cross_kv(params, enc_j, config)
+    logits, _ = decoder_forward(params, ids, cross_kv, config)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4, atol=3e-4)
+
+
+def test_incremental_decode_matches_teacher_forcing(tiny):
+    hf, config, params = tiny
+    mel = _mel(config, batch=1)
+    ids = np.array([[3, 7, 11, 2, 9]], dtype=np.int64)
+
+    enc_j, _ = encoder_forward(params, mel, config)
+    cross_kv = precompute_cross_kv(params, enc_j, config)
+    full_logits, _ = decoder_forward(params, ids, cross_kv, config)
+
+    cache = init_cache(config, batch=1, max_len=8)
+    step_logits = []
+    for t in range(ids.shape[1]):
+        logits, cache = decoder_forward(
+            params, ids[:, t : t + 1], cross_kv, config, cache=cache
+        )
+        step_logits.append(np.asarray(logits)[:, 0])
+    step_logits = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(step_logits, np.asarray(full_logits), rtol=2e-4, atol=3e-4)
+
+
+def test_prompt_prefill_then_steps(tiny):
+    """Prefill a multi-token prompt through the cache in one call, then step:
+    must equal full teacher forcing (this is the biased-prompt decode path)."""
+    hf, config, params = tiny
+    mel = _mel(config, batch=1)
+    ids = np.array([[3, 7, 11, 2, 9, 4]], dtype=np.int64)
+
+    enc_j, _ = encoder_forward(params, mel, config)
+    cross_kv = precompute_cross_kv(params, enc_j, config)
+    full_logits, _ = decoder_forward(params, ids, cross_kv, config)
+
+    cache = init_cache(config, batch=1, max_len=8)
+    prefill_logits, cache = decoder_forward(params, ids[:, :4], cross_kv, config, cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(prefill_logits), np.asarray(full_logits)[:, :4], rtol=2e-4, atol=3e-4
+    )
+    logits5, cache = decoder_forward(params, ids[:, 4:5], cross_kv, config, cache=cache)
+    np.testing.assert_allclose(
+        np.asarray(logits5)[:, 0], np.asarray(full_logits)[:, 4], rtol=2e-4, atol=3e-4
+    )
+
+
+def test_sinusoid_positions_match_hf_buffer(tiny):
+    hf, config, params = tiny
+    want = hf.encoder.embed_positions.weight.detach().numpy()
+    got = sinusoid_positions(config.max_source_positions, config.d_model)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
