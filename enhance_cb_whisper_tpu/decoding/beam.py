@@ -1,0 +1,262 @@
+"""Fixed-shape beam search and greedy decoding for Whisper, on-device.
+
+Reimplements HF's ``beam_search``/``greedy_search`` semantics (the engine
+under the reference's ``generate(..., num_beams=5)``,
+src/model/cb_whisper.py:166-178) as a single jit-compiled
+``lax.while_loop`` over static shapes:
+
+* scores accumulate log-softmax values with processor masks applied after
+  normalization (HF beam-search order);
+* eos candidates with rank < num_beams retire into the finished set with
+  score ``total / len**length_penalty`` (length counted WITHOUT the eos,
+  like ``BeamHypotheses.add``); eos is re-appended on output;
+* batch is done when K hypotheses exist and the worst finished score >=
+  best-running-total / cur_len**penalty (HF ``early_stopping=False``);
+* at the step limit, running beams back-fill unfinished batches, exactly
+  like ``BeamSearchScorer.finalize``.
+
+The KV cache rides in the loop state with leading dim ``batch*beams`` and is
+gathered per step with the beam permutation — no host round-trips anywhere
+in the decode loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .logits_process import NEG_INF, LogitsProcessorConfig, apply_logits_processors
+
+# decode_fn(tokens_chunk [N, 1], cache, ctx) -> (logits [N, vocab], new_cache)
+# ``ctx`` carries per-segment operands (cross-attention K/V, masks) through
+# jit as data, so new segments never retrigger compilation.
+DecodeFn = Callable[[jax.Array, Any, Any], Tuple[jax.Array, Any]]
+
+
+def _gather_beams(tree: Any, beam_idx: jax.Array, batch: int, beams: int) -> Any:
+    """Gather along the flattened batch*beam leading dim; beam_idx [B, K]."""
+
+    def gather(x):
+        if not isinstance(x, jnp.ndarray) or x.ndim == 0:
+            return x
+        shaped = x.reshape(batch, beams, *x.shape[1:])
+        return jnp.take_along_axis(
+            shaped, beam_idx.reshape(batch, beams, *([1] * (x.ndim - 1))), axis=1
+        ).reshape(batch * beams, *x.shape[1:])
+
+    return jax.tree.map(gather, tree)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "decode_fn",
+        "num_beams",
+        "max_length",
+        "processors",
+        "length_penalty",
+        "pad_token_id",
+        "eos_token_id",
+    ),
+)
+def beam_search(
+    decode_fn: DecodeFn,
+    prompt: jax.Array,  # [B, P] decoder input ids (prefix, no padding)
+    cache: Any,  # cache pytree with leading dim B*K, prefilled with the prompt
+    ctx: Any,  # per-segment decode context (cross KV etc.), leading dim B*K
+    processors: LogitsProcessorConfig,
+    num_beams: int = 5,
+    max_length: int = 448,
+    length_penalty: float = 1.0,
+    pad_token_id: int = 50257,
+    eos_token_id: int = 50257,
+    decoder_attention_mask: Optional[jax.Array] = None,  # [B, P]
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (sequences [B, max_length] right-padded, scores [B]).
+
+    ``cache`` must already contain the prompt prefill for each of the B*K
+    beam rows (identical across beams), with ``cache['index'] == P``.
+    """
+    batch, prompt_len = prompt.shape
+    K = num_beams
+    V = processors.vocab_size
+
+    tokens = jnp.full((batch, K, max_length), pad_token_id, dtype=jnp.int32)
+    tokens = tokens.at[:, :, :prompt_len].set(prompt[:, None, :])
+
+    running_scores = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (K - 1), dtype=jnp.float32)[None, :], (batch, 1)
+    )
+    finished_tokens = jnp.full_like(tokens, pad_token_id)
+    finished_scores = jnp.full((batch, K), NEG_INF, dtype=jnp.float32)
+    finished_flags = jnp.zeros((batch, K), dtype=bool)
+
+    init_state = (
+        jnp.asarray(prompt_len, jnp.int32),  # cur_len
+        tokens,
+        running_scores,
+        cache,
+        finished_tokens,
+        finished_scores,
+        finished_flags,
+        jnp.zeros((batch,), dtype=bool),  # batch done flags
+    )
+
+    def not_done(state):
+        cur_len, _, _, _, _, _, _, done = state
+        return jnp.logical_and(cur_len < max_length, jnp.logical_not(done.all()))
+
+    def step(state):
+        (cur_len, tokens, running_scores, cache, fin_tokens, fin_scores, fin_flags, done) = state
+
+        last = jax.lax.dynamic_slice_in_dim(tokens, cur_len - 1, 1, axis=2)
+        logits, new_cache = decode_fn(last.reshape(batch * K, 1), cache, ctx)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logprobs = apply_logits_processors(
+            processors, logprobs, tokens.reshape(batch * K, max_length), cur_len
+        ).reshape(batch, K, V)
+
+        total = logprobs + running_scores[:, :, None]  # [B, K, V]
+        flat = total.reshape(batch, K * V)
+        cand_scores, cand_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
+        cand_beam = cand_idx // V
+        cand_token = cand_idx % V
+        is_eos = cand_token == eos_token_id
+        rank = jnp.broadcast_to(jnp.arange(2 * K)[None, :], (batch, 2 * K))
+
+        # --- retire eos candidates (rank < K) into the finished set
+        new_fin_score = cand_scores / jnp.asarray(cur_len, jnp.float32) ** length_penalty
+        eligible = is_eos & (rank < K) & jnp.logical_not(done[:, None])
+        cand_fin_score = jnp.where(eligible, new_fin_score, NEG_INF)
+
+        cand_sequences = jnp.take_along_axis(tokens, cand_beam[:, :, None], axis=1)
+        cand_sequences = jax.lax.dynamic_update_slice_in_dim(
+            cand_sequences,
+            jnp.full((batch, 2 * K, 1), eos_token_id, dtype=cand_sequences.dtype),
+            cur_len,
+            axis=2,
+        )  # [B, 2K, L] with eos re-appended (BeamSearchScorer.finalize does this)
+
+        merged_scores = jnp.concatenate([fin_scores, cand_fin_score], axis=1)  # [B, 3K]
+        merged_tokens = jnp.concatenate([fin_tokens, cand_sequences], axis=1)
+        merged_flags = jnp.concatenate([fin_flags, eligible], axis=1)
+        top_scores, top_idx = jax.lax.top_k(merged_scores, K)
+        fin_scores = top_scores
+        fin_tokens = jnp.take_along_axis(merged_tokens, top_idx[:, :, None], axis=1)
+        fin_flags = jnp.take_along_axis(merged_flags, top_idx, axis=1)
+
+        # --- select the next K running beams: best non-eos candidates in rank order
+        running_eligible = jnp.where(is_eos, NEG_INF, cand_scores)
+        new_running_scores, sel = jax.lax.top_k(running_eligible, K)  # sel indexes 2K cands
+        sel_beam = jnp.take_along_axis(cand_beam, sel, axis=1)  # [B, K]
+        sel_token = jnp.take_along_axis(cand_token, sel, axis=1)
+
+        new_tokens = jnp.take_along_axis(tokens, sel_beam[:, :, None], axis=1)
+        new_tokens = jax.lax.dynamic_update_slice_in_dim(
+            new_tokens, sel_token[:, :, None].astype(jnp.int32), cur_len, axis=2
+        )
+
+        new_cache = _gather_beams(new_cache, sel_beam, batch, K)
+
+        # frozen batches keep their previous state
+        keep = done[:, None]
+        new_tokens = jnp.where(keep[:, :, None], tokens, new_tokens)
+        new_running_scores = jnp.where(keep, running_scores, new_running_scores)
+
+        # --- done condition (early_stopping=False semantics)
+        best_possible = cand_scores[:, 0] / (
+            jnp.asarray(cur_len + 1, jnp.float32) ** length_penalty
+        )
+        worst_finished = fin_scores.min(axis=1)
+        newly_done = (fin_flags.sum(axis=1) >= K) & (worst_finished >= best_possible)
+        done = done | newly_done
+
+        return (
+            cur_len + 1,
+            new_tokens,
+            new_running_scores,
+            new_cache,
+            fin_tokens,
+            fin_scores,
+            fin_flags,
+            done,
+        )
+
+    (cur_len, tokens, running_scores, _, fin_tokens, fin_scores, fin_flags, done) = (
+        jax.lax.while_loop(not_done, step, init_state)
+    )
+
+    # finalize: back-fill unfinished batches with running beams
+    none_finished = jnp.logical_not(fin_flags.any(axis=1))
+    running_norm = running_scores / jnp.asarray(cur_len, jnp.float32) ** length_penalty
+    fin_scores = jnp.where(none_finished[:, None], running_norm, fin_scores)
+    fin_tokens = jnp.where(none_finished[:, None, None], tokens, fin_tokens)
+
+    best = jnp.argmax(fin_scores, axis=1)
+    sequences = jnp.take_along_axis(fin_tokens, best[:, None, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(fin_scores, best[:, None], axis=1)[:, 0]
+    return sequences, scores
+
+
+@partial(
+    jax.jit,
+    static_argnames=("decode_fn", "max_length", "processors", "pad_token_id", "eos_token_id"),
+)
+def greedy_search(
+    decode_fn: DecodeFn,
+    prompt: jax.Array,  # [B, P]
+    cache: Any,  # prefilled, leading dim B
+    ctx: Any,  # per-segment decode context
+    processors: LogitsProcessorConfig,
+    max_length: int = 448,
+    pad_token_id: int = 50257,
+    eos_token_id: int = 50257,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy decode; returns (sequences [B, max_length], sum logprobs [B]).
+
+    Also accumulates per-sequence mean-logprob ingredients for the longform
+    quality thresholds (logprob_threshold, src/model/pba_whisper.py:425-442).
+    """
+    batch, prompt_len = prompt.shape
+    V = processors.vocab_size
+    tokens = jnp.full((batch, max_length), pad_token_id, dtype=jnp.int32)
+    tokens = tokens.at[:, :prompt_len].set(prompt)
+
+    init = (
+        jnp.asarray(prompt_len, jnp.int32),
+        tokens,
+        cache,
+        jnp.zeros((batch,), jnp.float32),  # sum logprobs
+        jnp.zeros((batch,), jnp.int32),  # generated count (incl. eos)
+        jnp.zeros((batch,), dtype=bool),  # finished
+    )
+
+    def not_done(state):
+        cur_len, _, _, _, _, finished = state
+        return jnp.logical_and(cur_len < max_length, jnp.logical_not(finished.all()))
+
+    def step(state):
+        cur_len, tokens, cache, sum_lp, n_gen, finished = state
+        last = jax.lax.dynamic_slice_in_dim(tokens, cur_len - 1, 1, axis=1)
+        logits, cache = decode_fn(last, cache, ctx)
+        processed = apply_logits_processors(processors, logits.astype(jnp.float32), tokens, cur_len)
+        next_tok = jnp.argmax(processed, axis=-1)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+
+        next_tok = jnp.where(finished, pad_token_id, next_tok)
+        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+        n_gen = n_gen + jnp.where(finished, 0, 1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, next_tok[:, None].astype(jnp.int32), cur_len, axis=1
+        )
+        finished = finished | (next_tok == eos_token_id)
+        return cur_len + 1, tokens, cache, sum_lp, n_gen, finished
+
+    _, tokens, _, sum_lp, _, _ = jax.lax.while_loop(not_done, step, init)
+    return tokens, sum_lp

@@ -1,0 +1,504 @@
+"""Whisper generation: shortform + longform seek-loop with contextual biasing.
+
+TPU-native counterpart of ``PBAWhisper.generate``
+(src/model/pba_whisper.py:17-475).  Architecture (SURVEY.md §7): all
+data-dependent control flow — the 30 s seek loop, timestamp-driven seek
+advance, temperature fallback, condition-on-prev bookkeeping — runs in a
+thin host driver; everything per segment (encode, keyword spotting, prompt
+prefill, beam/greedy decode) is a handful of jit-compiled functions with
+static shapes, so nothing recompiles across segments.
+
+Keyword spotting is injected as a callable exactly like the reference's
+``keyword_spotting`` callback (pba_whisper.py:287,391): it receives the mel
+segment and returns per-batch keyword token-id lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.whisper import (
+    WhisperConfig,
+    decoder_forward,
+    encoder_forward,
+    init_cache,
+    precompute_cross_kv,
+)
+from .beam import beam_search, greedy_search
+from .logits_process import LogitsProcessorConfig
+from .prompt import prepare_decoder_input_ids, strip_prompt
+
+N_SEGMENT_FRAMES = 3000  # input_stride(2) * max_source_positions(1500)
+TIME_PRECISION = 0.02
+INPUT_STRIDE = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationOptions:
+    """Token ids + decoding knobs (from the HF generation config in real
+    checkpoints; explicit here so tiny random test models can set them)."""
+
+    decoder_start_token_id: int = 50258  # <|startoftranscript|>
+    language_token_id: Optional[int] = None  # e.g. <|en|>
+    task_token_id: Optional[int] = None  # <|transcribe|>
+    no_timestamps_token_id: int = 50363
+    prev_sot_token_id: Optional[int] = 50361  # <|startofprev|>
+    eos_token_id: int = 50257
+    pad_token_id: int = 50257
+    suppress_tokens: Tuple[int, ...] = ()
+    begin_suppress_tokens: Tuple[int, ...] = ()
+    max_initial_timestamp_index: int = 50
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    return_timestamps: bool = False
+    condition_on_prev_tokens: bool = False
+    temperature: Tuple[float, ...] = (0.0,)
+    compression_ratio_threshold: Optional[float] = None
+    logprob_threshold: Optional[float] = None
+    no_speech_threshold: Optional[float] = None
+    max_target_positions: int = 448
+
+    def init_tokens(self) -> List[int]:
+        toks = [self.decoder_start_token_id]
+        if self.language_token_id is not None:
+            toks.append(self.language_token_id)
+        if self.task_token_id is not None:
+            toks.append(self.task_token_id)
+        if not self.return_timestamps:
+            toks.append(self.no_timestamps_token_id)
+        return toks
+
+
+def _compression_ratio(tokens: Sequence[int]) -> float:
+    """zlib compression ratio over token bytes (HF
+    ``_retrieve_compression_ratio``; high ratio == repetitive junk)."""
+    if len(tokens) == 0:
+        return 0.0
+    arr = np.asarray(tokens, dtype=np.int32)
+    length = int(np.ceil(np.log2(max(arr.max(), 1) + 1) / 8)) or 1
+    raw = arr.astype(f"<i{max(length, 1)}").tobytes() if length in (1, 2, 4, 8) else arr.tobytes()
+    return len(raw) / len(zlib.compress(raw))
+
+
+class WhisperGenerator:
+    """Compiled-step Whisper generation around a fixed (config, params)."""
+
+    def __init__(
+        self,
+        config: WhisperConfig,
+        params: Dict[str, Any],
+        dtype: Any = jnp.float32,
+        prompt_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 448),
+    ):
+        self.config = config
+        self.params = jax.tree.map(jnp.asarray, params)
+        params = self.params
+        self.dtype = dtype
+        # input_stride(2) * max_source_positions mel frames per 30s segment
+        self.n_segment_frames = INPUT_STRIDE * config.max_source_positions
+        self.prompt_buckets = tuple(sorted(prompt_buckets))
+
+        cfg = config
+
+        @jax.jit
+        def _encode(mel):
+            enc, _ = encoder_forward(params, mel, cfg, dtype=dtype)
+            return enc
+
+        @jax.jit
+        def _cross_kv(enc):
+            return precompute_cross_kv(params, enc, cfg)
+
+        def _decode_step(tokens, cache, ctx):
+            logits, new_cache = decoder_forward(
+                params,
+                tokens,
+                ctx["cross_kv"],
+                cfg,
+                cache=cache,
+                attention_mask=ctx["attn_mask"],
+                dtype=dtype,
+            )
+            return logits[:, -1], new_cache
+
+        @partial(jax.jit, static_argnames=("max_length",))
+        def _prefill(prompt_padded, prompt_len, ctx, max_length: int):
+            """Run the (right-padded) prompt through a fresh cache.
+
+            The cache is positioned at ``prompt_len - 1``: the decode loop's
+            first step re-feeds the final prompt token (overwriting its own
+            slot with identical K/V) and yields the logits for position
+            ``prompt_len`` — this keeps the loop body uniform."""
+            batch = prompt_padded.shape[0]
+            cache = init_cache(cfg, batch, max_length, dtype=dtype)
+            _, cache = decoder_forward(
+                params,
+                prompt_padded,
+                ctx["cross_kv"],
+                cfg,
+                cache=cache,
+                attention_mask=ctx["attn_mask"],
+                dtype=dtype,
+            )
+            cache["index"] = prompt_len - 1
+            return cache
+
+        self._encode = _encode
+        self._cross_kv_fn = _cross_kv
+        self._decode_step = _decode_step
+        self._prefill = _prefill
+
+    # ------------------------------------------------------------------ util
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        return self.prompt_buckets[-1]
+
+    def _make_ctx(self, cross_kv, prompt_mask: np.ndarray, max_length: int, reps: int):
+        """ctx pytree: cross KV tiled to batch*beams + full-length attention
+        mask.  Only pad positions INSIDE the prompt are masked; every slot at
+        or past the true prompt length stays open — those cache slots are
+        overwritten sequentially by the decode loop and the causal rule
+        protects the not-yet-written ones."""
+        batch, plen = prompt_mask.shape
+        attn = np.ones((batch, max_length), dtype=np.int32)
+        attn[:, :plen] = prompt_mask
+        attn_t = jnp.asarray(np.repeat(attn, reps, axis=0))
+        kv = jax.tree.map(lambda x: jnp.repeat(x, reps, axis=0), cross_kv)
+        return {"cross_kv": kv, "attn_mask": attn_t}
+
+    def _processors(self, opts: GenerationOptions, begin_index: int) -> LogitsProcessorConfig:
+        return LogitsProcessorConfig(
+            suppress_tokens=tuple(opts.suppress_tokens),
+            begin_suppress_tokens=tuple(opts.begin_suppress_tokens),
+            begin_index=begin_index,
+            no_timestamps_token_id=opts.no_timestamps_token_id,
+            max_initial_timestamp_index=opts.max_initial_timestamp_index,
+            return_timestamps=opts.return_timestamps,
+            eos_token_id=opts.eos_token_id,
+            vocab_size=self.config.vocab_size,
+        )
+
+    def _decode_prompted(
+        self,
+        cross_kv,
+        decoder_input_ids: np.ndarray,
+        attention_mask: Optional[np.ndarray],
+        opts: GenerationOptions,
+        return_timestamps: bool,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Prefill the prompt, run beam/greedy to max_target_positions; returns
+        (full sequences incl. prompt [B, max_len], scores [B])."""
+        batch, plen = decoder_input_ids.shape
+        max_length = opts.max_target_positions
+        bucket = self._bucket(plen)
+        padded = np.full((batch, bucket), opts.pad_token_id, dtype=np.int32)
+        padded[:, :plen] = decoder_input_ids
+        pmask = (
+            np.asarray(attention_mask, dtype=np.int32)
+            if attention_mask is not None
+            else np.ones((batch, plen), dtype=np.int32)
+        )
+
+        opts_ts = dataclasses.replace(opts, return_timestamps=return_timestamps)
+        processors = self._processors(opts_ts, begin_index=plen)
+
+        K = opts.num_beams
+        reps = K if K > 1 else 1
+        ctx = self._make_ctx(cross_kv, pmask, max_length, reps)
+        prompt_padded = jnp.asarray(np.repeat(padded, reps, axis=0))
+        cache = self._prefill(prompt_padded, plen, ctx, max_length)
+
+        prompt_dev = jnp.asarray(decoder_input_ids.astype(np.int32))
+        if K > 1:
+            seqs, scores = beam_search(
+                self._decode_step,
+                prompt_dev,
+                cache,
+                ctx,
+                processors,
+                num_beams=K,
+                max_length=max_length,
+                length_penalty=opts.length_penalty,
+                pad_token_id=opts.pad_token_id,
+                eos_token_id=opts.eos_token_id,
+            )
+        else:
+            seqs, scores = greedy_search(
+                self._decode_step,
+                prompt_dev,
+                cache,
+                ctx,
+                processors,
+                max_length=max_length,
+                pad_token_id=opts.pad_token_id,
+                eos_token_id=opts.eos_token_id,
+            )
+        return np.asarray(seqs), np.asarray(scores)
+
+    # ------------------------------------------------------------- shortform
+
+    def generate(
+        self,
+        input_features: np.ndarray,  # [B, n_mels, T]
+        opts: GenerationOptions,
+        attention_mask: Optional[np.ndarray] = None,
+        keyword_spotting: Optional[Callable] = None,
+        return_segments: bool = False,
+    ):
+        """Top-level generate — dispatches shortform vs longform on total mel
+        frames exactly like pba_whisper.py:246-251."""
+        total_frames = input_features.shape[-1]
+        if total_frames <= self.n_segment_frames:
+            return self._generate_shortform(input_features, opts, keyword_spotting)
+        return self._generate_longform(
+            input_features, opts, attention_mask, keyword_spotting, return_segments
+        )
+
+    def _generate_shortform(self, input_features, opts, keyword_spotting):
+        if input_features.shape[0] != 1:
+            raise ValueError("shortform biased generation is single-utterance (pba_whisper.py:284-285)")
+        if keyword_spotting is not None:
+            prompt_ids = list(keyword_spotting(input_features=input_features, start_of_prev=True)[0])
+        else:
+            prompt_ids = []
+
+        decoder_ids = np.asarray([prompt_ids + opts.init_tokens()], dtype=np.int64)
+        mel = jnp.asarray(self._pad_segment(input_features))
+        enc = self._encode(mel)
+        cross_kv = self._cross_kv_fn(enc)
+        seqs, _ = self._decode_prompted(
+            cross_kv, decoder_ids, None, opts, return_timestamps=opts.return_timestamps
+        )
+        return strip_prompt(seqs, len(prompt_ids))
+
+    # -------------------------------------------------------------- longform
+
+    def _pad_segment(self, seg: np.ndarray) -> np.ndarray:
+        t = seg.shape[-1]
+        if t == self.n_segment_frames:
+            return np.asarray(seg, dtype=np.float32)
+        pad = self.n_segment_frames - t
+        return np.pad(np.asarray(seg, dtype=np.float32), ((0, 0), (0, 0), (0, pad)))
+
+    def _generate_longform(
+        self, input_features, opts, attention_mask, keyword_spotting, return_segments
+    ):
+        batch = input_features.shape[0]
+        total = input_features.shape[-1]
+        if attention_mask is not None:
+            max_frames = np.asarray(attention_mask).sum(-1).astype(np.int64)
+        else:
+            max_frames = np.full((batch,), total, dtype=np.int64)
+        seek = np.zeros((batch,), dtype=np.int64)
+
+        timestamp_begin = opts.no_timestamps_token_id + 1
+        init_tokens = opts.init_tokens()
+        current_segments: List[List[dict]] = [[] for _ in range(batch)]
+        condition_flags = [opts.condition_on_prev_tokens for _ in range(batch)]
+
+        while (seek < max_frames).any():
+            active = [i for i in range(batch) if seek[i] < max_frames[i]]
+            time_offset = seek * TIME_PRECISION / INPUT_STRIDE
+            seek_num_frames = np.minimum(max_frames - seek, self.n_segment_frames)
+
+            seg = np.stack(
+                [
+                    self._pad_segment(
+                        input_features[i : i + 1, :, seek[i] : seek[i] + seek_num_frames[i]]
+                    )[0]
+                    for i in active
+                ]
+            )
+
+            if keyword_spotting is not None:
+                keywords_tokens = keyword_spotting(input_features=seg)
+            else:
+                keywords_tokens = [[] for _ in active]
+
+            def _segment_prev_tokens(s):
+                # a segment ending in a double timestamp contributes all but
+                # its last token as context (HF _pad_to_max_length
+                # skip_ending_double_timestamps, PR #35750)
+                toks = s["tokens"]
+                if len(toks) > 2 and toks[-2] >= timestamp_begin:
+                    return toks[:-1]
+                return toks
+
+            prev_tokens = [
+                (
+                    [t for s in current_segments[i] for t in _segment_prev_tokens(s)]
+                    if condition_flags[i]
+                    else None
+                )
+                for i in active
+            ]
+            decoder_ids, attn = prepare_decoder_input_ids(
+                init_tokens=init_tokens,
+                keywords_tokens=keywords_tokens,
+                prev_tokens_per_batch=prev_tokens if any(
+                    p is not None and len(p) > 0 for p in prev_tokens
+                ) else None,
+                condition_on_prev=any(condition_flags),
+                max_target_positions=opts.max_target_positions,
+                pad_token_id=opts.pad_token_id,
+                prev_sot_token_id=opts.prev_sot_token_id,
+            )
+
+            mel = jnp.asarray(seg)
+            enc = self._encode(mel)
+            cross_kv = self._cross_kv_fn(enc)
+
+            seqs, scores, needs_fallback = self._generate_with_fallback(
+                cross_kv, decoder_ids, attn, opts, condition_flags, active
+            )
+
+            plen = decoder_ids.shape[1]
+            for row, i in enumerate(active):
+                seek_seq = self._trim_generated(seqs[row, plen:], opts)
+                segments, segment_offset = self._retrieve_segment(
+                    seek_seq,
+                    float(time_offset[i]),
+                    timestamp_begin,
+                    int(seek_num_frames[i]),
+                )
+                current_segments[i] += segments
+                seek[i] += segment_offset
+
+        sequences = self._pad_sequences_right(
+            [
+                [t for s in current_segments[i] for t in s["tokens"]]
+                for i in range(batch)
+            ],
+            opts.pad_token_id,
+        )
+        if return_segments:
+            return {"sequences": sequences, "segments": current_segments}
+        return sequences
+
+    def _generate_with_fallback(self, cross_kv, decoder_ids, attn, opts, condition_flags, active):
+        """Temperature fallback ladder (pba_whisper.py:425-442 → HF
+        ``generate_with_fallback``).  With the reference's flagship settings
+        (temperature=0, no thresholds) this is a single pass."""
+        seqs = scores = None
+        needs_fallback = [False] * len(active)
+        for ti, temperature in enumerate(opts.temperature):
+            # NOTE: temperatures > 0 would require sampling; the reference's
+            # eval path uses do_sample=False with temperature 0/ladder where
+            # fallback re-runs beam/greedy (HF does the same for do_sample=False).
+            seqs, scores = self._decode_prompted(
+                cross_kv, decoder_ids, attn, opts, return_timestamps=opts.return_timestamps
+            )
+            plen = decoder_ids.shape[1]
+            needs_fallback = []
+            for row in range(seqs.shape[0]):
+                gen = self._trim_generated(seqs[row, plen:], opts)
+                fallback = False
+                if opts.compression_ratio_threshold is not None:
+                    if _compression_ratio(gen) > opts.compression_ratio_threshold:
+                        fallback = True
+                if opts.logprob_threshold is not None and opts.num_beams == 1:
+                    avg_lp = scores[row] / max(len(gen), 1)
+                    if avg_lp < opts.logprob_threshold:
+                        fallback = True
+                needs_fallback.append(fallback)
+                if fallback and temperature is not None and ti == len(opts.temperature) - 1:
+                    # exhausted the ladder: keep result, disable conditioning
+                    condition_flags[active[row]] = False
+            if not any(needs_fallback):
+                break
+        return seqs, scores, needs_fallback
+
+    @staticmethod
+    def _trim_generated(tokens: np.ndarray, opts: GenerationOptions) -> List[int]:
+        """Cut at the first eos/pad (HF trims seek sequences this way)."""
+        out = []
+        for t in tokens.tolist():
+            if t == opts.eos_token_id or t == opts.pad_token_id:
+                break
+            out.append(int(t))
+        return out
+
+    @staticmethod
+    def _retrieve_segment(
+        seek_sequence: List[int],
+        time_offset: float,
+        timestamp_begin: int,
+        seek_num_frames: int,
+    ) -> Tuple[List[dict], int]:
+        """Timestamp-driven segmentation + seek advance
+        (HF ``_retrieve_segment``, used at pba_whisper.py:452-465)."""
+        seq = np.asarray(seek_sequence, dtype=np.int64)
+        ts_mask = seq >= timestamp_begin
+        if seq.size == 0:
+            return [], seek_num_frames
+        single_timestamp_ending = (
+            seq.size >= 2 and not ts_mask[-2] and ts_mask[-1]
+        )
+        consecutive = np.where(ts_mask[:-1] & ts_mask[1:])[0] + 1
+
+        if consecutive.size > 0:
+            slices = consecutive.tolist()
+            if single_timestamp_ending:
+                slices.append(seq.size)
+            else:
+                # include the closing timestamp of the final pair in the last
+                # segment (HF marks "no single ending" this way)
+                slices[-1] += 1
+            segments = []
+            last_slice = 0
+            for i, current_slice in enumerate(slices):
+                is_last = i == len(slices) - 1
+                sliced = seq[last_slice:current_slice]
+                start_pos = int(sliced[0]) - timestamp_begin
+                end_idx = -1 if (not is_last or single_timestamp_ending) else -2
+                end_pos = int(sliced[end_idx]) - timestamp_begin
+                segments.append(
+                    {
+                        "start": time_offset + start_pos * TIME_PRECISION,
+                        "end": time_offset + end_pos * TIME_PRECISION,
+                        "tokens": sliced.tolist(),
+                    }
+                )
+                last_slice = current_slice
+            if single_timestamp_ending:
+                segment_offset = seek_num_frames
+            else:
+                # seek to the last "end of segment" timestamp (first of the
+                # closing pair), discarding the unfinished tail
+                last_ts_pos = int(seq[last_slice - 2]) - timestamp_begin
+                segment_offset = last_ts_pos * INPUT_STRIDE
+        else:
+            timestamps = seq[ts_mask]
+            last_ts_pos = seek_num_frames // INPUT_STRIDE
+            if timestamps.size > 0 and int(timestamps[-1]) != timestamp_begin:
+                last_ts_pos = int(timestamps[-1]) - timestamp_begin
+            segments = [
+                {
+                    "start": time_offset,
+                    "end": time_offset + last_ts_pos * TIME_PRECISION,
+                    "tokens": seq.tolist(),
+                }
+            ]
+            segment_offset = seek_num_frames
+
+        if segment_offset <= 0:  # guard against a stuck seek (HF clamps too)
+            segment_offset = seek_num_frames
+        return segments, segment_offset
+
+    @staticmethod
+    def _pad_sequences_right(seqs: List[List[int]], pad_token_id: int) -> np.ndarray:
+        max_len = max((len(s) for s in seqs), default=0)
+        out = np.full((len(seqs), max_len), pad_token_id, dtype=np.int64)
+        for i, s in enumerate(seqs):
+            out[i, : len(s)] = s
+        return out

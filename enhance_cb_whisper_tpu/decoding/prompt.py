@@ -1,0 +1,117 @@
+"""Decoder prompt assembly for contextual biasing (host-side token logic).
+
+Exact reproduction of the reference's budget math in
+``PBAWhisper._prepare_decoder_input_ids`` (src/model/pba_whisper.py:478-548):
+
+* total context budget: ``cut_off_length = max_target_positions // 2 - 1``;
+* detected-keyword tokens get at most ``(cut_off_length * 3) // 4 - 1``
+  of it when also conditioning on previous text, else ``cut_off_length - 1``;
+* previous-segment tokens get what remains
+  (``cut_off_length - len(keywords) - 1``);
+* both are trimmed to their LAST ``cut_off`` tokens and LEFT-padded to the
+  batch max (HF ``_pad_to_max_length(padding='left')``);
+* when any context exists the final ids are
+  ``[<|startofprev|>, keywords, prev, *init_tokens]`` and an attention mask
+  marks non-pad positions; otherwise just ``init_tokens``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def pad_to_max_length(
+    sequences: Sequence[Sequence[int]],
+    pad_token_id: int,
+    padding: str = "left",
+    bos_token: Optional[int] = None,
+    cut_off_length: Optional[int] = None,
+) -> np.ndarray:
+    """HF ``_pad_to_max_length`` over plain token-id lists."""
+    items: List[List[int]] = []
+    for seq in sequences:
+        seq = list(seq)
+        if cut_off_length is not None:
+            seq = seq[-cut_off_length:]
+        if bos_token is not None:
+            seq = [bos_token] + seq
+        items.append(seq)
+    max_len = max((len(s) for s in items), default=0)
+    out = np.full((len(items), max_len), pad_token_id, dtype=np.int64)
+    for i, seq in enumerate(items):
+        if not seq:
+            continue
+        if padding == "left":
+            out[i, max_len - len(seq):] = seq
+        else:
+            out[i, : len(seq)] = seq
+    return out
+
+
+def prepare_decoder_input_ids(
+    init_tokens: Sequence[int],
+    keywords_tokens: Sequence[Sequence[int]],
+    prev_tokens_per_batch: Optional[Sequence[Optional[Sequence[int]]]],
+    condition_on_prev: bool,
+    max_target_positions: int,
+    pad_token_id: int,
+    prev_sot_token_id: Optional[int],
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Returns (decoder_input_ids [B, T], attention_mask [B, T] or None).
+
+    ``prev_tokens_per_batch[i]`` is the concatenated token ids of all previous
+    segments for batch row i (None for rows not conditioning), or None/empty
+    when there is no history yet.
+    """
+    cur_bsz = len(keywords_tokens)
+    cut_off_length = max_target_positions // 2 - 1
+    init = np.tile(np.asarray(list(init_tokens), dtype=np.int64)[None, :], (cur_bsz, 1))
+
+    any_kw = any(len(t) > 0 for t in keywords_tokens)
+    has_prev = (
+        condition_on_prev
+        and prev_tokens_per_batch is not None
+        and any(p is not None and len(p) > 0 for p in prev_tokens_per_batch)
+    )
+
+    if condition_on_prev and any_kw:
+        cut_off_length_keywords = (cut_off_length * 3) // 4 - 1
+        kw = pad_to_max_length(
+            keywords_tokens, pad_token_id, padding="left", cut_off_length=cut_off_length_keywords
+        )
+    elif any_kw:
+        cut_off_length_keywords = cut_off_length - 1
+        kw = pad_to_max_length(
+            keywords_tokens, pad_token_id, padding="left", cut_off_length=cut_off_length_keywords
+        )
+    else:
+        kw = np.zeros((cur_bsz, 0), dtype=np.int64)
+
+    if has_prev:
+        active = [list(p) if p is not None else [] for p in prev_tokens_per_batch]
+        prev = pad_to_max_length(
+            active,
+            pad_token_id,
+            padding="left",
+            cut_off_length=cut_off_length - kw.shape[1] - 1,
+        )
+    else:
+        prev = np.zeros((cur_bsz, 0), dtype=np.int64)
+
+    if kw.shape[1] > 0 or prev.shape[1] > 0:
+        if prev_sot_token_id is not None:
+            bos = np.full((cur_bsz, 1), prev_sot_token_id, dtype=np.int64)
+        else:  # no <|startofprev|> in the vocab/config: omit it (HF does too)
+            bos = np.zeros((cur_bsz, 0), dtype=np.int64)
+        ids = np.concatenate([bos, kw, prev, init], axis=1)
+        attention_mask = (ids != pad_token_id).astype(np.int64)
+        return ids, attention_mask
+    return init, None
+
+
+def strip_prompt(sequences: np.ndarray, prompt_len: int) -> np.ndarray:
+    """Shortform output strips the injected prompt
+    (src/model/pba_whisper.py:338)."""
+    return sequences[:, prompt_len:]

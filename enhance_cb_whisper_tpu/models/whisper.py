@@ -321,9 +321,9 @@ def decoder_forward(
     b, t = input_ids.shape
     offset = cache["index"] if cache is not None else 0
 
-    tok = p["embed_tokens"]["weight"][input_ids].astype(dtype)
+    tok = jnp.asarray(p["embed_tokens"]["weight"])[input_ids].astype(dtype)
     positions = jax.lax.dynamic_slice_in_dim(
-        p["embed_positions"]["weight"], offset, t, axis=0
+        jnp.asarray(p["embed_positions"]["weight"]), offset, t, axis=0
     ).astype(dtype)
     x = tok + positions[None]
 

@@ -1,0 +1,151 @@
+"""Golden-parity: jit beam/greedy decode + longform driver vs HF generate
+on a tiny random Whisper (the engine under src/model/pba_whisper.py)."""
+
+import numpy as np
+import pytest
+import torch
+
+from enhance_cb_whisper_tpu.decoding import GenerationOptions, WhisperGenerator
+from enhance_cb_whisper_tpu.decoding.beam import beam_search, greedy_search
+from enhance_cb_whisper_tpu.decoding.logits_process import LogitsProcessorConfig
+from enhance_cb_whisper_tpu.models.whisper import WhisperConfig
+from enhance_cb_whisper_tpu.models.whisper_loader import load_hf_whisper
+
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    hf_config = transformers.WhisperConfig(
+        vocab_size=128,
+        num_mel_bins=8,
+        d_model=32,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=64,
+        decoder_ffn_dim=64,
+        max_source_positions=24,
+        max_target_positions=40,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        decoder_start_token_id=3,
+        suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    torch.manual_seed(0)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    gen = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+    return hf, config, params, gen
+
+
+def _opts(**kw):
+    base = dict(
+        decoder_start_token_id=3,
+        language_token_id=None,
+        task_token_id=None,
+        no_timestamps_token_id=100,
+        prev_sot_token_id=None,
+        eos_token_id=2,
+        pad_token_id=0,
+        suppress_tokens=(),
+        begin_suppress_tokens=(),
+        max_target_positions=40,
+    )
+    base.update(kw)
+    return GenerationOptions(**base)
+
+
+def _hf_generate(hf, mel, prompt, num_beams, max_length):
+    gc = transformers.GenerationConfig(
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        max_length=max_length,
+    )
+    from transformers.generation import GenerationMixin
+
+    with torch.no_grad():
+        out = GenerationMixin.generate(
+            hf,
+            torch.from_numpy(mel),
+            generation_config=gc,
+            decoder_input_ids=torch.tensor(prompt),
+            num_beams=num_beams,
+            do_sample=False,
+        )
+    return out.numpy()
+
+
+
+
+@pytest.mark.parametrize("num_beams", [1, 5])
+@pytest.mark.parametrize("prompt", [[[3, 4]], [[9, 5, 6, 7, 3, 4]]])
+def test_decode_matches_hf(tiny, num_beams, prompt):
+    hf, config, params, gen = tiny
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 8, 48), dtype=np.float32)
+
+    gen_len = 12
+    want = _hf_generate(hf, mel, prompt, num_beams, gen_len)
+
+    prompt_np = np.asarray(prompt, dtype=np.int64)
+    total_len = prompt_np.shape[1] + gen_len
+    opts = _opts(num_beams=num_beams, max_target_positions=total_len)
+
+    enc = gen._encode(mel)
+    cross_kv = gen._cross_kv_fn(enc)
+    got, _ = gen._decode_prompted(cross_kv, prompt_np, None, opts, return_timestamps=False)
+
+    # HF pads to its own length; compare the valid region (pad id 0 after eos)
+    want_t = want[0].tolist()
+    got_t = got[0].tolist()[: len(want_t)]
+    assert got_t == want_t, f"\nours: {got_t}\nhf:   {want_t}"
+
+
+def test_longform_matches_hf(tiny):
+    hf, config, params, gen = tiny
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 8, 130), dtype=np.float32)
+
+    gc = hf.generation_config
+    gc.suppress_tokens = None
+    gc.begin_suppress_tokens = None
+    gc.forced_decoder_ids = None
+    gc.no_timestamps_token_id = 100
+    gc.max_initial_timestamp_index = 10
+    gc.max_length = 40
+    with torch.no_grad():
+        want = hf.generate(
+            torch.from_numpy(mel),
+            num_beams=1,
+            do_sample=False,
+            return_timestamps=True,
+            condition_on_prev_tokens=True,
+            return_segments=True,
+        )
+
+    opts = _opts(
+        num_beams=1,
+        return_timestamps=True,
+        condition_on_prev_tokens=True,
+        max_initial_timestamp_index=10,
+        max_target_positions=40,
+    )
+    got = gen.generate(mel, opts, return_segments=True)
+
+    want_seq = want["sequences"][0].numpy().tolist()
+    got_seq = got["sequences"][0].tolist()
+    assert got_seq == want_seq, f"\nours: {got_seq}\nhf:   {want_seq}"
+
+    want_segments = [
+        (round(float(s["start"]), 4), round(float(s["end"]), 4), s["tokens"].numpy().tolist())
+        for s in want["segments"][0]
+    ]
+    got_segments = [
+        (round(float(s["start"]), 4), round(float(s["end"]), 4), s["tokens"])
+        for s in got["segments"][0]
+    ]
+    assert got_segments == want_segments
