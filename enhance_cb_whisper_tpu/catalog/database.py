@@ -1,0 +1,204 @@
+"""Keyword catalog: padded device arrays + one-launch batched scoring.
+
+The reference stores each keyword's hidden-state stack as an individual
+tensor, groups them in python lists of 100 (50 for paper 2), and loops:
+matmul → torchvision resize → ResNet per group per utterance
+(src/model/cb_whisper.py:110-129, src/data/dataset.py:311-317).  Here the
+whole catalog is three padded arrays —
+
+    hs     [N_pad, L, T_k_max, D]   keyword hidden-state stacks
+    frames [N_pad]                  true frame counts
+    mask   [N_pad]                  1 = real, non-ghost keyword
+
+— and scoring is a single jitted launch over all (or a chunk of all)
+keywords.  The variable keyword length → fixed (150, 750) bilinear resize
+is folded into the matmuls: resizing a cosine-similarity matrix along the
+keyword axis is linear in the keyword embeddings, so per-keyword resize
+weight matrices [out_h, T_k_max] (zero-padded columns) reproduce
+torchvision's ``antialias=False`` semantics exactly while keeping every
+shape static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import resize_matrix
+from .store import hidden_states_exist, load_hidden_states
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class KeywordCatalog:
+    keywords: List[str]  # length N (real keywords)
+    hs: np.ndarray  # [N_pad, L, T_k_max, D] zero-padded
+    frames: np.ndarray  # [N_pad] int, true frame count (>=1)
+    mask: np.ndarray  # [N_pad] 1.0 = real non-ghost keyword
+    group_size: int = 100
+
+    @property
+    def num_keywords(self) -> int:
+        return len(self.keywords)
+
+    @property
+    def num_padded(self) -> int:
+        return self.hs.shape[0]
+
+    def num_groups(self) -> int:
+        return (self.num_keywords + self.group_size - 1) // self.group_size
+
+    def group_keywords(self, idx: int) -> List[str]:
+        return self.keywords[idx * self.group_size : (idx + 1) * self.group_size]
+
+    def group_mask(self, idx: int) -> np.ndarray:
+        return self.mask[idx * self.group_size : (idx + 1) * self.group_size]
+
+    # ------------------------------------------------------------ construction
+
+    @classmethod
+    def from_arrays(
+        cls,
+        keywords: Sequence[str],
+        stacks: Sequence[Optional[np.ndarray]],  # each [L, T_k, D] or None (ghost)
+        group_size: int = 100,
+        pad_multiple: int = 8,
+    ) -> "KeywordCatalog":
+        """Ghost keywords (missing caches) get zero features and mask 0,
+        mirroring dataset.py:256-266 (zeros_like the smallest real stack)."""
+        real = [s for s in stacks if s is not None]
+        if not real:
+            raise ValueError("catalog has no keyword hidden states at all")
+        n_layers, _, dim = real[0].shape
+        t_max = max(max(s.shape[1] for s in real), 1)
+        n = len(keywords)
+        n_pad = _round_up(max(n, 1), pad_multiple)
+
+        hs = np.zeros((n_pad, n_layers, t_max, dim), dtype=np.float32)
+        frames = np.ones((n_pad,), dtype=np.int32)
+        mask = np.zeros((n_pad,), dtype=np.float32)
+        smallest = min(real, key=lambda s: s.shape[1])
+        for i, s in enumerate(stacks):
+            if s is None:
+                # ghost: zero features with the smallest real keyword's length
+                frames[i] = smallest.shape[1]
+                continue
+            hs[i, :, : s.shape[1], :] = s
+            frames[i] = s.shape[1]
+            mask[i] = 1.0
+        return cls(list(keywords), hs, frames, mask, group_size)
+
+    @classmethod
+    def from_bin_dir(
+        cls,
+        keywords: Sequence[str],
+        directory: str,
+        group_size: int = 100,
+        suffix: str = ".bin",
+    ) -> "KeywordCatalog":
+        """Load ``{idx:0Nd}.bin``/``.npy`` caches like the reference's
+        keywords-hs layout (dataset.py:251-266)."""
+        zfill = len(str(len(keywords) - 1))
+        stacks: List[Optional[np.ndarray]] = []
+        for idx in range(len(keywords)):
+            path = os.path.join(directory, str(idx).zfill(zfill) + suffix)
+            stacks.append(load_hidden_states(path) if hidden_states_exist(path) else None)
+        return cls.from_arrays(keywords, stacks, group_size)
+
+    # ---------------------------------------------------------------- resize
+
+    def resize_weights(self, out_h: int) -> np.ndarray:
+        """[N_pad, out_h, T_k_max]: per-keyword height-resize matrices
+        (antialias=False), zero-padded to the static frame budget."""
+        w = np.zeros((self.num_padded, out_h, self.hs.shape[2]), dtype=np.float32)
+        for i in range(self.num_padded):
+            t = int(self.frames[i])
+            w[i, :, :t] = resize_matrix(t, out_h, antialias=False)
+        return w
+
+
+def make_catalog_score_fn(
+    kws_apply: Callable,  # (variables, images [G, L, H, W]) -> logits [G, 2]
+    out_size: Tuple[int, int] = (150, 750),
+    chunk: int = 100,
+    precision: str = "highest",
+) -> Callable:
+    """Build the one-launch catalog scorer.
+
+    Returns ``score(variables, catalog_dev, utt_stack, utt_frames) ->
+    probs [N_pad]`` where ``catalog_dev`` is the pytree from
+    :func:`device_put_catalog`.  ``utt_stack`` is [L, T_u, D] (already
+    L2-normalized, zero-padded), ``utt_frames`` the true frame count.
+
+    Pipeline per chunk of ``chunk`` keywords, all inside one jit:
+      1. height-resize keyword stacks via per-keyword weight matrices
+         (einsum, exact torchvision antialias=False semantics);
+      2. width-resize the utterance once;
+      3. cosine-similarity einsum → [chunk, L, out_h, out_w];
+      4. ResNet classifier → P(keyword present).
+
+    The chunk loop is a ``lax.map`` so device memory stays bounded while the
+    whole catalog still scores in a single device program.
+    """
+    out_h, out_w = out_size
+
+    def score(variables, catalog_dev, utt_stack, utt_w):
+        # utt_w: [out_w, T_u] width-resize weights (built host-side per
+        # utterance frame count, zero-padded to T_u static)
+        utt_r = jnp.einsum(
+            "pu,lud->lpd", utt_w, utt_stack, precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [L, out_w, D]
+
+        def chunk_fn(args):
+            kwd_hs, kwd_w = args  # [c, L, T_k, D], [c, out_h, T_k]
+            kwd_r = jnp.einsum(
+                "cok,clkd->clod", kwd_w, kwd_hs, precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # [c, L, out_h, D]
+            sim = jnp.einsum(
+                "clod,lpd->clop", kwd_r, utt_r, precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # [c, L, out_h, out_w]
+            logits = kws_apply(variables, sim)
+            return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+        n_pad = catalog_dev["hs"].shape[0]
+        n_chunks = n_pad // chunk
+        hs = catalog_dev["hs"].reshape(n_chunks, chunk, *catalog_dev["hs"].shape[1:])
+        w = catalog_dev["w"].reshape(n_chunks, chunk, *catalog_dev["w"].shape[1:])
+        probs = jax.lax.map(chunk_fn, (hs, w))
+        return probs.reshape(-1) * catalog_dev["mask"]
+
+    return jax.jit(score)
+
+
+def device_put_catalog(
+    catalog: KeywordCatalog,
+    out_h: int = 150,
+    chunk: int = 100,
+    dtype=jnp.float32,
+) -> dict:
+    """Pad the catalog to a chunk multiple and move it to device."""
+    n_pad = _round_up(catalog.num_padded, chunk)
+    extra = n_pad - catalog.num_padded
+
+    def pad0(x):
+        return np.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
+
+    hs = pad0(catalog.hs)
+    mask = pad0(catalog.mask)
+    w = pad0(catalog.resize_weights(out_h))
+    return {
+        "hs": jnp.asarray(hs, dtype),
+        "w": jnp.asarray(w, dtype),
+        "mask": jnp.asarray(mask, jnp.float32),
+    }
