@@ -1,0 +1,82 @@
+"""Batch collators (re-implementation of src/data/data_collator.py).
+
+:class:`KWSDataCollator` reproduces the reference semantics exactly:
+
+* tts/natural tuples from :class:`ConcatDataset` are flattened in order;
+* ghost keywords (mask 0) get label -100 (ignored by the CE loss);
+* the SHORT edge of every similarity stack is resized (antialias=True,
+  PIL semantics) to max(batch max, 32) — or ``size[0]`` when fixed;
+* the LONG edge is zero-padded to the batch max when ``size`` is None,
+  else resized (antialias=True) to ``size[1]``.
+
+Host-side numpy matmuls via the same weight matrices as the device resize,
+so collator output is bit-consistent with :mod:`..ops.resize`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.resize import resize_matrix
+
+
+def _resize_h(x: np.ndarray, out_h: int) -> np.ndarray:
+    if x.shape[1] == out_h:
+        return x
+    w = resize_matrix(x.shape[1], out_h, antialias=True)
+    return np.einsum("ok,lku->lou", w, x)
+
+
+def _resize_w(x: np.ndarray, out_w: int) -> np.ndarray:
+    if x.shape[2] == out_w:
+        return x
+    w = resize_matrix(x.shape[2], out_w, antialias=True)
+    return np.einsum("pu,lku->lkp", w, x)
+
+
+class KWSDataCollator:
+    def __init__(self, size: Optional[Tuple[int, int]] = None):
+        assert size is None or (len(size) == 2 and all(i >= 32 for i in size)), (
+            "provide a valid size for the input features of the KWS model"
+        )
+        self.size = tuple(size) if size is not None else None
+
+    def __call__(self, features: List) -> dict:
+        if isinstance(features[0], tuple):  # tts/natural pairs → flatten
+            features = [item for pair in features for item in pair]
+
+        if self.size is None:
+            short = max(max(f["features"].shape[1] for f in features), 32)
+            long = max(max(f["features"].shape[2] for f in features), 32)
+        else:
+            short, long = self.size
+
+        resized = [_resize_h(f["features"].astype(np.float32), short) for f in features]
+        if self.size is None:
+            padded = []
+            for t in resized:
+                pad = long - t.shape[2]
+                padded.append(np.pad(t, ((0, 0), (0, 0), (0, pad))))
+            batch_features = np.stack(padded)
+        else:
+            batch_features = np.stack([_resize_w(t, long) for t in resized])
+
+        batch = {
+            "features": batch_features,
+            "labels": np.asarray(
+                [f["label"] if f.get("mask", 1) == 1 else -100 for f in features],
+                dtype=np.int64,
+            ),
+        }
+        if features[0].get("domain", None) is not None:
+            batch["domain"] = np.asarray([f["domain"] for f in features], dtype=np.int64)
+        return batch
+
+
+class HotwordDataCollator:
+    """Eval batch size is one utterance (data_collator.py:62-65)."""
+
+    def __call__(self, features: List) -> dict:
+        return features[0]

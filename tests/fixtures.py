@@ -1,0 +1,90 @@
+"""Synthetic on-disk dataset fixtures mirroring the reference layout
+(datasets/*/build.sh output): tiny random hidden-state caches + metadata."""
+
+import os
+
+import numpy as np
+
+from enhance_cb_whisper_tpu.catalog.store import save_hidden_states
+
+N_LAYERS = 3
+DIM = 8
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def make_aishell_kws(root, n_keywords=6, n_utts=4, ghost=(4,), seed=0):
+    """root/kws/{keywords.txt, positives.tsv, hs/, keywords-hs/{tts,natural}/}"""
+    rng = np.random.default_rng(seed)
+    kws_dir = os.path.join(root, "kws")
+    os.makedirs(os.path.join(kws_dir, "hs"), exist_ok=True)
+    keywords = [f"kw{i:02d}" for i in range(n_keywords)]
+    with open(os.path.join(kws_dir, "keywords.txt"), "w") as f:
+        f.write("\n".join(keywords) + "\n")
+
+    for kw_type in ("tts", "natural"):
+        d = os.path.join(kws_dir, "keywords-hs", kw_type)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_keywords):
+            if i in ghost:
+                continue
+            t = int(rng.integers(2, 6))
+            save_hidden_states(
+                os.path.join(d, f"{i}.npy"),
+                _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+            )
+
+    lines = []
+    positives_per_utt = {}
+    kw_rev = sorted(keywords, key=lambda x: x[::-1])
+    for u in range(n_utts):
+        code = f"UTT{u:03d}"
+        t = int(rng.integers(10, 20))
+        save_hidden_states(
+            os.path.join(kws_dir, "hs", f"{code}.npy"),
+            _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+        )
+        pos = sorted(rng.choice(n_keywords, size=2, replace=False).tolist())
+        positives_per_utt[code] = pos
+        parts = [code]
+        for p in pos:
+            parts += [keywords[p], str(p), str(kw_rev.index(keywords[p]))]
+        lines.append("\t".join(parts))
+    with open(os.path.join(kws_dir, "positives.tsv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return keywords, positives_per_utt
+
+
+def make_aishell_hotword(root, n_hotwords=5, n_utts=3, ghost=(3,), seed=1):
+    """root/hotword/dev/{hotword.txt, text, hs/, keywords-hs/natural/}"""
+    rng = np.random.default_rng(seed)
+    split_dir = os.path.join(root, "hotword", "dev")
+    os.makedirs(os.path.join(split_dir, "hs"), exist_ok=True)
+    hotwords = [f"词{i}" for i in range(n_hotwords)]
+    with open(os.path.join(split_dir, "hotword.txt"), "w") as f:
+        f.write("\n".join(hotwords) + "\n")
+    d = os.path.join(split_dir, "keywords-hs", "natural")
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_hotwords):
+        if i in ghost:
+            continue
+        t = int(rng.integers(2, 6))
+        save_hidden_states(
+            os.path.join(d, f"{i}.npy"),
+            _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+        )
+    lines = []
+    for u in range(n_utts):
+        code = f"BAC009S{u:04d}W{u:04d}"
+        t = int(rng.integers(10, 20))
+        save_hidden_states(
+            os.path.join(split_dir, "hs", f"{code}.npy"),
+            _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+        )
+        transcript = f"前缀{hotwords[u % n_hotwords]}后缀"
+        lines.append(f"{code} {transcript}")
+    with open(os.path.join(split_dir, "text"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return hotwords
