@@ -169,14 +169,17 @@ def make_catalog_score_fn(
                 preferred_element_type=jnp.float32,
             )  # [c, L, out_h, out_w]
             logits = kws_apply(variables, sim)
-            return jax.nn.softmax(logits, axis=-1)[:, 1]
+            return jax.nn.softmax(logits, axis=-1)[:, 1], logits
 
         n_pad = catalog_dev["hs"].shape[0]
         n_chunks = n_pad // chunk
         hs = catalog_dev["hs"].reshape(n_chunks, chunk, *catalog_dev["hs"].shape[1:])
         w = catalog_dev["w"].reshape(n_chunks, chunk, *catalog_dev["w"].shape[1:])
-        probs = jax.lax.map(chunk_fn, (hs, w))
-        return probs.reshape(-1) * catalog_dev["mask"]
+        probs, logits = jax.lax.map(chunk_fn, (hs, w))
+        return (
+            probs.reshape(-1) * catalog_dev["mask"],
+            logits.reshape(-1, logits.shape[-1]),
+        )
 
     return jax.jit(score)
 

@@ -1,0 +1,272 @@
+"""Paper-1 KWS engine: fit / validate / test over the batched catalog path.
+
+Drives what Lightning's Trainer + KWSModel hooks do in the reference:
+
+* ``fit``  — epoch loop over the sampler-driven train loader, one jitted
+  train step per batch, StepLR at epoch boundaries, suppression/beta
+  schedule prints (model.py:95-107), per-epoch validation, three
+  best-checkpoints + final, early stopping (run_CLI.py:17-21);
+* ``validate`` — per validation dataset: score every utterance against the
+  whole keyword catalog in one device launch, then P/R/F1 at threshold 0.5
+  from the PR curve, per-dataloader + averaged + zh/en aggregates
+  (model.py:236-307);
+* ``test``  — same scoring + speaker-conditioned 1000-bootstrap CIs printed
+  as a pandas-style table (model.py:347-432).
+
+Utterance frame counts vary, so utterance stacks are padded into shape
+buckets; the width-resize weight matrix is zero-padded alongside, making
+padding mathematically invisible (weights of pad columns are 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..catalog.database import device_put_catalog, make_catalog_score_fn
+from ..metrics import evaluate_with_conf_int, prf_at_threshold
+from ..models.kws import KWSModel
+from ..models.resnet import ResNetConfig
+from ..ops.resize import resize_matrix
+from ..train.kws_train import (
+    KWSTrainConfig,
+    init_train_state,
+    make_train_step,
+    update_epoch_lr,
+)
+from .checkpoint import CheckpointManager, EarlyStopping
+from .logging import MetricsLogger
+
+
+def _bucket(n: int, step: int = 128, lo: int = 128) -> int:
+    return max(lo, ((n + step - 1) // step) * step)
+
+
+class KWSEngine:
+    def __init__(
+        self,
+        config: KWSTrainConfig,
+        resnet_config: Optional[ResNetConfig] = None,
+        features_size: Tuple[int, int] = (150, 750),
+        seed: int = 123,
+        ckpt_dir: str = "checkpoints/kws",
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.config = config
+        self.resnet_config = resnet_config or ResNetConfig(num_channels=12, num_labels=2)
+        self.features_size = tuple(features_size)
+        self.seed = seed
+        self.ckpt_dir = ckpt_dir
+        self.logger = logger or MetricsLogger()
+
+        self.kws = KWSModel(self.resnet_config)
+
+        def kws_apply(variables, images):
+            return self.kws.apply(variables, images).logits
+
+        self._score_fn = make_catalog_score_fn(
+            kws_apply, out_size=self.features_size, chunk=8
+        )
+        self._catalog_cache: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------------ state
+
+    def init_state(self, sample_shape=None):
+        shape = sample_shape or (self.resnet_config.num_channels, *self.features_size)
+        rng = jax.random.PRNGKey(self.seed)
+        state, (kws, disc, tx) = init_train_state(rng, self.config, self.resnet_config, shape)
+        self._models = (kws, disc, tx)
+        return state
+
+    def variables(self, state) -> dict:
+        return {"params": state.params["kws"], "batch_stats": state.batch_stats["kws"]}
+
+    # ------------------------------------------------------------------- eval
+
+    def _catalog_dev(self, dataset):
+        key = id(dataset)
+        if key not in self._catalog_cache:
+            self._catalog_cache[key] = device_put_catalog(
+                dataset.catalog, out_h=self.features_size[0], chunk=8
+            )
+        return self._catalog_cache[key]
+
+    def score_utterance(self, variables, dataset, utt_hs: np.ndarray):
+        """Probabilities + logits for every catalog keyword vs one utterance."""
+        catalog_dev = self._catalog_dev(dataset)
+        t_u = utt_hs.shape[1]
+        t_pad = _bucket(t_u)
+        utt = np.zeros((utt_hs.shape[0], t_pad, utt_hs.shape[2]), np.float32)
+        utt[:, :t_u] = utt_hs
+        w = np.zeros((self.features_size[1], t_pad), np.float32)
+        w[:, :t_u] = resize_matrix(t_u, self.features_size[1], antialias=False)
+        probs, logits = self._score_fn(
+            variables, catalog_dev, jnp.asarray(utt), jnp.asarray(w)
+        )
+        n = dataset.catalog.num_keywords
+        return np.asarray(probs)[:n], np.asarray(logits)[:n]
+
+    @staticmethod
+    def _ce(logits: np.ndarray, labels: np.ndarray) -> float:
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        return float(-logp[np.arange(len(labels)), labels].mean())
+
+    def _eval_dataset(self, variables, dataset):
+        preds, targets, speakers, losses = [], [], [], []
+        group = dataset.catalog.group_size
+        for idx in range(len(dataset)):
+            item = dataset[idx]
+            probs, logits = self.score_utterance(variables, dataset, item["utt_hs"])
+            labels = np.asarray(item["hotword_labels"])
+            # per-group CE sum, mirroring the reference's group loop loss
+            loss = sum(
+                self._ce(logits[lo : lo + group], labels[lo : lo + group])
+                for lo in range(0, len(labels), group)
+            )
+            preds.append(probs * item["hotword_mask"])
+            targets.append(labels)
+            speakers.append(item.get("speaker"))
+            losses.append(loss)
+        return (
+            np.concatenate(preds),
+            np.concatenate(targets),
+            speakers,
+            float(np.mean(losses)),
+        )
+
+    def validate(self, variables, datamodule) -> Dict[str, float]:
+        loaders = datamodule.val_dataloader()
+        datasets = list(datamodule.val_dataset.values())
+        avg = {k: 0.0 for k in ("val/loss", "metrics/precision", "metrics/recall", "metrics/f1")}
+        zh = {k + "_zh": 0.0 for k in avg}
+        en = {k + "_en": 0.0 for k in avg}
+        out: Dict[str, float] = {}
+        n = len(datasets)
+        for i, dataset in enumerate(datasets):
+            preds, targets, _, loss = self._eval_dataset(variables, dataset)
+            p, r, f1 = prf_at_threshold(preds, targets, 0.5)
+            metrics = {
+                f"val/loss_{i}": loss,
+                f"metrics/precision_{i}": p,
+                f"metrics/recall_{i}": r,
+                f"metrics/f1_{i}": f1,
+            }
+            out.update(metrics)
+            for key in avg:
+                avg[key] += metrics[f"{key}_{i}"] / n
+                if i in (0, 1):
+                    zh[key + "_zh"] += metrics[f"{key}_{i}"] / 2
+                elif i in (2, 3):
+                    en[key + "_en"] += metrics[f"{key}_{i}"] / 2
+        out.update(avg)
+        if n >= 2:
+            out.update(zh)
+        if n >= 4:
+            out.update(en)
+        return out
+
+    def test(self, variables, datamodule) -> Dict[str, float]:
+        datamodule.setup("test")
+        dataset = datamodule.test_dataset
+        preds, targets, speakers, _ = self._eval_dataset(variables, dataset)
+        speaker2id = {s: i for i, s in enumerate(set(speakers))}
+        conditions = np.asarray(
+            [
+                speaker2id[s]
+                for s, n in zip(speakers, [dataset.catalog.num_keywords] * len(speakers))
+                for _ in range(n)
+            ]
+        )
+
+        def at_threshold(which):
+            def f(labels, samples, samples2=None):
+                p, r, f1 = prf_at_threshold(samples, labels, 0.5)
+                return {"p": p, "r": r, "f1": f1}[which]
+
+            return f
+
+        results = {}
+        for name, which in (("Precision", "p"), ("Recall", "r"), ("F1", "f1")):
+            center, (lb, ub) = evaluate_with_conf_int(
+                preds, at_threshold(which), targets, conditions, num_bootstraps=1000, alpha=5
+            )
+            results[name] = center
+            results[f"{name}_LB"] = lb
+            results[f"{name}_UB"] = ub
+
+        try:
+            import pandas as pd
+
+            print(pd.DataFrame([results]))
+        except ImportError:
+            print(results)
+        return results
+
+    # -------------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        datamodule,
+        max_epochs: int = 100,
+        check_val_every_n_epoch: int = 1,
+        early_stopping: Optional[EarlyStopping] = None,
+        monitors: Optional[Dict[str, str]] = None,
+        limit_train_batches: Optional[int] = None,
+    ):
+        datamodule.setup("fit")
+        state = self.init_state()
+        kws, disc, tx = self._models
+        step_fn = make_train_step(self.config, kws, disc, tx)
+        manager = CheckpointManager(
+            self.ckpt_dir,
+            monitors or {"f1_checkpoint": "metrics/f1:max"},
+            hparams=dataclasses.asdict(self.config),
+        )
+        rng = jax.random.PRNGKey(self.seed + 1)
+        params, stats, opt_state = state.params, state.batch_stats, state.opt_state
+
+        global_step = 0
+        for epoch in range(max_epochs):
+            state.epoch = epoch
+            opt_state = update_epoch_lr(self.config, state, opt_state)
+            if self.config.adversarial_training or self.config.entropy:
+                print(f"supression={self.config.suppression(epoch):.2f}")
+            if self.config.adversarial_training:
+                print(f"beta={self.config.beta(epoch):.2f}")
+
+            for b_idx, batch in enumerate(datamodule.train_dataloader()):
+                if limit_train_batches is not None and b_idx >= limit_train_batches:
+                    break
+                params, stats, opt_state, metrics = step_fn(
+                    params,
+                    stats,
+                    opt_state,
+                    {k: jnp.asarray(v) for k, v in batch.items()},
+                    jax.random.fold_in(rng, global_step),
+                    self.config.beta(epoch),
+                    self.config.suppression(epoch),
+                )
+                global_step += 1
+            self.logger.log_metrics(
+                {"train/class_loss": float(metrics["class_loss"])}, step=global_step, epoch=epoch
+            )
+
+            state = dataclasses.replace(state, params=params, batch_stats=stats,
+                                        opt_state=opt_state, epoch=epoch)
+            if (epoch + 1) % check_val_every_n_epoch == 0 and datamodule.val_dataset:
+                self._catalog_cache.clear()
+                val_metrics = self.validate(self.variables(state), datamodule)
+                self.logger.log_metrics(val_metrics, step=global_step, epoch=epoch)
+                manager.step(epoch, val_metrics,
+                             {"params": params, "batch_stats": stats, "epoch": epoch})
+                if early_stopping is not None and early_stopping.step(val_metrics):
+                    print(f"early stopping at epoch {epoch}")
+                    break
+            else:
+                manager.step(epoch, {}, {"params": params, "batch_stats": stats, "epoch": epoch})
+        return state

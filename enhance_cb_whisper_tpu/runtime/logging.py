@@ -1,0 +1,60 @@
+"""Metrics logging: stdout + MLflow-compatible file layout.
+
+The reference logs through MLFlowLogger (configs/train.yaml:9-15).  In the
+zero-egress TPU environment we write the same information locally:
+``<dir>/metrics.jsonl`` (one record per log call: step, epoch, metrics) and
+``params.json``, which an MLflow importer can ingest.  Logging failures are
+swallowed like the reference's NewConnectionError catches
+(src/efficient_kws/model.py:293-294)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricsLogger:
+    def __init__(self, directory: Optional[str] = None, run_name: str = "run",
+                 experiment_name: str = "default", tags: Optional[dict] = None,
+                 verbose: bool = True):
+        self.directory = directory
+        self.verbose = verbose
+        self._fh = None
+        if directory is not None:
+            os.makedirs(directory, exist_ok=True)
+            self._fh = open(os.path.join(directory, "metrics.jsonl"), "a")
+            with open(os.path.join(directory, "run.json"), "w") as f:
+                json.dump(
+                    {"run_name": run_name, "experiment_name": experiment_name,
+                     "tags": tags or {}, "start_time": time.time()},
+                    f,
+                )
+
+    def log_params(self, params: dict) -> None:
+        if self.directory is not None:
+            try:
+                with open(os.path.join(self.directory, "params.json"), "w") as f:
+                    json.dump(params, f, indent=2, default=str)
+            except OSError:
+                pass
+
+    def log_metrics(self, metrics: Dict[str, float], step: Optional[int] = None,
+                    epoch: Optional[int] = None) -> None:
+        record = {"time": time.time(), "step": step, "epoch": epoch,
+                  "metrics": {k: float(v) for k, v in metrics.items()}}
+        if self._fh is not None:
+            try:
+                self._fh.write(json.dumps(record) + "\n")
+                self._fh.flush()
+            except OSError:
+                pass
+        if self.verbose:
+            parts = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+            prefix = f"[epoch {epoch}]" if epoch is not None else ""
+            print(f"{prefix} {parts}")
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()

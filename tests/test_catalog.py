@@ -85,7 +85,9 @@ def test_catalog_scores_match_reference_loop(setup):
     from enhance_cb_whisper_tpu.ops.resize import resize_matrix
 
     utt_w = jnp.asarray(resize_matrix(t_u, OUT[1], antialias=False))
-    probs = np.asarray(score_fn(variables, catalog_dev, jnp.asarray(utt), utt_w))
+    probs, logits = score_fn(variables, catalog_dev, jnp.asarray(utt), utt_w)
+    probs = np.asarray(probs)
+    assert logits.shape[-1] == 2
 
     got = probs[: len(stacks)]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,100 @@
+"""End-to-end mini run of the paper-1 engine: fit 2 epochs on the synthetic
+aishell fixture, validate, test with bootstrap CIs — the `kws.py test` /
+`run_CLI.py fit` slice (SURVEY.md §7 build order step 3-4)."""
+
+import numpy as np
+import pytest
+
+from enhance_cb_whisper_tpu.data import KWSDataMod
+from enhance_cb_whisper_tpu.models import ResNetConfig
+from enhance_cb_whisper_tpu.runtime.checkpoint import EarlyStopping, load_checkpoint
+from enhance_cb_whisper_tpu.runtime.kws_engine import KWSEngine
+from enhance_cb_whisper_tpu.train.kws_train import KWSTrainConfig
+from fixtures import make_aishell_hotword, make_aishell_kws
+
+TINY = ResNetConfig(
+    num_channels=3, embedding_size=8, hidden_sizes=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+    num_labels=2,
+)
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("aishell_e2e")
+    make_aishell_kws(str(root))
+    make_aishell_hotword(str(root))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def datamodule(root):
+    dm = KWSDataMod(
+        batch_size=4,
+        sampling="random",
+        train_info=[{"name": "aishell", "root": root, "kw_type": "natural"}],
+        val_info=[{"name": "aishell", "root": root, "kw_type": "natural"}],
+        test_info={"name": "aishell", "root": root, "kw_type": "natural"},
+        hotwords_per_group=2,
+        features_size=(32, 48),
+        test_split="dev",
+    )
+    return dm
+
+
+def test_fit_validate_test(tmp_path, datamodule):
+    engine = KWSEngine(
+        KWSTrainConfig(learning_rate=1e-3),
+        resnet_config=TINY,
+        features_size=(32, 48),
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    state = engine.fit(
+        datamodule,
+        max_epochs=2,
+        early_stopping=EarlyStopping("metrics/f1", patience=5),
+        limit_train_batches=3,
+    )
+
+    val = engine.validate(engine.variables(state), datamodule)
+    assert "metrics/f1" in val and "metrics/f1_0" in val
+    assert 0.0 <= val["metrics/f1"] <= 1.0
+    assert np.isfinite(val["val/loss"])
+
+    # checkpoints written and loadable
+    ckpt, meta = load_checkpoint(str(tmp_path / "ckpt" / "final"))
+    assert "params" in ckpt and meta["epoch"] == 1
+    best, best_meta = load_checkpoint(str(tmp_path / "ckpt" / "f1_checkpoint"))
+    assert best_meta["monitor"] == "metrics/f1"
+    assert best_meta["hparams"]["learning_rate"] == pytest.approx(1e-3)
+
+    # bootstrap-CI test path (reduced bootstraps through the public API is
+    # exercised as-is; 1000 bootstraps over 15 points is fast)
+    results = engine.test(engine.variables(state), datamodule)
+    for key in ("Precision", "Recall", "F1"):
+        assert key in results
+        assert results[f"{key}_LB"] <= results[key] + 1e-9
+        assert results[key] <= results[f"{key}_UB"] + 1e-9
+
+
+def test_scores_match_reference_group_features(datamodule, root):
+    """Catalog-scored probabilities == forwarding the reference's per-group
+    resized matrices through the same model (dataset.item_features parity)."""
+    import jax
+
+    datamodule.setup("validate")
+    dataset = list(datamodule.val_dataset.values())[0]
+    engine = KWSEngine(KWSTrainConfig(), resnet_config=TINY, features_size=(32, 48))
+    state = engine.init_state()
+    variables = engine.variables(state)
+
+    item = dataset[0]
+    probs, _ = engine.score_utterance(variables, dataset, item["utt_hs"])
+
+    want = []
+    for g in range(dataset.catalog.num_groups()):
+        feats = dataset.item_features(0, g)
+        out = engine.kws.apply(variables, feats)
+        want.append(np.asarray(jax.nn.softmax(out.logits, -1))[:, 1])
+    want = np.concatenate(want) * np.asarray(item["hotword_mask"], np.float32)
+    got = probs * np.asarray(item["hotword_mask"], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
