@@ -1,0 +1,139 @@
+"""End-to-end CBWhisper pipeline test on tiny random models: on-the-fly
+keyword spotting → biased prompts → longform/shortform decode → entity
+recall with bootstrap CIs (reference src/model/cb_whisper.py)."""
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from enhance_cb_whisper_tpu.catalog import KeywordCatalog
+from enhance_cb_whisper_tpu.decoding import GenerationOptions
+from enhance_cb_whisper_tpu.models import ResNetConfig
+from enhance_cb_whisper_tpu.models.cb_whisper import CBWhisper, CBWhisperConfig
+from enhance_cb_whisper_tpu.models.kws import KWSModel
+from enhance_cb_whisper_tpu.models.whisper import WhisperConfig
+from enhance_cb_whisper_tpu.models.whisper_loader import load_hf_whisper
+
+transformers = pytest.importorskip("transformers")
+
+N_KW_LAYERS = 2
+OUT = (32, 48)
+
+
+@pytest.fixture(scope="module")
+def cb():
+    hf_config = transformers.WhisperConfig(
+        vocab_size=128, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=40,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(0)
+    hf = transformers.WhisperModel(hf_config)
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+
+    rng = np.random.default_rng(0)
+    keywords = ["alpha", "beta", "gamma"]
+    stacks = [
+        rng.standard_normal((N_KW_LAYERS, rng.integers(2, 6), 32), dtype=np.float32)
+        for _ in keywords
+    ]
+    stacks = [s / np.linalg.norm(s, axis=-1, keepdims=True) for s in stacks]
+    catalog = KeywordCatalog.from_arrays(keywords, stacks, group_size=2)
+
+    kws_cfg = ResNetConfig(
+        num_channels=N_KW_LAYERS, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 1, 1), num_labels=2,
+    )
+    kws = KWSModel(kws_cfg)
+    kws_vars = kws.init(jax.random.PRNGKey(0), np.zeros((1, N_KW_LAYERS, *OUT), np.float32))
+
+    opts = GenerationOptions(
+        decoder_start_token_id=3, language_token_id=None, task_token_id=None,
+        no_timestamps_token_id=100, prev_sot_token_id=99, eos_token_id=2, pad_token_id=0,
+        max_initial_timestamp_index=10, num_beams=2, return_timestamps=True,
+        condition_on_prev_tokens=True, max_target_positions=40,
+    )
+
+    def prompt_ids_fn(text):
+        return [99] + [10 + (ord(c) % 50) for c in text][:6]
+
+    def decode_fn(tokens):
+        return " ".join(f"w{t}" for t in tokens if 4 < t < 99)
+
+    module = CBWhisper(
+        config=CBWhisperConfig(kws_features_size=OUT, keywords_per_group=2),
+        whisper_config=config,
+        whisper_params=params,
+        kws_model=kws,
+        kws_variables=kws_vars,
+        catalog=catalog,
+        generation_options=opts,
+        prompt_ids_fn=prompt_ids_fn,
+        decode_fn=decode_fn,
+        kws_layer_slice=(1, 3),
+    )
+    return module
+
+
+def test_spot_keywords_shapes(cb):
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((2, 8, 48), dtype=np.float32)
+    spotted = cb.spot_keywords(mel)
+    assert len(spotted) == 2
+    for kwds in spotted:
+        assert set(kwds) <= {"alpha", "beta", "gamma"}
+        assert len(kwds) == len(set(kwds))
+
+
+def test_keyword_spotting_prompt_ids(cb):
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, 8, 48), dtype=np.float32)
+    with_prev = cb.keyword_spotting(mel, start_of_prev=True)
+    without = cb.keyword_spotting(mel, start_of_prev=False)
+    assert len(with_prev) == len(without) == 1
+    if with_prev[0]:
+        assert with_prev[0][0] == 99
+        assert without[0] == with_prev[0][1:]
+
+
+def test_oracle_buffer_path(cb):
+    cb.oracle_buffer = ["alpha"]
+    old = cb.config.oracle
+    cb.config.oracle = "gold"
+    ids = cb.keyword_spotting(np.zeros((1, 8, 48), np.float32), start_of_prev=True)
+    cb.config.oracle = old
+    assert ids[0][0] == 99 and len(ids[0]) > 1
+
+
+def test_forward_shortform_and_longform(cb):
+    rng = np.random.default_rng(3)
+    short = cb.forward(rng.standard_normal((1, 8, 48), dtype=np.float32))
+    assert isinstance(short, str)
+    long = cb.forward(rng.standard_normal((1, 8, 130), dtype=np.float32))
+    assert isinstance(long, str)
+
+
+def test_run_test_entity_recall(cb):
+    rng = np.random.default_rng(4)
+    dataset = [
+        {
+            "transcript": "w10 w20 w30",
+            "hotword_labels": np.array([1, 0, 0]),
+            "speaker": f"s{i % 2}",
+            "keywords": [{"mention": "w10", "total_offset": 0, "end_offset": 3}],
+        }
+        for i in range(3)
+    ]
+
+    def mel_fn(item):
+        return rng.standard_normal((1, 8, 48), dtype=np.float32), None
+
+    results = cb.run_test(dataset, mel_fn, num_bootstraps=20)
+    assert 0.0 <= results["Entity Recall"] <= 1.0
+    assert results["Entity Recall LB"] <= results["Entity Recall UB"]
