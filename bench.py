@@ -1,0 +1,137 @@
+"""Benchmark: fused keyword-catalog KWS scoring throughput on TPU.
+
+Measures the flagship hot loop of CB-Whisper — scoring a keyword catalog
+against one utterance's Whisper-encoder hidden-state stack (cosine-sim +
+bilinear resize folded into matmuls + ResNet-50 classification) — at
+whisper-medium dimensions (12 layer slabs, D=1024, 150x750 feature maps,
+the reference's configuration: src/configs/train.yaml:127-129).
+
+Baseline = the reference's per-keyword host loop (torch CPU matmul +
+bilinear interpolate + HF ResNetModel forward, src/data/dataset.py:311-317,
+src/model/model.py:78-93), measured on a small sample and extrapolated
+per-keyword.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_LAYERS = 12
+DIM = 1024
+OUT = (150, 750)
+N_KEYWORDS = 128
+CHUNK = 8
+
+
+def _make_stacks(rng, n):
+    stacks = []
+    for _ in range(n):
+        t = int(rng.integers(4, 40))
+        s = rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)
+        stacks.append(s / np.linalg.norm(s, axis=-1, keepdims=True))
+    return stacks
+
+
+def bench_tpu(stacks, utt):
+    import jax
+    import jax.numpy as jnp
+
+    from enhance_cb_whisper_tpu.catalog import (
+        KeywordCatalog,
+        device_put_catalog,
+        make_catalog_score_fn,
+    )
+    from enhance_cb_whisper_tpu.models import ResNetConfig
+    from enhance_cb_whisper_tpu.models.kws import KWSModel
+    from enhance_cb_whisper_tpu.ops.resize import resize_matrix
+
+    catalog = KeywordCatalog.from_arrays(
+        [f"kw{i}" for i in range(len(stacks))], stacks, group_size=CHUNK
+    )
+    cfg = ResNetConfig(num_channels=N_LAYERS, num_labels=2)  # resnet-50
+    model = KWSModel(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, N_LAYERS, *OUT), np.float32)
+    )
+
+    def kws_apply(v, x):
+        return model.apply(v, x).logits
+
+    score = make_catalog_score_fn(kws_apply, out_size=OUT, chunk=CHUNK)
+    cat_dev = device_put_catalog(catalog, out_h=OUT[0], chunk=CHUNK)
+    utt_j = jnp.asarray(utt)
+    w = jnp.asarray(resize_matrix(utt.shape[1], OUT[1], antialias=False))
+
+    np.asarray(score(variables, cat_dev, utt_j, w)[0])  # compile + execute
+
+    # np.asarray per iteration: a host fetch is the only reliable completion
+    # barrier on this backend (block_until_ready returns early through the
+    # remote relay)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(score(variables, cat_dev, utt_j, w)[0])
+    dt = (time.perf_counter() - t0) / iters
+    return catalog.num_padded / dt  # keywords scored per second
+
+
+def bench_reference_cpu(stacks, utt, n_sample=4):
+    """Reference-style loop: torch matmul + interpolate + HF ResNet per
+    keyword (single keyword per forward, as dataset.py feeds them)."""
+    import torch
+    import torch.nn.functional as F
+    import transformers
+
+    hf_cfg = transformers.ResNetConfig()
+    hf_cfg.num_channels = N_LAYERS
+    model = transformers.ResNetModel(hf_cfg).eval()
+    head = torch.nn.Linear(hf_cfg.hidden_sizes[-1], 2)
+    utt_t = torch.from_numpy(utt)
+
+    def score_one(s):
+        sim = torch.matmul(torch.from_numpy(s), utt_t.transpose(1, 2))
+        resized = F.interpolate(
+            sim[None], size=OUT, mode="bilinear", align_corners=False, antialias=False
+        )
+        with torch.no_grad():
+            pooled = model(resized).pooler_output.flatten(1)
+            return head(pooled).softmax(-1)[:, 1]
+
+    score_one(stacks[0])  # warmup
+    t0 = time.perf_counter()
+    for s in stacks[:n_sample]:
+        score_one(s)
+    dt = (time.perf_counter() - t0) / n_sample
+    return 1.0 / dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    stacks = _make_stacks(rng, N_KEYWORDS)
+    t_u = 750
+    utt = rng.standard_normal((N_LAYERS, t_u, DIM), dtype=np.float32)
+    utt /= np.linalg.norm(utt, axis=-1, keepdims=True)
+
+    ours = bench_tpu(stacks, utt)
+    try:
+        baseline = bench_reference_cpu(stacks, utt)
+    except Exception:
+        baseline = None
+
+    print(
+        json.dumps(
+            {
+                "metric": "kws_catalog_keywords_per_sec",
+                "value": round(ours, 2),
+                "unit": "keywords/s",
+                "vs_baseline": round(ours / baseline, 2) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,6 +148,67 @@ def sinusoid_positions(length: int, channels: int) -> np.ndarray:
     return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
 
 
+def init_whisper_params(rng: np.random.Generator, config: WhisperConfig) -> Dict[str, Any]:
+    """Random-normal initialized params (for tests/benchmarks; real runs load
+    HF checkpoints via :mod:`.whisper_loader`)."""
+
+    def lin(n_in, n_out, bias=True):
+        p = {"weight": rng.normal(0, 0.02, (n_in, n_out)).astype(np.float32)}
+        if bias:
+            p["bias"] = np.zeros((n_out,), np.float32)
+        return p
+
+    def ln():
+        return {"weight": np.ones((config.d_model,), np.float32),
+                "bias": np.zeros((config.d_model,), np.float32)}
+
+    def attn():
+        d = config.d_model
+        return {
+            "q_proj": lin(d, d),
+            "k_proj": lin(d, d, bias=False),
+            "v_proj": lin(d, d),
+            "out_proj": lin(d, d),
+        }
+
+    def enc_layer():
+        return {
+            "self_attn": attn(),
+            "self_attn_layer_norm": ln(),
+            "fc1": lin(config.d_model, config.encoder_ffn_dim),
+            "fc2": lin(config.encoder_ffn_dim, config.d_model),
+            "final_layer_norm": ln(),
+        }
+
+    def dec_layer():
+        return {
+            **enc_layer(),
+            "fc1": lin(config.d_model, config.decoder_ffn_dim),
+            "fc2": lin(config.decoder_ffn_dim, config.d_model),
+            "encoder_attn": attn(),
+            "encoder_attn_layer_norm": ln(),
+        }
+
+    d = config.d_model
+    return {
+        "encoder": {
+            "conv1": {"weight": rng.normal(0, 0.02, (3, config.num_mel_bins, d)).astype(np.float32),
+                      "bias": np.zeros((d,), np.float32)},
+            "conv2": {"weight": rng.normal(0, 0.02, (3, d, d)).astype(np.float32),
+                      "bias": np.zeros((d,), np.float32)},
+            "embed_positions": {"weight": sinusoid_positions(config.max_source_positions, d)},
+            "layer_norm": ln(),
+            "layers": [enc_layer() for _ in range(config.encoder_layers)],
+        },
+        "decoder": {
+            "embed_tokens": {"weight": rng.normal(0, 0.02, (config.vocab_size, d)).astype(np.float32)},
+            "embed_positions": {"weight": rng.normal(0, 0.02, (config.max_target_positions, d)).astype(np.float32)},
+            "layer_norm": ln(),
+            "layers": [dec_layer() for _ in range(config.decoder_layers)],
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # encoder
 

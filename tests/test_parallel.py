@@ -1,0 +1,135 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: DP train step, sharded
+catalog scoring, and TP Whisper encoder must match single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhance_cb_whisper_tpu.models import ResNetConfig
+from enhance_cb_whisper_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_catalog,
+    whisper_param_sharding,
+)
+from enhance_cb_whisper_tpu.parallel.sharding import device_put_with_specs
+from enhance_cb_whisper_tpu.train.kws_train import (
+    KWSTrainConfig,
+    init_train_state,
+    make_train_step,
+)
+
+TINY = ResNetConfig(
+    num_channels=3, embedding_size=8, hidden_sizes=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+    num_labels=2,
+)
+
+
+def test_mesh_construction():
+    mesh = make_mesh({"data": 4, "model": 2})
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert make_mesh().shape["data"] == len(jax.devices())
+
+
+def test_dp_train_step_matches_single_device():
+    config = KWSTrainConfig(num_domains=4, learning_rate=1e-3)
+    rng = jax.random.PRNGKey(0)
+    state, (kws, disc, tx) = init_train_state(rng, config, TINY, (3, 32, 32))
+    step = make_train_step(config, kws, disc, tx)
+
+    nprng = np.random.default_rng(0)
+    batch = {
+        "features": nprng.standard_normal((8, 3, 32, 32), dtype=np.float32),
+        "labels": nprng.integers(0, 2, 8),
+        "domain": nprng.integers(0, 4, 8),
+    }
+    srng = jax.random.fold_in(rng, 1)
+
+    p1, s1, o1, m1 = step(state.params, state.batch_stats, state.opt_state,
+                          {k: jnp.asarray(v) for k, v in batch.items()}, srng, 0.0, 0.0)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    with mesh:
+        sharded = make_sharded_train_step(step, mesh)
+        p2, s2, o2, m2 = sharded(state.params, state.batch_stats, state.opt_state,
+                                 {k: jnp.asarray(v) for k, v in batch.items()}, srng, 0.0, 0.0)
+
+    np.testing.assert_allclose(float(m1["class_loss"]), float(m2["class_loss"]), rtol=1e-5)
+    k1 = np.asarray(p1["kws"]["model"]["classifier"]["kernel"])
+    k2 = np.asarray(p2["kws"]["model"]["classifier"]["kernel"])
+    np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_catalog_scoring_matches():
+    from enhance_cb_whisper_tpu.catalog import (
+        KeywordCatalog,
+        device_put_catalog,
+        make_catalog_score_fn,
+    )
+    from enhance_cb_whisper_tpu.models.kws import KWSModel
+    from enhance_cb_whisper_tpu.ops.resize import resize_matrix
+
+    rng = np.random.default_rng(0)
+    stacks = [
+        rng.standard_normal((3, int(rng.integers(2, 7)), 16), dtype=np.float32)
+        for _ in range(16)
+    ]
+    catalog = KeywordCatalog.from_arrays([f"k{i}" for i in range(16)], stacks, group_size=8)
+    model = KWSModel(TINY)
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, 3, 32, 48), np.float32))
+
+    def kws_apply(v, x):
+        return model.apply(v, x).logits
+
+    score = make_catalog_score_fn(kws_apply, out_size=(32, 48), chunk=8)
+    cat_dev = device_put_catalog(catalog, out_h=32, chunk=8)
+    utt = rng.standard_normal((3, 20, 16), dtype=np.float32)
+    utt /= np.linalg.norm(utt, axis=-1, keepdims=True)
+    w = jnp.asarray(resize_matrix(20, 48, antialias=False))
+
+    probs_single, _ = score(variables, cat_dev, jnp.asarray(utt), w)
+
+    mesh = make_mesh({"data": 1, "model": 8})
+    with mesh:
+        cat_sharded = shard_catalog(cat_dev, mesh, axis="model")
+        probs_sharded, _ = score(variables, cat_sharded, jnp.asarray(utt), w)
+
+    np.testing.assert_allclose(
+        np.asarray(probs_single), np.asarray(probs_sharded), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_tp_whisper_encoder_matches():
+    from enhance_cb_whisper_tpu.models.whisper import WhisperConfig, encoder_forward
+
+    pytest.importorskip("transformers")
+    import torch
+    import transformers
+
+    from enhance_cb_whisper_tpu.models.whisper_loader import load_hf_whisper
+
+    hf_config = transformers.WhisperConfig(
+        vocab_size=64, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=16, max_target_positions=16,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(0)
+    hf = transformers.WhisperModel(hf_config)
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+
+    mel = np.random.default_rng(0).standard_normal((2, 8, 32), dtype=np.float32)
+    want, _ = encoder_forward(params, mel, config)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    with mesh:
+        shardings = whisper_param_sharding(params, mesh)
+        params_tp = device_put_with_specs(params, shardings)
+        got, _ = jax.jit(lambda p, m: encoder_forward(p, m, config))(params_tp, mel)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
