@@ -1,0 +1,166 @@
+"""Paper-2 KWS model: L / LE / LEF projection variants (flax).
+
+Re-implementation of ``src/efficient_kws/model.py:18-221``:
+
+* **L** (``learn_features=False``): eps-stabilized cosine-similarity
+  matrices over the raw Whisper embeddings, one channel per layer, fed to a
+  configurable ResNet (18/34/50);
+* **LE** (``proj_mlp=True``): a per-layer MLP
+  ``Linear(D, D/2) → ReLU → Linear(D/2, proj_mlp_units)`` projects both
+  sides before the similarity (model.py:92-104);
+* **LEF** (``frames_conv=True``): additionally a per-layer temporal
+  ``Conv1d(U, U, k=3, s=1, p=1) → BatchNorm1d → MaxPool1d(k=3, s=2, p=1)``
+  halves the frame axis (model.py:107-124).
+
+Masking: padded frames are zeroed via
+``sim * utt_mask[:, :, None, :] * kwd_mask[:, :, :, None]``
+(model.py:187-191).  NOTE: the reference passes full-length masks into the
+LEF path, where the frame axes have been halved — the shipped code raises a
+broadcast error (verified empirically).  Here LEF masks are max-pooled with
+the same (k=3, s=2, p=1) window, the semantically faithful repair: a pooled
+frame is valid iff any frame in its window was.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.resnet import ResNet, ResNetConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class EfficientKWSConfig:
+    """Mirror of the reference hyperparameters (model.py:19-58)."""
+
+    n_layers: int = 3
+    embedding_dim: int = 1024
+    learn_features: bool = False
+    proj_mlp: bool = False
+    proj_mlp_units: int = 64
+    frames_conv: bool = False
+    resnet_version: str = "resnet-50"
+    threshold: float = 0.5
+
+    def resnet_config(self) -> ResNetConfig:
+        return ResNetConfig.from_version(self.resnet_version, self.n_layers, 2)
+
+
+class PerLayerMLP(nn.Module):
+    embedding_dim: int
+    units: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, L, T, D] -> [B, L, T, units]
+        outs = []
+        for i in range(self.n_layers):
+            h = nn.Dense(self.embedding_dim // 2, name=f"proj_{i}_0")(x[:, i])
+            h = nn.relu(h)
+            h = nn.Dense(self.units, name=f"proj_{i}_1")(h)
+            outs.append(h)
+        return jnp.stack(outs, axis=1)
+
+
+class PerLayerTimeConv(nn.Module):
+    units: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # [B, L, T, U] -> [B, L, ceil(T/2), U]
+        outs = []
+        for i in range(self.n_layers):
+            h = nn.Conv(
+                self.units, (3,), strides=(1,), padding=[(1, 1)], name=f"conv_{i}"
+            )(x[:, i])
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"bn_{i}",
+            )(h)
+            h = nn.max_pool(h, (3,), strides=(2,), padding=[(1, 1)])
+            outs.append(h)
+        return jnp.stack(outs, axis=1)
+
+
+def sim_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """model.py:210-218 (norms clamped at eps)."""
+    a_n = jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b_n = jnp.linalg.norm(b, axis=-1, keepdims=True)
+    a = a / jnp.maximum(a_n, eps)
+    b = b / jnp.maximum(b_n, eps)
+    return jnp.einsum("...ud,...kd->...uk", a, b, precision="highest",
+                      preferred_element_type=jnp.float32)
+
+
+def _pool_mask(mask: jax.Array) -> jax.Array:
+    """Max-pool [B, L, T] masks with (k=3, s=2, p=1), matching the LEF
+    frame halving."""
+    b, l, t = mask.shape
+    return nn.max_pool(
+        mask.reshape(b * l, t, 1), (3,), strides=(2,), padding=[(1, 1)]
+    ).reshape(b, l, -1)
+
+
+class EfficientKWSModel(nn.Module):
+    config: EfficientKWSConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.model = ResNet(cfg.resnet_config(), dtype=self.dtype)
+        self.classifier = nn.Dense(2, name="classifier")
+        if cfg.learn_features and cfg.proj_mlp:
+            self.projector = PerLayerMLP(cfg.embedding_dim, cfg.proj_mlp_units, cfg.n_layers)
+            if cfg.frames_conv:
+                self.time_projector = PerLayerTimeConv(cfg.proj_mlp_units, cfg.n_layers)
+
+    def __call__(
+        self,
+        kwd_features: jax.Array,  # [B, L, T_k, D]
+        utt_features: jax.Array,  # [B_u, L, T_u, D] (B_u may be 1 at eval)
+        kwd_mask: Optional[jax.Array] = None,  # [B, L, T_k]
+        utt_mask: Optional[jax.Array] = None,  # [B_u, L, T_u]
+        train: bool = False,
+    ):
+        cfg = self.config
+        if cfg.learn_features and cfg.proj_mlp:
+            kwd = self.projector(kwd_features)
+            utt = self.projector(utt_features)
+            if cfg.frames_conv:
+                kwd = self.time_projector(kwd, train=train)
+                utt = self.time_projector(utt, train=train)
+                if kwd_mask is not None:
+                    kwd_mask = _pool_mask(kwd_mask)
+                if utt_mask is not None:
+                    utt_mask = _pool_mask(utt_mask)
+        else:
+            kwd, utt = kwd_features, utt_features
+
+        n_keywords = kwd.shape[0]
+        if utt.shape[0] == 1 and n_keywords > 1:
+            utt = jnp.broadcast_to(utt, (n_keywords, *utt.shape[1:]))
+            if utt_mask is not None:
+                utt_mask = jnp.broadcast_to(utt_mask, (n_keywords, *utt_mask.shape[1:]))
+
+        # per-layer sim, stacked into channels: [B, L, T_k, T_u]
+        # (reference permutes the [T_u, T_k] bmm output, model.py:174-184)
+        sims = jnp.einsum(
+            "blud,blkd->blku",
+            utt / jnp.maximum(jnp.linalg.norm(utt, axis=-1, keepdims=True), 1e-6),
+            kwd / jnp.maximum(jnp.linalg.norm(kwd, axis=-1, keepdims=True), 1e-6),
+            precision="highest",
+            preferred_element_type=jnp.float32,
+        )
+
+        if utt_mask is not None:
+            sims = sims * utt_mask[:, :, None, :]
+        if kwd_mask is not None:
+            sims = sims * kwd_mask[:, :, :, None]
+
+        pooled = self.model(sims, train=train)
+        logits = self.classifier(pooled)
+        return logits, sims
