@@ -1,0 +1,414 @@
+"""Paper-2 engine: train / validate / test for the L/LE/LEF models.
+
+Drives what Lightning does around ``efficient_kws.KWSModel``:
+
+* training (model.py:226-296): CE on raw-embedding batches (ghost keywords
+  labeled -100), tts/natural coin flip for ``kw_type='all'``; AdamW with
+  separate param groups for the ResNet vs the projectors
+  (``learning_rate`` / ``learning_rate_sru``) + cosine annealing
+  (model.py:684-740);
+* validation (model.py:304-667): per (language x kw_type) dataloader, per
+  utterance, per group-of-50 scoring; best-F operating point via
+  ``5PR/(4P+R)`` search; recall@{1,10,20,50,100,200}; per-language
+  aggregates; ``prcurve_{i}.json`` + ``thresdict.json`` dumps next to the
+  checkpoint dir;
+* test (model.py:748-929): P/R/F1 at the configured operating ``threshold``
+  with speaker-conditioned bootstrap CIs; ``pr_data_{dataset}.json`` dump.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..metrics import (
+    binary_pr_curve,
+    evaluate_with_conf_int,
+    find_best_threshold_idx,
+    operating_point,
+    recall_at_k,
+)
+from ..models.kws import cross_entropy
+from ..runtime.checkpoint import CheckpointManager, EarlyStopping
+from ..runtime.logging import MetricsLogger
+from ..train.optim import cosine_lr, make_adam, make_multi_optimizer, set_learning_rate
+from .model import EfficientKWSConfig, EfficientKWSModel
+
+RECALL_KS = (1, 10, 20, 50, 100, 200)
+
+
+@dataclasses.dataclass(frozen=True)
+class EfficientTrainConfig:
+    kw_type: str = "tts"
+    kw_p: float = 0.5
+    learning_rate: float = 1e-4
+    learning_rate_sru: float = 1e-4
+    weight_decay: float = 0.0
+    beta_1: float = 0.9
+    beta_2: float = 0.99
+    max_epochs: int = 200
+    threshold: float = 0.5
+
+
+class EfficientKWSEngine:
+    def __init__(
+        self,
+        model_config: EfficientKWSConfig,
+        train_config: EfficientTrainConfig = EfficientTrainConfig(),
+        seed: int = 123,
+        ckpt_dir: str = "checkpoints/efficient_kws",
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.model_config = model_config
+        self.train_config = train_config
+        self.seed = seed
+        self.ckpt_dir = ckpt_dir
+        self.logger = logger or MetricsLogger()
+        self.model = EfficientKWSModel(model_config)
+
+        @jax.jit
+        def _score_group(variables, kwd, utt, kwd_mask, utt_mask):
+            logits, _ = self.model.apply(
+                variables, kwd, utt, kwd_mask=kwd_mask, utt_mask=utt_mask, train=False
+            )
+            return jax.nn.softmax(logits, -1)[:, 1], logits
+
+        self._score_group = _score_group
+
+    # ----------------------------------------------------------------- init
+
+    def init_state(self, sample: Dict[str, np.ndarray]):
+        rng = jax.random.PRNGKey(self.seed)
+        variables = self.model.init(
+            rng,
+            sample["kwd_features"][:1],
+            sample["utt_features"][:1],
+            sample["kwd_mask"][:1],
+            sample["utt_mask"][:1],
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        tc = self.train_config
+        if self.model_config.proj_mlp:
+            def label_fn(p):
+                return {
+                    k: jax.tree.map(
+                        lambda _: "proj" if k in ("projector", "time_projector") else "resnet", v
+                    )
+                    for k, v in p.items()
+                }
+
+            tx = make_multi_optimizer(
+                label_fn(params),
+                {
+                    "resnet": make_adam(tc.learning_rate, tc.beta_1, tc.beta_2,
+                                        tc.weight_decay, adamw=True),
+                    "proj": make_adam(tc.learning_rate_sru, tc.beta_1, tc.beta_2,
+                                      tc.weight_decay, adamw=True),
+                },
+            )
+        else:
+            tx = make_adam(tc.learning_rate, tc.beta_1, tc.beta_2, tc.weight_decay, adamw=True)
+        opt_state = tx.init(params)
+        self._tx = tx
+        return params, batch_stats, opt_state
+
+    def variables(self, params, batch_stats):
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        return v
+
+    def update_epoch_lr(self, opt_state, epoch: int):
+        tc = self.train_config
+        if self.model_config.proj_mlp:
+            set_learning_rate(
+                opt_state.inner_states["resnet"].inner_state,
+                cosine_lr(tc.learning_rate, tc.max_epochs)(epoch),
+            )
+            set_learning_rate(
+                opt_state.inner_states["proj"].inner_state,
+                cosine_lr(tc.learning_rate_sru, tc.max_epochs)(epoch),
+            )
+        else:
+            set_learning_rate(opt_state, cosine_lr(tc.learning_rate, tc.max_epochs)(epoch))
+        return opt_state
+
+    # ------------------------------------------------------------ train step
+
+    def make_train_step(self):
+        config = self.train_config
+        model = self.model
+        tx = self._tx
+
+        def loss_fn(params, batch_stats, batch, train=True):
+            # the ResNet (and LEF's Conv1d stack) carry BatchNorm stats
+            (logits, _), updated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["kwd_features"], batch["utt_features"],
+                kwd_mask=batch["kwd_mask"], utt_mask=batch["utt_mask"],
+                train=True, mutable=["batch_stats"],
+            )
+            loss = cross_entropy(logits, batch["labels"])
+            return loss, updated["batch_stats"]
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, batch, rng):
+            if config.kw_type == "all":
+                half = batch["labels"].shape[0] // 2
+                pick = jax.random.bernoulli(rng, 1.0 - config.kw_p, (half,)).astype(jnp.int32)
+                sel = 2 * jnp.arange(half) + (1 - pick)
+                batch = {k: v[sel] for k, v in batch.items()}
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, batch
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, {"loss": loss}
+
+        return step
+
+    # ------------------------------------------------------------------ eval
+
+    def _eval_dataset(self, variables, dataset):
+        preds, targets, losses = [], [], []
+        recalls = {k: [] for k in RECALL_KS}
+        speakers = []
+        for idx in range(len(dataset)):
+            item = dataset[idx]
+            utt = item["utt"][None]
+            utt_mask = item["utt_mask"][None]
+            utt_probs, utt_logits = [], []
+            for g in item["groups"]:
+                p, lg = self._score_group(
+                    variables, jnp.asarray(g["kwd"]), jnp.asarray(utt),
+                    jnp.asarray(g["kwd_mask"]), jnp.asarray(utt_mask),
+                )
+                utt_probs.append(np.asarray(p))
+                utt_logits.append(np.asarray(lg))
+            probs = np.concatenate(utt_probs) * np.asarray(item["hotword_mask"])
+            logits = np.concatenate(utt_logits)
+            labels = np.asarray(item["hotword_labels"])
+            losses.append(
+                sum(
+                    self._ce(logits[lo : lo + dataset.keywords_per_group],
+                             labels[lo : lo + dataset.keywords_per_group])
+                    for lo in range(0, len(labels), dataset.keywords_per_group)
+                )
+            )
+            preds.append(probs)
+            targets.append(labels)
+            speakers.append(item.get("speaker"))
+            for k in RECALL_KS:
+                r = recall_at_k(probs, labels, k)
+                if r >= 0:
+                    recalls[k].append(r)
+        return preds, targets, speakers, float(np.mean(losses)), recalls
+
+    @staticmethod
+    def _ce(logits, labels):
+        logits = logits - logits.max(-1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        return float(-logp[np.arange(len(labels)), labels].mean())
+
+    def validate(self, variables, datamodule, dump_dir: Optional[str] = None) -> Dict[str, float]:
+        datasets = list(datamodule.val_dataset.values())
+        n_loaders = len(datasets)
+        is_expanded = any(ds.is_expanded() for ds in datasets)
+        n_languages = max(1, n_loaders // (4 if is_expanded else 2))
+        if n_loaders == 1:
+            n_languages = 1
+
+        out: Dict[str, float] = {}
+        avg_keys = (
+            "metrics/loss", "metrics/precision", "metrics/recall", "metrics/f1",
+            "metrics/recall_at_10", "val/recall_at_1", "val/recall_at_20",
+            "val/recall_at_50", "val/recall_at_100", "val/recall_at_200",
+        )
+        avg = {k: 0.0 for k in avg_keys}
+        lang = {l: {k: 0.0 for k in avg_keys} for l in range(n_languages)}
+        best_thresholds: List[float] = []
+
+        for i, dataset in enumerate(datasets):
+            if dataset.is_expanded():
+                continue
+            preds, targets, _, loss, recalls = self._eval_dataset(variables, dataset)
+            flat_p = np.concatenate(preds)
+            flat_t = np.concatenate(targets)
+            precision, recall, thresholds = binary_pr_curve(flat_p, flat_t)
+            bi = find_best_threshold_idx(precision, recall)
+            best_thresholds.append(
+                float(thresholds[min(bi, len(thresholds) - 1)]) if len(thresholds) else 0.0
+            )
+            p, r = float(precision[bi]), float(recall[bi])
+            f1 = 2 * p * r / (p + r) if (p and r) else 0.0
+            metrics = {
+                f"metrics/loss_{i}": loss,
+                f"metrics/precision_{i}": p,
+                f"metrics/recall_{i}": r,
+                f"metrics/f1_{i}": f1,
+                f"metrics/recall_at_10_{i}": float(np.mean(recalls[10])) if recalls[10] else 0.0,
+            }
+            for k in RECALL_KS:
+                if k != 10:
+                    metrics[f"val/recall_at_{k}_{i}"] = (
+                        float(np.mean(recalls[k])) if recalls[k] else 0.0
+                    )
+            out.update(metrics)
+
+            div = n_loaders // 2 if is_expanded else n_loaders
+            div = 1 if n_loaders == 1 else div
+            l_idx = (i // 2 // 2) if is_expanded else (i // 2)
+            l_idx = min(l_idx, n_languages - 1)
+            for key in avg_keys:
+                mk = f"{key}_{i}"
+                if mk in metrics:
+                    avg[key] += metrics[mk] / div
+                    lang[l_idx][key] += metrics[mk] / (2 if is_expanded else min(4, div * 2) or 1)
+
+            if dump_dir is not None:
+                os.makedirs(dump_dir, exist_ok=True)
+                with open(os.path.join(dump_dir, f"prcurve_{i}.json"), "w") as f:
+                    json.dump(
+                        {
+                            "precision": precision.tolist(),
+                            "recall": recall.tolist(),
+                            "thresholds": thresholds.tolist(),
+                        },
+                        f,
+                    )
+
+        out.update(avg)
+        for l, metrics in lang.items():
+            out.update({f"{k}_l{l}": v for k, v in metrics.items()})
+        if dump_dir is not None:
+            with open(os.path.join(dump_dir, "thresdict.json"), "w") as f:
+                json.dump(best_thresholds, f)
+        return out
+
+    def test(self, variables, datamodule, dump_dir: Optional[str] = None,
+             num_bootstraps: int = 1000) -> Dict[str, float]:
+        datamodule.setup("test")
+        dataset = datamodule.test_dataset
+        preds, targets, speakers, _, _ = self._eval_dataset(variables, dataset)
+        flat_p = np.concatenate(preds)
+        flat_t = np.concatenate(targets)
+        conditions = None
+        if speakers[0] is not None:
+            speaker2id = {s: i for i, s in enumerate(set(speakers))}
+            conditions = np.asarray(
+                [speaker2id[s] for s, p in zip(speakers, preds) for _ in range(len(p))]
+            )
+
+        threshold = self.model_config.threshold
+
+        def metric(which):
+            def f(labels, samples, samples2=None):
+                precision, recall, thresholds = binary_pr_curve(samples, labels)
+                p, r = operating_point(precision, recall, thresholds, threshold)
+                if which == "p":
+                    return p
+                if which == "r":
+                    return r
+                return 2 * p * r / (p + r) if (p and r) else 0.0
+
+            return f
+
+        results = {}
+        for name, which in (("Precision", "p"), ("Recall", "r"), ("F1", "f1")):
+            center, (lb, ub) = evaluate_with_conf_int(
+                flat_p, metric(which), flat_t, conditions,
+                num_bootstraps=num_bootstraps, alpha=5,
+            )
+            results[name] = center
+            results[f"{name}_LB"] = lb
+            results[f"{name}_UB"] = ub
+
+        try:
+            import pandas as pd
+
+            print(pd.DataFrame([results]))
+        except ImportError:
+            print(results)
+
+        if dump_dir is not None:
+            precision, recall, thresholds = binary_pr_curve(flat_p, flat_t)
+            name = (
+                "pr_data_acl6060.json"
+                if "ACL6060" in getattr(dataset, "root", "")
+                else "pr_data_aishell.json"
+            )
+            os.makedirs(dump_dir, exist_ok=True)
+            with open(os.path.join(dump_dir, name), "w") as f:
+                json.dump(
+                    {
+                        "precision": precision.tolist(),
+                        "recall": recall.tolist(),
+                        "thresholds": thresholds.tolist(),
+                    },
+                    f,
+                )
+        return results
+
+    # -------------------------------------------------------------------- fit
+
+    def fit(self, datamodule, max_epochs: Optional[int] = None,
+            early_stopping: Optional[EarlyStopping] = None,
+            monitors: Optional[Dict[str, str]] = None,
+            limit_train_batches: Optional[int] = None):
+        datamodule.setup("fit")
+        max_epochs = max_epochs or self.train_config.max_epochs
+
+        loader = datamodule.train_dataloader()
+        sample = next(iter(loader))
+        params, batch_stats, opt_state = self.init_state(sample)
+        step_fn = self.make_train_step()
+        manager = CheckpointManager(
+            self.ckpt_dir,
+            monitors or {
+                "f1_checkpoint": "metrics/f1:max",
+                "f1_l4_checkpoint": "metrics/f1_l4:max",
+            },
+            hparams={
+                **dataclasses.asdict(self.train_config),
+                **dataclasses.asdict(self.model_config),
+            },
+        )
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        global_step = 0
+        for epoch in range(max_epochs):
+            opt_state = self.update_epoch_lr(opt_state, epoch)
+            for b_idx, batch in enumerate(datamodule.train_dataloader()):
+                if limit_train_batches is not None and b_idx >= limit_train_batches:
+                    break
+                params, batch_stats, opt_state, metrics = step_fn(
+                    params, batch_stats, opt_state,
+                    {k: jnp.asarray(v) for k, v in batch.items()},
+                    jax.random.fold_in(rng, global_step),
+                )
+                global_step += 1
+            self.logger.log_metrics({"train/loss": float(metrics["loss"])},
+                                    step=global_step, epoch=epoch)
+            if getattr(datamodule, "val_dataset", None):
+                val = self.validate(self.variables(params, batch_stats), datamodule,
+                                    dump_dir=self.ckpt_dir)
+                self.logger.log_metrics(val, step=global_step, epoch=epoch)
+                manager.step(epoch, val, {"params": params, "batch_stats": batch_stats,
+                                          "epoch": epoch})
+                if early_stopping is not None and early_stopping.step(val):
+                    print(f"early stopping at epoch {epoch}")
+                    break
+            else:
+                manager.step(epoch, {}, {"params": params, "batch_stats": batch_stats,
+                                         "epoch": epoch})
+        return params, batch_stats

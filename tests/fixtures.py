@@ -88,3 +88,80 @@ def make_aishell_hotword(root, n_hotwords=5, n_utts=3, ghost=(3,), seed=1):
     with open(os.path.join(split_dir, "text"), "w") as f:
         f.write("\n".join(lines) + "\n")
     return hotwords
+
+
+def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
+             ghost=(3,), seed=2, with_dev=True):
+    """MLS layout: root/mls_{lang}_opus/{train,dev}/..."""
+    rng = np.random.default_rng(seed)
+    for lang in languages:
+        base = os.path.join(root, f"mls_{lang.lower()}_opus")
+        train = os.path.join(base, "train")
+        os.makedirs(os.path.join(train, "hs"), exist_ok=True)
+        keywords = [f"{lang[:2].lower()}word{i}" for i in range(n_keywords)]
+        with open(os.path.join(train, "keywords.txt"), "w") as f:
+            f.write("\n".join(keywords) + "\n")
+        for kw_type in ("tts", "natural"):
+            d = os.path.join(train, "keywords-hs", kw_type)
+            os.makedirs(d, exist_ok=True)
+            for i in range(n_keywords):
+                if i in ghost:
+                    continue
+                t = int(rng.integers(2, 6))
+                save_hidden_states(
+                    os.path.join(d, f"{i}.npy"),
+                    _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                )
+        kw_rev = sorted(keywords, key=lambda x: x[::-1])
+        lines = []
+        for u in range(n_utts):
+            code = f"{u}_{u}_{u:06d}"
+            t = int(rng.integers(10, 18))
+            save_hidden_states(
+                os.path.join(train, "hs", f"{code}.npy"),
+                _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+            )
+            pos = sorted(rng.choice([i for i in range(n_keywords) if i not in ghost],
+                                    size=2, replace=False).tolist())
+            parts = [code]
+            for p in pos:
+                parts += [keywords[p], str(p), str(kw_rev.index(keywords[p]))]
+            lines.append("\t".join(parts))
+        with open(os.path.join(train, "positives.tsv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        if with_dev:
+            dev = os.path.join(base, "dev")
+            os.makedirs(os.path.join(dev, "hs"), exist_ok=True)
+            with open(os.path.join(dev, "keywords.txt"), "w") as f:
+                f.write("\n".join(keywords) + "\n")
+            d = os.path.join(dev, "keywords-hs", "natural")
+            os.makedirs(d, exist_ok=True)
+            for i in range(n_keywords):
+                if i in ghost:
+                    continue
+                t = int(rng.integers(2, 6))
+                save_hidden_states(
+                    os.path.join(d, f"{i}.npy"),
+                    _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                )
+            codes, tlines, plines = [], [], []
+            for u in range(n_utts):
+                code = f"{u}_{u}_{u:06d}"
+                codes.append(code)
+                t = int(rng.integers(10, 18))
+                save_hidden_states(
+                    os.path.join(dev, "hs", f"{code}.npy"),
+                    _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                )
+                kw = keywords[u % n_keywords]
+                transcript = f"the {kw} appears"
+                tlines.append(f"{code}\t{transcript}")
+                start = transcript.index(kw)
+                plines.append("\t".join([code, kw, str(start), str(start + len(kw))]))
+            with open(os.path.join(dev, "uttid"), "w") as f:
+                f.write("\n".join(codes) + "\n")
+            with open(os.path.join(dev, "transcripts.txt"), "w") as f:
+                f.write("\n".join(tlines) + "\n")
+            with open(os.path.join(dev, "positives.tsv"), "w") as f:
+                f.write("\n".join(plines) + "\n")

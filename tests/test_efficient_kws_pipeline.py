@@ -1,0 +1,137 @@
+"""End-to-end paper-2 pipeline: MLS train dataset → collator → engine fit →
+per-language validation with best-F search + recall@k + JSON dumps → test at
+the configured threshold (reference src/efficient_kws/*)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from enhance_cb_whisper_tpu.efficient_kws import EfficientKWSConfig
+from enhance_cb_whisper_tpu.efficient_kws.data import (
+    EfficientKWSDataCollator,
+    EfficientKWSDataMod,
+    EfficientMLSKWSDataset,
+    MLSEvaluationDataset,
+)
+from enhance_cb_whisper_tpu.efficient_kws.engine import (
+    EfficientKWSEngine,
+    EfficientTrainConfig,
+)
+from fixtures import make_mls
+
+LANGS = ("English", "German")
+FS = (32, 64)  # tiny features_size
+
+
+@pytest.fixture(scope="module")
+def mls_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mls")
+    make_mls(str(root), languages=LANGS)
+    return str(root)
+
+
+def test_train_dataset_items(mls_root):
+    ds = EfficientMLSKWSDataset(
+        mls_root, languages=LANGS, kw_type="natural", features_size=FS,
+        n_layers=2, n_channels=3, hidden_dim=8,
+    )
+    item = ds[0]
+    assert item["utt_features"].shape == (2, 64, 8)
+    assert item["kwd_features"].shape == (2, 32, 8)
+    assert item["utt_mask"].shape == (2, 64)
+    assert item["kwd_mask"].shape == (2, 32)
+    assert set(np.unique(item["kwd_mask"])) <= {0.0, 1.0}
+    # ghost keyword
+    ghost = ds[3]  # keyword idx 3 of English is ghost
+    assert ghost["mask"] == 0
+
+
+def test_collator_stacks(mls_root):
+    ds = EfficientMLSKWSDataset(
+        mls_root, languages=LANGS, kw_type="natural", features_size=FS,
+        n_layers=2, n_channels=3, hidden_dim=8,
+    )
+    batch = EfficientKWSDataCollator()([ds[0], ds[3]])
+    assert batch["utt_features"].shape == (2, 2, 64, 8)
+    assert batch["labels"][1] == -100
+
+
+def test_eval_dataset_groups(mls_root):
+    ds = MLSEvaluationDataset(
+        mls_root, language="English", kw_type="natural", size=FS,
+        keywords_per_group=2, n_layers=2,
+    )
+    assert not ds.is_expanded()
+    item = ds[0]
+    assert item["utt"].shape == (2, 64, 8)
+    assert len(item["groups"]) == 3
+    assert item["groups"][0]["kwd"].shape == (2, 2, 32, 8)
+    assert item["hotword_labels"].sum() >= 1
+    assert item["hotword_mask"][3] == 0.0
+
+
+@pytest.mark.parametrize("variant", ["L", "LE"])
+def test_engine_fit_validate_test(tmp_path, mls_root, variant):
+    model_config = EfficientKWSConfig(
+        n_layers=2,
+        embedding_dim=8,
+        learn_features=variant != "L",
+        proj_mlp=variant != "L",
+        proj_mlp_units=4,
+        resnet_version="resnet-18",
+        threshold=0.5,
+    )
+    dm = EfficientKWSDataMod(
+        batch_size=4,
+        sampling="random",
+        train_info=[{"name": "mls", "root": mls_root, "kw_type": "natural"}],
+        val_info=[
+            {"language": lang, "root": mls_root, "kw_type": "natural"}
+            for lang in LANGS
+        ],
+        features_size=FS,
+        n_layers=2,
+        keywords_per_group=2,
+        languages=list(LANGS),
+    )
+    engine = EfficientKWSEngine(
+        model_config,
+        EfficientTrainConfig(max_epochs=2),
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    params, batch_stats = engine.fit(dm, max_epochs=1, limit_train_batches=2)
+
+    val = engine.validate(engine.variables(params, batch_stats), dm,
+                          dump_dir=str(tmp_path / "dumps"))
+    assert "metrics/f1" in val
+    assert "metrics/f1_l0" in val
+    assert "val/recall_at_20_0" in val
+    assert os.path.exists(tmp_path / "dumps" / "prcurve_0.json")
+    thres = json.load(open(tmp_path / "dumps" / "thresdict.json"))
+    assert len(thres) == 2
+
+
+def test_lef_train_step_with_batchstats(mls_root):
+    model_config = EfficientKWSConfig(
+        n_layers=2, embedding_dim=8, learn_features=True, proj_mlp=True,
+        proj_mlp_units=4, frames_conv=True, resnet_version="resnet-18",
+    )
+    ds = EfficientMLSKWSDataset(
+        mls_root, languages=LANGS, kw_type="natural", features_size=(64, 64),
+        n_layers=2, n_channels=3, hidden_dim=8,
+    )
+    batch = EfficientKWSDataCollator()([ds[0], ds[1], ds[5], ds[6]])
+    engine = EfficientKWSEngine(model_config, EfficientTrainConfig())
+    params, stats, opt_state = engine.init_state(batch)
+    assert stats  # BatchNorm stats exist for LEF
+    step = engine.make_train_step()
+    import jax
+    import jax.numpy as jnp
+
+    params, stats, opt_state, metrics = step(
+        params, stats, opt_state,
+        {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(metrics["loss"]))
