@@ -1,0 +1,89 @@
+"""Audio front-end tests: WAV decode, native C++ resampler vs scipy, and
+WhisperFeatureExtractor-parity feature prep."""
+
+import wave
+
+import numpy as np
+import pytest
+
+from enhance_cb_whisper_tpu.audio import load_audio_16k, prepare_features, read_wav, resample
+from enhance_cb_whisper_tpu.ops.mel import N_FRAMES, N_SAMPLES
+
+
+def _write_wav(path, data, rate=16000, width=2, channels=1):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            raw = (np.clip(data, -1, 1) * 32767).astype("<i2").tobytes()
+        else:
+            raise NotImplementedError
+        w.writeframes(raw)
+
+
+def test_read_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.uniform(-0.5, 0.5, 1600).astype(np.float32)
+    _write_wav(tmp_path / "a.wav", data)
+    got, sr = read_wav(str(tmp_path / "a.wav"))
+    assert sr == 16000
+    np.testing.assert_allclose(got, data, atol=1e-4)
+
+
+def test_read_wav_stereo_mixdown(tmp_path):
+    t = np.linspace(0, 1, 800, dtype=np.float32)
+    stereo = np.stack([np.sin(2 * np.pi * 5 * t), -np.sin(2 * np.pi * 5 * t)], axis=1)
+    with wave.open(str(tmp_path / "s.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes((stereo * 32767).astype("<i2").tobytes())
+    got, sr = read_wav(str(tmp_path / "s.wav"))
+    assert sr == 8000
+    np.testing.assert_allclose(got, 0.0, atol=1e-3)
+
+
+def test_native_resampler_matches_scipy():
+    pytest.importorskip("scipy")
+    from scipy.signal import resample_poly as scipy_poly
+
+    from enhance_cb_whisper_tpu.audio.native import resample_poly_native
+
+    t = np.arange(44100) / 44100.0
+    # in-band pure tone: any correct anti-aliasing resampler must agree
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    got = resample_poly_native(x, 44100, 16000)
+    want = scipy_poly(x, 160, 441).astype(np.float32)
+    assert got.shape[0] == want.shape[0]
+    # compare away from the edges (different filter lengths ring differently)
+    sl = slice(2000, -2000)
+    err = np.abs(got[sl] - want[sl])
+    assert np.percentile(err, 99) < 2e-3
+    assert np.corrcoef(got[sl], want[sl])[0, 1] > 0.99999
+
+
+def test_resample_identity():
+    x = np.random.default_rng(2).standard_normal(1000).astype(np.float32)
+    assert resample(x, 16000, 16000) is not None
+    np.testing.assert_array_equal(resample(x, 16000, 16000), x)
+
+
+def test_prepare_features_shortform():
+    transformers = pytest.importorskip("transformers")
+    fe = transformers.WhisperFeatureExtractor()
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    feats, mask = prepare_features(audio)
+    want = fe(
+        audio, sampling_rate=16000, return_tensors="np", return_attention_mask=True
+    )
+    assert feats.shape == (1, 80, N_FRAMES)
+    np.testing.assert_allclose(feats[0], want.input_features[0], rtol=1e-4, atol=2e-4)
+
+
+def test_prepare_features_longform():
+    audio = np.zeros(N_SAMPLES + 16000, np.float32)
+    feats, mask = prepare_features(audio)
+    assert feats.shape[-1] > N_FRAMES
+    assert mask.shape[-1] == feats.shape[-1]
