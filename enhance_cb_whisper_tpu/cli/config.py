@@ -1,0 +1,79 @@
+"""YAML config loading with jsonargparse-style dotted overrides.
+
+Keeps the reference's config surface (class_path/init_args blocks,
+``[PLACEHOLDER]`` markers for required user inputs — README.md:79,97,143)
+without Lightning: configs parse to plain nested dicts; engines consume the
+``init_args`` they understand and ignore Lightning-only knobs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+_PLACEHOLDER = re.compile(r"^\[.*\]$")
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _parse_value(text: str) -> Any:
+    return yaml.safe_load(text)
+
+
+def apply_overrides(config: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
+    """``--a.b.c value`` pairs → nested assignment."""
+    i = 0
+    while i < len(overrides):
+        key = overrides[i]
+        assert key.startswith("--"), f"expected --dotted.key, got {key}"
+        key = key[2:]
+        value = _parse_value(overrides[i + 1])
+        node = config
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+        i += 2
+    return config
+
+
+def check_placeholders(config: Any, path: str = "") -> List[str]:
+    """Find remaining [PLACEHOLDER] values the user must fill in."""
+    found = []
+    if isinstance(config, dict):
+        for k, v in config.items():
+            found += check_placeholders(v, f"{path}.{k}" if path else k)
+    elif isinstance(config, list):
+        for i, v in enumerate(config):
+            found += check_placeholders(v, f"{path}[{i}]")
+    elif isinstance(config, str) and _PLACEHOLDER.match(config.strip()):
+        found.append(f"{path} = {config}")
+    return found
+
+
+def get(config: Dict[str, Any], dotted: str, default=None):
+    node = config
+    for part in dotted.split("."):
+        if not isinstance(node, dict) or part not in node:
+            return default
+        node = node[part]
+    return node
+
+
+def filter_kwargs(init_args: Optional[Dict[str, Any]], cls) -> Dict[str, Any]:
+    """Keep only kwargs the dataclass/callable accepts."""
+    import dataclasses
+    import inspect
+
+    if init_args is None:
+        return {}
+    if dataclasses.is_dataclass(cls):
+        names = {f.name for f in dataclasses.fields(cls)}
+    else:
+        names = set(inspect.signature(cls).parameters)
+    return {k: v for k, v in init_args.items() if k in names}

@@ -1,0 +1,334 @@
+"""CLI dispatcher: the reference's four entry points, Lightning-free.
+
+``run_cli(argv)`` implements ``{fit,validate,test} --config cfg.yaml
+[--dotted.key value ...]`` and routes on ``model.class_path``:
+
+* ``model.model.KWSModel``            → paper-1 :class:`KWSEngine`
+* ``efficient_kws.model.KWSModel``    → paper-2 :class:`EfficientKWSEngine`
+* ``model.cb_whisper.CBWhisper``      → CB-Whisper entity-recall evaluation
+
+The reference's ``KWSLightningCLI`` argument links are applied here at
+parse time: model.{sampling,resample_every_epoch,kw_type,batch_size} feed
+the data module (run_CLI.py:9-21), and under adversarial training the batch
+size is multiplied by accumulate_grad_batches so optimizer step == training
+step (run_CLI.py:23-31).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .config import apply_overrides, check_placeholders, filter_kwargs, get, load_config
+
+PAPER1_MODELS = ("model.model.KWSModel", "enhance_cb_whisper_tpu.models.kws.KWSModel")
+PAPER2_MODELS = (
+    "efficient_kws.model.KWSModel",
+    "enhance_cb_whisper_tpu.efficient_kws.model.EfficientKWSModel",
+)
+CBWHISPER_MODELS = (
+    "model.cb_whisper.CBWhisper",
+    "enhance_cb_whisper_tpu.models.cb_whisper.CBWhisper",
+)
+
+
+def _seed_everything(config):
+    seed = config.get("seed_everything", 123)
+    np.random.seed(seed if seed is not True else 123)
+    return seed if seed is not True else 123
+
+
+def _early_stopping(config):
+    from ..runtime.checkpoint import EarlyStopping
+
+    block = config.get("early_stopping")
+    if not block:
+        return None
+    return EarlyStopping(
+        monitor=block.get("monitor", "metrics/f1"),
+        patience=block.get("patience", 10),
+        mode=block.get("mode", "max"),
+        min_delta=block.get("min_delta", 0.0) or 0.0,
+    )
+
+
+def _monitors(config) -> Dict[str, str]:
+    monitors = {}
+    for name in ("f1_checkpoint", "f1_generalization_checkpoint", "f1_l4_checkpoint"):
+        block = config.get(name)
+        if block and block.get("monitor"):
+            monitors[name] = f"{block['monitor']}:{block.get('mode', 'max')}"
+    return monitors or {"f1_checkpoint": "metrics/f1:max"}
+
+
+def _load_kws_variables(ckpt_path: str, resnet_config):
+    """Load KWS classifier weights from either this framework's checkpoint
+    dirs or a reference Lightning .ckpt (state-dict conversion)."""
+    if os.path.isdir(ckpt_path):
+        from ..runtime.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(ckpt_path)
+        return {"params": state["params"]["kws"], "batch_stats": state["batch_stats"]["kws"]}
+    # reference lightning checkpoint
+    import torch
+
+    from ..models.torch_compat import load_hf_resnet_classifier
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    variables = load_hf_resnet_classifier(sd, resnet_config, prefix="model.")
+    return {"params": {"model": variables["params"]}, "batch_stats": {"model": variables["batch_stats"]}}
+
+
+# --------------------------------------------------------------------- paper 1
+
+
+def _run_paper1(subcommand: str, config: Dict[str, Any]):
+    from ..data.datamodule import KWSDataMod
+    from ..models.resnet import ResNetConfig
+    from ..runtime.kws_engine import KWSEngine
+    from ..runtime.logging import MetricsLogger
+    from ..train.kws_train import KWSTrainConfig
+
+    model_args = get(config, "model.init_args", {}) or {}
+    data_args = dict(get(config, "data.init_args", {}) or {})
+
+    # link_arguments (run_CLI.py:9-15)
+    for key in ("sampling", "resample_every_epoch", "kw_type", "batch_size"):
+        if key in model_args:
+            data_args[key] = model_args[key]
+    # adversarial batch-size rewrite (run_CLI.py:23-31)
+    if subcommand == "fit" and model_args.get("adversarial_training"):
+        data_args["batch_size"] = model_args.get("batch_size", 1) * model_args.get(
+            "accumulate_grad_batches", 1
+        )
+
+    train_config = KWSTrainConfig(**filter_kwargs(model_args, KWSTrainConfig))
+    datamodule = KWSDataMod(**filter_kwargs(data_args, KWSDataMod))
+
+    log_dir = get(config, "trainer.default_root_dir") or "runs/kws"
+    engine = KWSEngine(
+        train_config,
+        resnet_config=ResNetConfig(num_channels=12, num_labels=2),
+        features_size=tuple(data_args.get("features_size") or (150, 750)),
+        ckpt_dir=os.path.join(log_dir, "checkpoints"),
+        logger=MetricsLogger(log_dir),
+    )
+
+    if subcommand == "fit":
+        return engine.fit(
+            datamodule,
+            max_epochs=get(config, "trainer.max_epochs") or 100,
+            check_val_every_n_epoch=get(config, "trainer.check_val_every_n_epoch") or 1,
+            early_stopping=_early_stopping(config),
+            monitors=_monitors(config),
+            limit_train_batches=get(config, "trainer.limit_train_batches"),
+        )
+
+    ckpt_path = config.get("ckpt_path")
+    assert ckpt_path, "test/validate requires ckpt_path"
+    variables = _load_kws_variables(ckpt_path, engine.resnet_config)
+    if subcommand == "validate":
+        datamodule.setup("validate")
+        metrics = engine.validate(variables, datamodule)
+        print(metrics)
+        return metrics
+    return engine.test(variables, datamodule)
+
+
+# --------------------------------------------------------------------- paper 2
+
+
+def _run_paper2(subcommand: str, config: Dict[str, Any]):
+    from ..efficient_kws.data import EfficientKWSDataMod
+    from ..efficient_kws.engine import EfficientKWSEngine, EfficientTrainConfig
+    from ..efficient_kws.model import EfficientKWSConfig
+    from ..runtime.logging import MetricsLogger
+
+    model_args = get(config, "model.init_args", {}) or {}
+    data_args = dict(get(config, "data.init_args", {}) or {})
+    # link_arguments (run_efficient_kws.py:13-33)
+    for key in (
+        "n_layers", "sampling", "resample_every_epoch", "batch_size",
+        "features_size", "pad_long_before_resize",
+    ):
+        if key in model_args:
+            data_args[key] = model_args[key]
+
+    model_config = EfficientKWSConfig(**filter_kwargs(model_args, EfficientKWSConfig))
+    train_config = EfficientTrainConfig(**filter_kwargs(model_args, EfficientTrainConfig))
+    datamodule = EfficientKWSDataMod(**filter_kwargs(data_args, EfficientKWSDataMod))
+
+    log_dir = get(config, "trainer.default_root_dir") or "runs/efficient_kws"
+    engine = EfficientKWSEngine(
+        model_config,
+        train_config,
+        ckpt_dir=os.path.join(log_dir, "checkpoints"),
+        logger=MetricsLogger(log_dir),
+    )
+
+    if subcommand == "fit":
+        return engine.fit(
+            datamodule,
+            max_epochs=get(config, "trainer.max_epochs") or train_config.max_epochs,
+            early_stopping=_early_stopping(config),
+            monitors=_monitors(config),
+            limit_train_batches=get(config, "trainer.limit_train_batches"),
+        )
+
+    ckpt_path = config.get("ckpt_path")
+    assert ckpt_path, "test/validate requires ckpt_path"
+    from ..runtime.checkpoint import load_checkpoint
+
+    state, _ = load_checkpoint(ckpt_path)
+    variables = engine.variables(state["params"], state.get("batch_stats", {}))
+    if subcommand == "validate":
+        datamodule.setup("validate")
+        metrics = engine.validate(variables, datamodule, dump_dir=ckpt_path)
+        print(metrics)
+        return metrics
+    return engine.test(variables, datamodule, dump_dir=ckpt_path)
+
+
+# ------------------------------------------------------------------ cb-whisper
+
+
+def _build_generation_options(tokenizer, hf_gc, model_args):
+    from ..decoding.generate import GenerationOptions
+
+    language = model_args.get("language", "english")
+    lang_code = {"english": "en", "chinese": "zh", "mandarin": "zh"}.get(language, language)
+    lang_token = tokenizer.convert_tokens_to_ids(f"<|{lang_code}|>")
+    task_token = tokenizer.convert_tokens_to_ids("<|transcribe|>")
+    return GenerationOptions(
+        decoder_start_token_id=hf_gc.decoder_start_token_id,
+        language_token_id=lang_token,
+        task_token_id=task_token,
+        no_timestamps_token_id=hf_gc.no_timestamps_token_id,
+        prev_sot_token_id=getattr(hf_gc, "prev_sot_token_id", None)
+        or tokenizer.convert_tokens_to_ids("<|startofprev|>"),
+        eos_token_id=hf_gc.eos_token_id,
+        pad_token_id=hf_gc.pad_token_id,
+        suppress_tokens=tuple(hf_gc.suppress_tokens or ()),
+        begin_suppress_tokens=tuple(hf_gc.begin_suppress_tokens or ()),
+        max_initial_timestamp_index=getattr(hf_gc, "max_initial_timestamp_index", 50) or 50,
+        num_beams=5,
+        condition_on_prev_tokens=False,  # set per-call by forward
+    )
+
+
+def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
+    assert subcommand == "test", "CBWhisper supports the test subcommand (cb-whisper.py)"
+    import dataclasses
+
+    import transformers
+
+    from ..audio import load_audio_16k, prepare_features
+    from ..catalog.store import load_hidden_states
+    from ..data.datamodule import KWSDataMod
+    from ..models.cb_whisper import CBWhisper, CBWhisperConfig
+    from ..models.kws import KWSModel
+    from ..models.resnet import ResNetConfig
+    from ..models.whisper_loader import load_whisper_from_pretrained
+
+    model_args = get(config, "model.init_args", {}) or {}
+    cb_config = CBWhisperConfig(**filter_kwargs(model_args, CBWhisperConfig))
+
+    whisper_ckpt = model_args["whisper_ckpt"]
+    encoder_ckpt = model_args.get("encoder_ckpt", whisper_ckpt)
+    whisper_config, whisper_params = load_whisper_from_pretrained(whisper_ckpt)
+    if encoder_ckpt != whisper_ckpt:
+        encoder_config, encoder_params = load_whisper_from_pretrained(encoder_ckpt)
+    else:
+        encoder_config, encoder_params = whisper_config, None
+
+    tokenizer = transformers.WhisperTokenizer.from_pretrained(whisper_ckpt)
+    hf_gc = transformers.GenerationConfig.from_pretrained(whisper_ckpt)
+    opts = _build_generation_options(tokenizer, hf_gc, model_args)
+    opts = dataclasses.replace(opts, condition_on_prev_tokens=True, return_timestamps=True)
+
+    resnet_config = ResNetConfig(num_channels=12, num_labels=2)
+    kws_model = KWSModel(resnet_config)
+    kws_variables = _load_kws_variables(model_args["kws_ckpt"], resnet_config)
+
+    # the keyword database view over the eval dataset (DatabaseLite,
+    # cb_whisper.py:298-367) — our eval datasets already carry a catalog
+    from ..data.datasets import ACL6060KeywordDataset, AishellHotwordDataset
+
+    ds_name = model_args["dataset"]
+    if ds_name == "aishell":
+        dataset = AishellHotwordDataset(
+            root=os.path.join(model_args["root"], "hotword"),
+            split=model_args.get("split", "test"),
+            hotwords_per_group=cb_config.keywords_per_group,
+            kw_type=model_args["kw_type"],
+            load_audio=True,
+            wav_folder=os.path.join(model_args["root"], "wav"),
+        )
+    else:
+        dataset = ACL6060KeywordDataset(
+            root=model_args["root"],
+            split=model_args.get("split", "test"),
+            keywords_per_group=cb_config.keywords_per_group,
+            kw_type=model_args["kw_type"],
+            load_audio=True,
+        )
+
+    def prompt_ids_fn(text):
+        return list(tokenizer.get_prompt_ids(text))
+
+    def decode_fn(tokens):
+        return tokenizer.decode(tokens, skip_special_tokens=True)
+
+    module = CBWhisper(
+        config=cb_config,
+        whisper_config=whisper_config,
+        whisper_params=whisper_params,
+        kws_model=kws_model,
+        kws_variables=kws_variables,
+        catalog=dataset.catalog,
+        generation_options=opts,
+        prompt_ids_fn=prompt_ids_fn,
+        decode_fn=decode_fn,
+        encoder_params=encoder_params,
+        encoder_config=encoder_config,
+    )
+
+    def mel_fn(item):
+        wav = load_audio_16k(item["audio"])
+        return prepare_features(wav, n_mels=whisper_config.num_mel_bins)
+
+    return module.run_test(dataset, mel_fn)
+
+
+# --------------------------------------------------------------------- driver
+
+
+def run_cli(argv: Optional[List[str]] = None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    assert argv and argv[0] in ("fit", "test", "validate"), (
+        f"usage: <entry> {{fit,test,validate}} --config CONFIG [--dotted.key value ...]"
+    )
+    subcommand = argv[0]
+    assert argv[1] == "--config", "--config CONFIG is required"
+    config = load_config(argv[2])
+    config = apply_overrides(config, argv[3:])
+
+    leftover = check_placeholders(config)
+    if leftover:
+        raise SystemExit(
+            "config contains unfilled [PLACEHOLDER] values:\n  " + "\n  ".join(leftover)
+        )
+
+    _seed_everything(config)
+    class_path = get(config, "model.class_path", "")
+    if class_path in PAPER1_MODELS:
+        return _run_paper1(subcommand, config)
+    if class_path in PAPER2_MODELS:
+        return _run_paper2(subcommand, config)
+    if class_path in CBWHISPER_MODELS:
+        return _run_cbwhisper(subcommand, config)
+    raise SystemExit(f"unknown model.class_path: {class_path}")

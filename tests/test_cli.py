@@ -1,0 +1,143 @@
+"""CLI tests: YAML configs through the four entry points' dispatcher
+(reference surface: run_CLI.py / kws.py — LightningCLI subcommands)."""
+
+import os
+
+import pytest
+import yaml
+
+from enhance_cb_whisper_tpu.cli import run_cli
+from enhance_cb_whisper_tpu.cli.config import apply_overrides, check_placeholders, load_config
+from fixtures import make_aishell_hotword, make_aishell_kws
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_aishell")
+    make_aishell_kws(str(root))
+    make_aishell_hotword(str(root))
+    return str(root)
+
+
+def _write_config(path, root, run_dir):
+    config = {
+        "seed_everything": 123,
+        "trainer": {
+            "max_epochs": 1,
+            "check_val_every_n_epoch": 1,
+            "limit_train_batches": 2,
+            "default_root_dir": run_dir,
+        },
+        "f1_checkpoint": {"monitor": "metrics/f1", "mode": "max"},
+        "early_stopping": {"monitor": "metrics/f1", "patience": 5, "mode": "max"},
+        "model": {
+            "class_path": "model.model.KWSModel",
+            "init_args": {
+                "sampling": "random",
+                "kw_type": "natural",
+                "batch_size": 4,
+                "learning_rate": 1e-3,
+            },
+        },
+        "data": {
+            "class_path": "data.data_module.KWSDataMod",
+            "init_args": {
+                "train_info": [{"name": "aishell", "root": root, "kw_type": "natural"}],
+                "val_info": [{"name": "aishell", "root": root, "kw_type": "natural"}],
+                "test_info": {"name": "aishell", "root": root, "kw_type": "natural"},
+                "test_split": "dev",
+                "features_size": [32, 48],
+                "hotwords_per_group": 2,
+                "batch_size": 4,
+                "sampling": "random",
+            },
+        },
+        "ckpt_path": None,
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(config, f)
+
+
+@pytest.fixture(scope="module")
+def tiny_engine_patch(monkeypatch=None):
+    """Shrink the hard-coded 12-channel ResNet-50 to fixture size."""
+    import enhance_cb_whisper_tpu.cli.main as main
+    from enhance_cb_whisper_tpu.models.resnet import ResNetConfig
+
+    tiny = ResNetConfig(
+        num_channels=3, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 1, 1), num_labels=2,
+    )
+    orig = ResNetConfig.__new__
+    import unittest.mock as mock
+
+    patcher = mock.patch.object(
+        main, "_run_paper1", _patched_run_paper1(main, tiny)
+    )
+    patcher.start()
+    yield
+    patcher.stop()
+
+
+def _patched_run_paper1(main, tiny):
+    orig = main._run_paper1.__wrapped__ if hasattr(main._run_paper1, "__wrapped__") else None
+
+    def run(subcommand, config):
+        from enhance_cb_whisper_tpu.cli.config import filter_kwargs, get
+        from enhance_cb_whisper_tpu.data.datamodule import KWSDataMod
+        from enhance_cb_whisper_tpu.runtime.kws_engine import KWSEngine
+        from enhance_cb_whisper_tpu.runtime.logging import MetricsLogger
+        from enhance_cb_whisper_tpu.train.kws_train import KWSTrainConfig
+
+        model_args = get(config, "model.init_args", {}) or {}
+        data_args = dict(get(config, "data.init_args", {}) or {})
+        for key in ("sampling", "resample_every_epoch", "kw_type", "batch_size"):
+            if key in model_args:
+                data_args[key] = model_args[key]
+        train_config = KWSTrainConfig(**filter_kwargs(model_args, KWSTrainConfig))
+        datamodule = KWSDataMod(**filter_kwargs(data_args, KWSDataMod))
+        log_dir = get(config, "trainer.default_root_dir") or "runs/kws"
+        engine = KWSEngine(
+            train_config, resnet_config=tiny,
+            features_size=tuple(data_args["features_size"]),
+            ckpt_dir=os.path.join(log_dir, "checkpoints"),
+            logger=MetricsLogger(log_dir),
+        )
+        if subcommand == "fit":
+            return engine.fit(
+                datamodule,
+                max_epochs=get(config, "trainer.max_epochs") or 1,
+                limit_train_batches=get(config, "trainer.limit_train_batches"),
+            )
+        variables = main._load_kws_variables(config["ckpt_path"], tiny)
+        return engine.test(variables, datamodule)
+
+    return run
+
+
+def test_cli_fit_then_test(tmp_path, root, tiny_engine_patch):
+    run_dir = str(tmp_path / "run")
+    cfg = tmp_path / "train.yaml"
+    _write_config(cfg, root, run_dir)
+
+    run_cli(["fit", "--config", str(cfg)])
+    ckpt = os.path.join(run_dir, "checkpoints", "final")
+    assert os.path.exists(os.path.join(ckpt, "state.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+    results = run_cli(["test", "--config", str(cfg), "--ckpt_path", ckpt])
+    assert "F1" in results
+
+
+def test_placeholder_detection(tmp_path):
+    cfg = tmp_path / "bad.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump({"model": {"init_args": {"root": "[FILL_ME]"}}}, f)
+    with pytest.raises(SystemExit, match="PLACEHOLDER"):
+        run_cli(["fit", "--config", str(cfg)])
+
+
+def test_overrides():
+    config = {"a": {"b": 1}}
+    out = apply_overrides(config, ["--a.b", "5", "--a.c", "[1, 2]"])
+    assert out["a"]["b"] == 5 and out["a"]["c"] == [1, 2]
