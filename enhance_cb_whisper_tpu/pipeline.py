@@ -1,0 +1,233 @@
+"""Offline dataset-build pipeline (reference src/utils.py + datasets/*/build.sh).
+
+The embedding producer and audio-prep utilities, TPU-native:
+
+* :func:`extract_hidden_states` — decode/resample audio on host (C++/scipy
+  polyphase), mel + Whisper encoder ON DEVICE in batches (the reference
+  runs one file at a time through torch, src/utils.py:174-205), keep layers
+  [10:22], truncate to ceil(unpadded_frames/2), L2-normalize, save one
+  ``.npy`` per file (readable alongside the reference's ``.bin``);
+* :func:`cut_audios` — slice XML-defined segments out of WAVs (pydub
+  replacement for wav inputs, src/utils.py:208-250);
+* :func:`get_keywords_audios` — slice keyword spans from ``aligned.tsv``
+  (src/utils.py:83-127);
+* :func:`keyword_tts` — edge-tts synthesis; requires network + the
+  ``edge_tts`` package and raises a clear error in zero-egress
+  environments (src/utils.py:31-80).
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+from glob import glob
+from math import ceil
+from typing import List, Optional
+
+import numpy as np
+
+from .audio.io import load_audio_16k, read_wav
+from .catalog.store import save_hidden_states
+from .ops.mel import HOP_LENGTH, N_SAMPLES, log_mel_spectrogram
+
+
+def find_audio_files(root: str, exts=(".wav", ".mp3", ".opus")) -> dict:
+    """code -> path over 1-3 nesting levels (src/utils.py:161-170)."""
+    out = {}
+    for depth in ("*", "*/*", "*/*/*"):
+        for ext in exts:
+            for path in glob(os.path.join(root, depth + ext)):
+                code = os.path.splitext(os.path.basename(path))[0]
+                if code.startswith("audio-"):
+                    code = code[len("audio-"):]
+                out[code] = path
+    return out
+
+
+def extract_hidden_states(
+    audios: str,
+    whisper_ckpt: str,
+    target: str,
+    codes: Optional[str] = None,
+    layer_slice=(10, 22),
+    batch_size: int = 8,
+    n_mels: Optional[int] = None,
+):
+    """Produce the hidden-state caches every dataset reads (src/utils.py:130-205).
+
+    Batched device pipeline: decode+resample B files on host → pad each to
+    30 s → one [B, n_mels, 3000] mel+encoder launch → per-file truncation to
+    ``ceil(unpadded_mel_frames / 2)`` frames → L2-normalize → save.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.whisper import encoder_kws_stack
+    from .models.whisper_loader import load_whisper_from_pretrained
+
+    assert os.path.isdir(audios), f"audio directory not found: {audios}"
+    os.makedirs(target, exist_ok=True)
+
+    config, params = load_whisper_from_pretrained(whisper_ckpt)
+    params = jax.tree.map(jnp.asarray, params)
+    n_mels = n_mels or config.num_mel_bins
+    lo, hi = layer_slice
+
+    @jax.jit
+    def encode(mel, valid_frames):
+        return encoder_kws_stack(
+            params, mel, config, layer_slice=(lo, hi), valid_frames=valid_frames
+        )
+
+    wanted = None
+    if codes is not None:
+        with open(codes) as f:
+            wanted = [line.split("\t")[0].strip().split(" ")[0].strip() for line in f]
+
+    files = find_audio_files(audios)
+    items = [
+        (code, path)
+        for code, path in files.items()
+        if wanted is None or any(c in code for c in wanted)
+    ]
+
+    for i in range(0, len(items), batch_size):
+        chunk = items[i : i + batch_size]
+        mels, valid, keep = [], [], []
+        for code, path in chunk:
+            try:
+                wav = load_audio_16k(path)
+            except Exception as e:  # skip undecodable files (utils.py:203-205)
+                print(f"{path}: {e}")
+                continue
+            wav = wav[:N_SAMPLES]
+            # t_len = ceil(unpadded_mel_frames / 2) (utils.py:187)
+            unpadded_frames = wav.shape[0] // HOP_LENGTH
+            valid.append(int(ceil(unpadded_frames / 2.0)))
+            padded = np.zeros((N_SAMPLES,), np.float32)
+            padded[: wav.shape[0]] = wav
+            mels.append(padded)
+            keep.append(code)
+        if not mels:
+            continue
+        # pad the batch to a fixed size so the encoder never recompiles
+        n_real = len(mels)
+        while len(mels) < batch_size:
+            mels.append(np.zeros((N_SAMPLES,), np.float32))
+            valid.append(1)
+        mel = np.asarray(log_mel_spectrogram(np.stack(mels), n_mels=n_mels))
+        stacks = np.asarray(encode(mel, np.asarray(valid, np.int32)))
+        for j, code in enumerate(keep):
+            save_hidden_states(
+                os.path.join(target, code + ".npy"), stacks[j, :, : valid[j], :]
+            )
+        print(f"extracted {min(i + batch_size, len(items))}/{len(items)}")
+
+
+def _write_wav(path: str, data: np.ndarray, rate: int):
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(data, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+def get_keywords_audios(wav: str, keywords: str, keywords_audios: str):
+    """Cut keyword spans per aligned.tsv: ``keyword \\t source_utt \\t
+    start_s \\t end_s`` (src/utils.py:83-127)."""
+    assert os.path.isdir(wav), f"audio directory not found: {wav}"
+    os.makedirs(keywords_audios, exist_ok=True)
+    files = find_audio_files(wav, exts=(".wav",))
+    with open(keywords) as f:
+        metadata = []
+        for line in f:
+            parts = line.split("\t")
+            metadata.append(
+                {
+                    "keyword": parts[0].strip(),
+                    "source": parts[1].strip(),
+                    "start": float(parts[2]),
+                    "end": float(parts[3]),
+                }
+                if len(parts) == 4
+                else None
+            )
+    zfill = len(str(len(metadata) - 1))
+    for idx, m in enumerate(metadata):
+        if m is None or m["start"] == m["end"]:
+            continue
+        data, rate = read_wav(files[m["source"]])
+        lo, hi = int(m["start"] * rate), int(m["end"] * rate)
+        _write_wav(
+            os.path.join(keywords_audios, str(idx).zfill(zfill) + ".wav"), data[lo:hi], rate
+        )
+
+
+def cut_audios(wav: str, segments: str, segments_audios: str):
+    """Slice XML-defined segments (src/utils.py:208-250)."""
+    import xml.etree.ElementTree as ET
+
+    assert os.path.isdir(wav)
+    os.makedirs(segments_audios, exist_ok=True)
+    files = find_audio_files(wav, exts=(".wav",))
+    tree = ET.parse(segments)
+    for doc in tree.getroot():
+        code = doc.attrib["code"]
+        data, rate = read_wav(files[code])
+        for segment in doc:
+            transcript = segment.find("current").text
+            if not transcript or transcript.strip() == "":
+                continue
+            start, end = float(segment.attrib["start"]), float(segment.attrib["end"])
+            if start == end:
+                continue
+            _write_wav(
+                os.path.join(segments_audios, f"{code}-seg{segment.attrib['id']}.wav"),
+                data[int(start * rate) : int(end * rate)],
+                rate,
+            )
+
+
+def keyword_tts(tts_folder: str, keyword_file: str, locale: str, voice: Optional[str] = None):
+    """edge-tts synthesis (src/utils.py:31-80) — network-bound; raises a
+    clear error where the package/egress is unavailable."""
+    try:
+        import edge_tts  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "keyword_tts requires the edge-tts package and network egress; "
+            "this environment has neither. Provide pre-synthesized keyword "
+            "audio or run this stage on a networked host."
+        ) from e
+    raise NotImplementedError("edge-tts synthesis loop (networked hosts only)")
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Utilities for building datasets")
+    parser.add_argument("--tts", action="store_true")
+    parser.add_argument("--cut_audios", action="store_true")
+    parser.add_argument("--extract_hs", action="store_true")
+    parser.add_argument("-a", "--audios", type=str)
+    parser.add_argument("-k", "--keywords", type=str)
+    parser.add_argument("-t", "--target", type=str)
+    parser.add_argument("-u", "--utterances", type=str, default="")
+    parser.add_argument("-s", "--segments", type=str)
+    parser.add_argument("-l", "--locale", type=str)
+    parser.add_argument("-v", "--voice", type=str, default="")
+    parser.add_argument("-w", "--whisper", type=str)
+    args = parser.parse_args(argv)
+
+    if args.tts:
+        keyword_tts(args.target, args.keywords, args.locale, args.voice or None)
+    elif args.cut_audios:
+        if args.segments:
+            cut_audios(args.audios, args.segments, args.target)
+        else:
+            get_keywords_audios(args.audios, args.keywords, args.target)
+    elif args.extract_hs:
+        extract_hidden_states(
+            args.audios, args.whisper, args.target,
+            codes=args.utterances or None,
+        )

@@ -1,0 +1,86 @@
+"""Offline pipeline tests: extract_hidden_states parity vs the reference's
+torch path (src/utils.py:130-205), audio cutting utilities."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+import torch
+
+from enhance_cb_whisper_tpu.pipeline import extract_hidden_states, get_keywords_audios
+
+transformers = pytest.importorskip("transformers")
+
+
+def _write_wav(path, data, rate=16000):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(data, -1, 1) * 32767).astype("<i2").tobytes())
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("whisper_tiny_random")
+    hf_config = transformers.WhisperConfig(
+        vocab_size=128, num_mel_bins=80, d_model=32,
+        encoder_layers=4, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=1500, max_target_positions=40,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(0)
+    model = transformers.WhisperForConditionalGeneration(hf_config)
+    model.save_pretrained(str(d))
+    return str(d), model
+
+
+def test_extract_hidden_states_parity(tmp_path, tiny_ckpt):
+    ckpt_dir, hf = tiny_ckpt
+    audio_dir = tmp_path / "audio"
+    target = tmp_path / "hs"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)  # 1 s
+    _write_wav(audio_dir / "utt1.wav", wav)
+
+    extract_hidden_states(
+        str(audio_dir), ckpt_dir, str(target), layer_slice=(1, 4), batch_size=2
+    )
+
+    got = np.load(target / "utt1.npy")
+    t_len = int(np.ceil((16000 // 160) / 2.0))
+    assert got.shape[0] == 3 and got.shape[1] == t_len
+
+    # reference path: HF features + encoder hidden_states[1:4], truncate, L2
+    fe = transformers.WhisperFeatureExtractor()
+    feats = fe(wav, sampling_rate=16000, return_tensors="pt").input_features
+    with torch.no_grad():
+        hs = hf.model.encoder(feats, output_hidden_states=True).hidden_states
+    want = torch.cat(hs[1:4], dim=0)[:, :t_len, :]
+    want = (want / torch.linalg.norm(want, dim=-1, keepdim=True)).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_get_keywords_audios(tmp_path):
+    wav_dir = tmp_path / "wavs"
+    out_dir = tmp_path / "kw"
+    wav_dir.mkdir()
+    rate = 16000
+    data = np.arange(rate, dtype=np.float32) / rate - 0.5
+    _write_wav(wav_dir / "src1.wav", data, rate)
+    aligned = tmp_path / "aligned.tsv"
+    with open(aligned, "w") as f:
+        f.write("hello\tsrc1\t0.25\t0.5\n")
+        f.write("unaligned\tsrc1\t0.1\t0.1\n")  # skipped (start == end)
+        f.write("badline\n")  # skipped (not 4 fields)
+    get_keywords_audios(str(wav_dir), str(aligned), str(out_dir))
+    files = sorted(os.listdir(out_dir))
+    assert files == ["0.wav"]
+    with wave.open(str(out_dir / "0.wav")) as w:
+        assert w.getnframes() == rate // 4
