@@ -28,7 +28,7 @@ import numpy as np
 
 from .mel import HOP_LENGTH, N_FFT, N_SAMPLES, mel_filter_bank
 
-FRAMES_PER_CHUNK = 250
+FRAMES_PER_CHUNK = 200  # 3000/200 chunks; multiple of 8 sublanes
 WINDOW_BLOCKS = 3  # 3 * 160 = 480 >= n_fft 400
 PAD_BINS = 256  # 201 freq bins padded to an MXU-friendly lane count
 
@@ -53,25 +53,29 @@ def _padded_mel_fb(n_mels: int):
     return fb
 
 
-def _mel_kernel(blocks_ref, cos_ref, sin_ref, fb_ref, out_ref):
-    # blocks_ref: [1, n_blocks, hop] (whole audio row, ~1.9 MB in VMEM);
-    # out_ref: [1, n_frames, n_mels] (written chunk by chunk with static
-    # slices; TPU block shapes must tile cleanly, so the chunk loop lives
-    # inside the kernel).  Frame f = blocks[f..f+2] flattened (480 samples
-    # >= the 400-sample window; the DFT matrix rows past 400 are zero).
-    f = FRAMES_PER_CHUNK
-    n_frames = out_ref.shape[1]
-    for j in range(n_frames // f):
-        off = j * f
-        rows = blocks_ref[0, off : off + f + 2, :]
-        frames = jnp.concatenate(
-            [rows[0:f, :], rows[1 : f + 1, :], rows[2 : f + 2, :]], axis=1
-        )  # [F, 480]
-        re = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32)
-        im = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32)
-        power = re * re + im * im
-        mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
-        out_ref[0, off : off + f, :] = jnp.log10(jnp.maximum(mel, 1e-10))
+def _mel_kernel(b0_ref, b1_ref, b2_ref, cos_ref, sin_ref, fb_ref, out_ref):
+    # b{0,1,2}_ref: [1, F, hop] — frame f's 480-sample window split into its
+    # three 160-sample hop blocks, pre-shifted host-side so every kernel
+    # operand is tile-aligned (Mosaic cannot concat row-offset slices).
+    # The windowed DFT over the 480-wide frame becomes a sum of three
+    # matmuls against the corresponding 160-row bands of the DFT matrices.
+    hop = HOP_LENGTH
+    b0 = b0_ref[0]
+    b1 = b1_ref[0]
+    b2 = b2_ref[0]
+
+    def dft(m_ref):
+        return (
+            jnp.dot(b0, m_ref[0:hop, :], preferred_element_type=jnp.float32)
+            + jnp.dot(b1, m_ref[hop : 2 * hop, :], preferred_element_type=jnp.float32)
+            + jnp.dot(b2, m_ref[2 * hop : 3 * hop, :], preferred_element_type=jnp.float32)
+        )
+
+    re = dft(cos_ref)
+    im = dft(sin_ref)
+    power = re * re + im * im
+    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
+    out_ref[0, :, :] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
 def log_mel_spectrogram_pallas(
@@ -99,19 +103,26 @@ def log_mel_spectrogram_pallas(
     cos_m, sin_m = _padded_dft_matrices()
     fb = _padded_mel_fb(n_mels)
 
+    b0 = blocks[:, 0:n_frames, :]
+    b1 = blocks[:, 1 : n_frames + 1, :]
+    b2 = blocks[:, 2 : n_frames + 2, :]
+
+    f = FRAMES_PER_CHUNK
     log_mel = pl.pallas_call(
         _mel_kernel,
-        grid=(b,),
+        grid=(b, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, n_blocks, HOP_LENGTH), lambda i: (i, 0, 0)),
-            pl.BlockSpec((cos_m.shape[0], PAD_BINS), lambda i: (0, 0)),
-            pl.BlockSpec((sin_m.shape[0], PAD_BINS), lambda i: (0, 0)),
-            pl.BlockSpec((PAD_BINS, fb.shape[1]), lambda i: (0, 0)),
+            pl.BlockSpec((1, f, HOP_LENGTH), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, f, HOP_LENGTH), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, f, HOP_LENGTH), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((cos_m.shape[0], PAD_BINS), lambda i, j: (0, 0)),
+            pl.BlockSpec((sin_m.shape[0], PAD_BINS), lambda i, j: (0, 0)),
+            pl.BlockSpec((PAD_BINS, fb.shape[1]), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n_frames, n_mels), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, f, n_mels), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_frames, n_mels), jnp.float32),
         interpret=interpret,
-    )(blocks, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(fb))
+    )(b0, b1, b2, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(fb))
     log_mel = jnp.swapaxes(log_mel, -1, -2)  # [B, n_mels, n_frames]
 
     # dynamic-range compression epilogue (global per-audio max)
