@@ -35,7 +35,7 @@ def _make_stacks(rng, n):
     return stacks
 
 
-def bench_tpu(stacks, utt):
+def bench_tpu(stacks, utt, dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -48,20 +48,24 @@ def bench_tpu(stacks, utt):
     from enhance_cb_whisper_tpu.models.kws import KWSModel
     from enhance_cb_whisper_tpu.ops.resize import resize_matrix
 
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     catalog = KeywordCatalog.from_arrays(
         [f"kw{i}" for i in range(len(stacks))], stacks, group_size=CHUNK
     )
     cfg = ResNetConfig(num_channels=N_LAYERS, num_labels=2)  # resnet-50
-    model = KWSModel(cfg)
+    model = KWSModel(cfg, dtype=compute_dtype)
     variables = model.init(
         jax.random.PRNGKey(0), np.zeros((1, N_LAYERS, *OUT), np.float32)
     )
 
     def kws_apply(v, x):
-        return model.apply(v, x).logits
+        return model.apply(v, x.astype(compute_dtype)).logits
 
-    score = make_catalog_score_fn(kws_apply, out_size=OUT, chunk=CHUNK)
-    cat_dev = device_put_catalog(catalog, out_h=OUT[0], chunk=CHUNK)
+    score = make_catalog_score_fn(
+        kws_apply, out_size=OUT, chunk=CHUNK,
+        precision="highest" if dtype == "float32" else "default",
+    )
+    cat_dev = device_put_catalog(catalog, out_h=OUT[0], chunk=CHUNK, dtype=compute_dtype)
     utt_j = jnp.asarray(utt)
     w = jnp.asarray(resize_matrix(utt.shape[1], OUT[1], antialias=False))
 

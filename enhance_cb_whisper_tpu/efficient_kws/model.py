@@ -118,6 +118,34 @@ class EfficientKWSModel(nn.Module):
             if cfg.frames_conv:
                 self.time_projector = PerLayerTimeConv(cfg.proj_mlp_units, cfg.n_layers)
 
+    def project(self, features: jax.Array, mask: Optional[jax.Array] = None,
+                train: bool = False):
+        """The learned projection stack alone: [B, L, T, D] → ([B, L, T', U],
+        pooled mask).  Used standalone to PRE-PROJECT large keyword catalogs
+        (the 100k open-vocab configuration stores 64-dim projected reps on
+        device instead of raw 1024-dim embeddings — SURVEY.md §7 hard parts)."""
+        cfg = self.config
+        if cfg.learn_features and cfg.proj_mlp:
+            x = self.projector(features)
+            if cfg.frames_conv:
+                x = self.time_projector(x, train=train)
+                if mask is not None:
+                    mask = _pool_mask(mask)
+            return x, mask
+        return features, mask
+
+    def classify_projected(
+        self,
+        kwd: jax.Array,
+        utt: jax.Array,
+        kwd_mask: Optional[jax.Array] = None,
+        utt_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ):
+        """Similarity + ResNet over ALREADY-projected features (masks must be
+        the pooled ones returned by :meth:`project`)."""
+        return self._classify(kwd, utt, kwd_mask, utt_mask, train)
+
     def __call__(
         self,
         kwd_features: jax.Array,  # [B, L, T_k, D]
@@ -126,20 +154,11 @@ class EfficientKWSModel(nn.Module):
         utt_mask: Optional[jax.Array] = None,  # [B_u, L, T_u]
         train: bool = False,
     ):
-        cfg = self.config
-        if cfg.learn_features and cfg.proj_mlp:
-            kwd = self.projector(kwd_features)
-            utt = self.projector(utt_features)
-            if cfg.frames_conv:
-                kwd = self.time_projector(kwd, train=train)
-                utt = self.time_projector(utt, train=train)
-                if kwd_mask is not None:
-                    kwd_mask = _pool_mask(kwd_mask)
-                if utt_mask is not None:
-                    utt_mask = _pool_mask(utt_mask)
-        else:
-            kwd, utt = kwd_features, utt_features
+        kwd, kwd_mask = self.project(kwd_features, kwd_mask, train=train)
+        utt, utt_mask = self.project(utt_features, utt_mask, train=train)
+        return self._classify(kwd, utt, kwd_mask, utt_mask, train)
 
+    def _classify(self, kwd, utt, kwd_mask, utt_mask, train: bool):
         n_keywords = kwd.shape[0]
         if utt.shape[0] == 1 and n_keywords > 1:
             utt = jnp.broadcast_to(utt, (n_keywords, *utt.shape[1:]))
