@@ -75,10 +75,11 @@ def _load_kws_variables(ckpt_path: str, resnet_config):
     # reference lightning checkpoint
     import torch
 
-    from ..models.torch_compat import load_hf_resnet_classifier
+    from ..models.torch_compat import load_hf_resnet_classifier, migrate_legacy_state_dict
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    sd = migrate_legacy_state_dict(sd)
     variables = load_hf_resnet_classifier(sd, resnet_config, prefix="model.")
     return {"params": {"model": variables["params"]}, "batch_stats": {"model": variables["batch_stats"]}}
 

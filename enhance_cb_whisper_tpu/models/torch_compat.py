@@ -75,6 +75,26 @@ def load_hf_resnet(state_dict: Mapping[str, Any], config: ResNetConfig, prefix: 
     return {"params": params, "batch_stats": stats}
 
 
+def migrate_legacy_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Old reference checkpoints use ``model.resnet.*`` keys; migrate them to
+    the current ``model.feature_extractor.*`` layout exactly like the
+    reference's ``on_load_checkpoint`` shim (src/model/model.py:434-446)."""
+    import re
+
+    keys = list(state_dict.keys())
+    if not any("resnet." in k for k in keys):
+        return dict(state_dict)
+    resnet_re = re.compile("resnet.")
+    fe_re = re.compile("(model.embedder|model.encoder)")
+    out: Dict[str, Any] = {}
+    for key in keys:
+        new_key = resnet_re.sub("", key)
+        if fe_re.search(new_key):
+            new_key = new_key[:6] + "feature_extractor." + new_key[6:]
+        out[new_key] = state_dict[key]
+    return out
+
+
 def load_hf_resnet_classifier(state_dict: Mapping[str, Any], config: ResNetConfig,
                               prefix: str = "", classifier_prefix: str = "classifier.1"):
     """Convert the reference's Resnet (feature_extractor + Sequential

@@ -64,17 +64,21 @@ def _mel_kernel(b0_ref, b1_ref, b2_ref, cos_ref, sin_ref, fb_ref, out_ref):
     b1 = b1_ref[0]
     b2 = b2_ref[0]
 
+    # precision=HIGHEST: the TPU MXU otherwise rounds operands to bfloat16,
+    # which costs ~2 decimal digits through the power/log pipeline
+    hi = jax.lax.Precision.HIGHEST
+
     def dft(m_ref):
         return (
-            jnp.dot(b0, m_ref[0:hop, :], preferred_element_type=jnp.float32)
-            + jnp.dot(b1, m_ref[hop : 2 * hop, :], preferred_element_type=jnp.float32)
-            + jnp.dot(b2, m_ref[2 * hop : 3 * hop, :], preferred_element_type=jnp.float32)
+            jnp.dot(b0, m_ref[0:hop, :], preferred_element_type=jnp.float32, precision=hi)
+            + jnp.dot(b1, m_ref[hop : 2 * hop, :], preferred_element_type=jnp.float32, precision=hi)
+            + jnp.dot(b2, m_ref[2 * hop : 3 * hop, :], preferred_element_type=jnp.float32, precision=hi)
         )
 
     re = dft(cos_ref)
     im = dft(sin_ref)
     power = re * re + im * im
-    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32, precision=hi)
     out_ref[0, :, :] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
