@@ -98,13 +98,33 @@ def load_hf_whisper(state_dict: Mapping[str, Any], config: WhisperConfig) -> Dic
     return {"encoder": enc, "decoder": dec}
 
 
+def load_whisper_from_safetensors(path: str, config: WhisperConfig) -> Dict[str, Any]:
+    """Torch-free weight loading straight from ``model.safetensors`` (single
+    shard) — the production path on TPU hosts without torch installed."""
+    import os
+
+    from safetensors.numpy import load_file
+
+    f = path if path.endswith(".safetensors") else os.path.join(path, "model.safetensors")
+    return load_hf_whisper(load_file(f), config)
+
+
 def load_whisper_from_pretrained(name_or_path: str):
     """Load config + params from a local HF checkpoint directory (zero-egress
-    environments must pass a local path).  Returns (config, params)."""
+    environments must pass a local path).  Returns (config, params).
+
+    Prefers the torch-free safetensors path; falls back to instantiating the
+    HF torch model for sharded/.bin checkpoints."""
+    import os
+
     import transformers
 
     hf_config = transformers.WhisperConfig.from_pretrained(name_or_path)
     config = WhisperConfig.from_hf(hf_config)
+    if os.path.isdir(name_or_path) and os.path.exists(
+        os.path.join(name_or_path, "model.safetensors")
+    ):
+        return config, load_whisper_from_safetensors(name_or_path, config)
     model = transformers.WhisperForConditionalGeneration.from_pretrained(name_or_path)
     params = load_hf_whisper(model.state_dict(), config)
     return config, params

@@ -84,3 +84,26 @@ def test_get_keywords_audios(tmp_path):
     assert files == ["0.wav"]
     with wave.open(str(out_dir / "0.wav")) as w:
         assert w.getnframes() == rate // 4
+
+
+def test_safetensors_loading_matches_torch(tiny_ckpt):
+    """Torch-free safetensors weight loading == torch state-dict conversion."""
+    from enhance_cb_whisper_tpu.models.whisper import WhisperConfig
+    from enhance_cb_whisper_tpu.models.whisper_loader import (
+        load_hf_whisper,
+        load_whisper_from_pretrained,
+    )
+
+    ckpt_dir, hf = tiny_ckpt
+    config, params = load_whisper_from_pretrained(ckpt_dir)
+    want = load_hf_whisper(hf.state_dict(), config)
+    np.testing.assert_allclose(
+        params["encoder"]["layers"][0]["fc1"]["weight"],
+        want["encoder"]["layers"][0]["fc1"]["weight"],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        params["decoder"]["embed_tokens"]["weight"],
+        want["decoder"]["embed_tokens"]["weight"],
+        rtol=1e-6,
+    )
