@@ -118,12 +118,27 @@ def _mha(
     x_kv: jax.Array,
     num_heads: int,
     mask: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ) -> jax.Array:
     head_dim = x_q.shape[-1] // num_heads
     q = _split_heads(_linear(p["q_proj"], x_q), num_heads) * (head_dim**-0.5)
     k = _split_heads(_linear(p["k_proj"], x_kv), num_heads)
     v = _split_heads(_linear(p["v_proj"], x_kv), num_heads)
-    o = _attention(q, k, v, mask)
+    if use_flash and mask is None:
+        # stock Pallas TPU flash attention over the encoder's 1500-frame
+        # self-attention: O(T) VMEM instead of materializing [H, T, T] scores
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        o = flash_attention(
+            jnp.transpose(q, (0, 2, 1, 3)),
+            jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)),
+            causal=False,
+            sm_scale=1.0,  # q is pre-scaled
+        )
+        o = jnp.transpose(o, (0, 2, 1, 3))
+    else:
+        o = _attention(q, k, v, mask)
     return _linear(p["out_proj"], o.reshape(*o.shape[:2], -1))
 
 
@@ -213,9 +228,10 @@ def init_whisper_params(rng: np.random.Generator, config: WhisperConfig) -> Dict
 # encoder
 
 
-def encoder_layer(p: Dict[str, Any], x: jax.Array, num_heads: int) -> jax.Array:
+def encoder_layer(p: Dict[str, Any], x: jax.Array, num_heads: int,
+                  use_flash: bool = False) -> jax.Array:
     h = _layer_norm(p["self_attn_layer_norm"], x)
-    x = x + _mha(p["self_attn"], h, h, num_heads)
+    x = x + _mha(p["self_attn"], h, h, num_heads, use_flash=use_flash)
     h = _layer_norm(p["final_layer_norm"], x)
     h = jax.nn.gelu(_linear(p["fc1"], h), approximate=False)
     return x + _linear(p["fc2"], h)
@@ -227,6 +243,7 @@ def encoder_forward(
     config: WhisperConfig,
     output_hidden_states: bool = False,
     dtype: Any = jnp.float32,
+    use_flash: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Returns (last_hidden_state [B, 1500, D], hidden_states [n_layers+1, B, 1500, D]
     or None).
@@ -243,7 +260,8 @@ def encoder_forward(
 
     states = [x] if output_hidden_states else None
     for i in range(config.encoder_layers):
-        x = encoder_layer(p["layers"][i], x, config.encoder_attention_heads)
+        x = encoder_layer(p["layers"][i], x, config.encoder_attention_heads,
+                          use_flash=use_flash)
         if output_hidden_states:
             states.append(x)
     last = _layer_norm(p["layer_norm"], x)
