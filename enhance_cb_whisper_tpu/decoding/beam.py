@@ -205,7 +205,10 @@ def beam_search(
 
 @partial(
     jax.jit,
-    static_argnames=("decode_fn", "max_length", "processors", "pad_token_id", "eos_token_id"),
+    static_argnames=(
+        "decode_fn", "max_length", "processors", "pad_token_id", "eos_token_id",
+        "temperature",
+    ),
 )
 def greedy_search(
     decode_fn: DecodeFn,
@@ -216,12 +219,19 @@ def greedy_search(
     max_length: int = 448,
     pad_token_id: int = 50257,
     eos_token_id: int = 50257,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Greedy decode; returns (sequences [B, max_length], sum logprobs [B]).
+    """Greedy decode (``temperature == 0``) or multinomial sampling at the
+    given temperature (HF's fallback-ladder retries set do_sample=True,
+    generation_whisper.generate_with_fallback); returns
+    (sequences [B, max_length], sum logprobs [B]).
 
     Also accumulates per-sequence mean-logprob ingredients for the longform
     quality thresholds (logprob_threshold, src/model/pba_whisper.py:425-442).
     """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     batch, prompt_len = prompt.shape
     V = processors.vocab_size
     tokens = jnp.full((batch, max_length), pad_token_id, dtype=jnp.int32)
@@ -245,7 +255,12 @@ def greedy_search(
         last = jax.lax.dynamic_slice_in_dim(tokens, cur_len - 1, 1, axis=1)
         logits, cache = decode_fn(last, cache, ctx)
         processed = apply_logits_processors(processors, logits.astype(jnp.float32), tokens, cur_len)
-        next_tok = jnp.argmax(processed, axis=-1)
+        if temperature > 0.0:
+            next_tok = jax.random.categorical(
+                jax.random.fold_in(rng, cur_len), processed / temperature, axis=-1
+            )
+        else:
+            next_tok = jnp.argmax(processed, axis=-1)
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
 

@@ -63,6 +63,7 @@ class GenerationOptions:
     compression_ratio_threshold: Optional[float] = None
     logprob_threshold: Optional[float] = None
     no_speech_threshold: Optional[float] = None
+    no_speech_token_id: int = 50362  # <|nospeech|>
     max_target_positions: int = 448
 
     def init_tokens(self) -> List[int]:
@@ -138,7 +139,7 @@ class WhisperGenerator:
             ``prompt_len`` — this keeps the loop body uniform."""
             batch = prompt_padded.shape[0]
             cache = init_cache(cfg, batch, max_length, dtype=dtype)
-            _, cache = decoder_forward(
+            logits, cache = decoder_forward(
                 params,
                 prompt_padded,
                 ctx["cross_kv"],
@@ -148,7 +149,13 @@ class WhisperGenerator:
                 dtype=dtype,
             )
             cache["index"] = prompt_len - 1
-            return cache
+            # logits at the final prompt position predict the first generated
+            # token — the slot the no-speech probability is read from (HF
+            # WhisperNoSpeechDetection at begin_index)
+            first_logits = jax.lax.dynamic_slice_in_dim(
+                logits, prompt_len - 1, 1, axis=1
+            )[:, 0]
+            return cache, first_logits
 
         self._encode = _encode
         self._cross_kv_fn = _cross_kv
@@ -195,9 +202,12 @@ class WhisperGenerator:
         attention_mask: Optional[np.ndarray],
         opts: GenerationOptions,
         return_timestamps: bool,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Prefill the prompt, run beam/greedy to max_target_positions; returns
-        (full sequences incl. prompt [B, max_len], scores [B])."""
+        temperature: float = 0.0,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Prefill the prompt, run beam/greedy/sampling to
+        max_target_positions; returns (full sequences incl. prompt
+        [B, max_len], scores [B], no_speech_probs [B])."""
         batch, plen = decoder_input_ids.shape
         max_length = opts.max_target_positions
         bucket = self._bucket(plen)
@@ -212,14 +222,35 @@ class WhisperGenerator:
         opts_ts = dataclasses.replace(opts, return_timestamps=return_timestamps)
         processors = self._processors(opts_ts, begin_index=plen)
 
-        K = opts.num_beams
+        # sampling retries run single-hypothesis (HF's fallback ladder sets
+        # do_sample=True, which drops beam search)
+        use_sampling = temperature > 0.0
+        K = 1 if use_sampling else opts.num_beams
         reps = K if K > 1 else 1
         ctx = self._make_ctx(cross_kv, pmask, max_length, reps)
         prompt_padded = jnp.asarray(np.repeat(padded, reps, axis=0))
-        cache = self._prefill(prompt_padded, plen, ctx, max_length)
+        cache, first_logits = self._prefill(prompt_padded, plen, ctx, max_length)
+        no_speech_probs = np.asarray(
+            jax.nn.softmax(first_logits.astype(jnp.float32), -1)[
+                ::reps, opts.no_speech_token_id
+            ]
+        )
 
         prompt_dev = jnp.asarray(decoder_input_ids.astype(np.int32))
-        if K > 1:
+        if K == 1:
+            seqs, scores = greedy_search(
+                self._decode_step,
+                prompt_dev,
+                cache,
+                ctx,
+                processors,
+                max_length=max_length,
+                pad_token_id=opts.pad_token_id,
+                eos_token_id=opts.eos_token_id,
+                temperature=float(temperature),
+                rng=rng,
+            )
+        else:
             seqs, scores = beam_search(
                 self._decode_step,
                 prompt_dev,
@@ -232,18 +263,7 @@ class WhisperGenerator:
                 pad_token_id=opts.pad_token_id,
                 eos_token_id=opts.eos_token_id,
             )
-        else:
-            seqs, scores = greedy_search(
-                self._decode_step,
-                prompt_dev,
-                cache,
-                ctx,
-                processors,
-                max_length=max_length,
-                pad_token_id=opts.pad_token_id,
-                eos_token_id=opts.eos_token_id,
-            )
-        return np.asarray(seqs), np.asarray(scores)
+        return np.asarray(seqs), np.asarray(scores), no_speech_probs
 
     # ------------------------------------------------------------- shortform
 
@@ -276,7 +296,7 @@ class WhisperGenerator:
         mel = jnp.asarray(self._pad_segment(input_features))
         enc = self._encode(mel)
         cross_kv = self._cross_kv_fn(enc)
-        seqs, _ = self._decode_prompted(
+        seqs, _, _ = self._decode_prompted(
             cross_kv, decoder_ids, None, opts, return_timestamps=opts.return_timestamps
         )
         return strip_prompt(seqs, len(prompt_ids))
@@ -358,12 +378,16 @@ class WhisperGenerator:
             enc = self._encode(mel)
             cross_kv = self._cross_kv_fn(enc)
 
-            seqs, scores, needs_fallback = self._generate_with_fallback(
+            seqs, scores, should_skip = self._generate_with_fallback(
                 cross_kv, decoder_ids, attn, opts, condition_flags, active
             )
 
             plen = decoder_ids.shape[1]
             for row, i in enumerate(active):
+                if should_skip[row]:
+                    # silence detected: drop the segment, advance the window
+                    seek[i] += seek_num_frames[i]
+                    continue
                 seek_seq = self._trim_generated(seqs[row, plen:], opts)
                 segments, segment_offset = self._retrieve_segment(
                     seek_seq,
@@ -387,36 +411,48 @@ class WhisperGenerator:
 
     def _generate_with_fallback(self, cross_kv, decoder_ids, attn, opts, condition_flags, active):
         """Temperature fallback ladder (pba_whisper.py:425-442 → HF
-        ``generate_with_fallback``).  With the reference's flagship settings
-        (temperature=0, no thresholds) this is a single pass."""
-        seqs = scores = None
-        needs_fallback = [False] * len(active)
+        ``generate_with_fallback``): retry with increasing sampling
+        temperature while the output is repetitive (zlib compression ratio)
+        or low-confidence (mean logprob); a segment whose no-speech
+        probability exceeds the threshold with low logprob is SKIPPED.  With
+        the reference's flagship settings (temperature=0, no thresholds)
+        this is a single deterministic pass."""
+        seqs = scores = no_speech = None
+        plen = decoder_ids.shape[1]
+        should_skip = [False] * len(active)
         for ti, temperature in enumerate(opts.temperature):
-            # NOTE: temperatures > 0 would require sampling; the reference's
-            # eval path uses do_sample=False with temperature 0/ladder where
-            # fallback re-runs beam/greedy (HF does the same for do_sample=False).
-            seqs, scores = self._decode_prompted(
-                cross_kv, decoder_ids, attn, opts, return_timestamps=opts.return_timestamps
+            seqs, scores, no_speech = self._decode_prompted(
+                cross_kv, decoder_ids, attn, opts,
+                return_timestamps=opts.return_timestamps,
+                temperature=float(temperature or 0.0),
+                rng=jax.random.PRNGKey(ti),
             )
-            plen = decoder_ids.shape[1]
             needs_fallback = []
+            should_skip = []
             for row in range(seqs.shape[0]):
                 gen = self._trim_generated(seqs[row, plen:], opts)
-                fallback = False
+                avg_lp = float(scores[row]) / max(len(gen) + 1, 1)
+                fallback, skip = False, False
                 if opts.compression_ratio_threshold is not None:
                     if _compression_ratio(gen) > opts.compression_ratio_threshold:
                         fallback = True
                 if opts.logprob_threshold is not None and opts.num_beams == 1:
-                    avg_lp = scores[row] / max(len(gen), 1)
                     if avg_lp < opts.logprob_threshold:
                         fallback = True
+                if opts.no_speech_threshold is not None:
+                    if float(no_speech[row]) > opts.no_speech_threshold and (
+                        opts.logprob_threshold is None or avg_lp < opts.logprob_threshold
+                    ):
+                        fallback = False
+                        skip = True
                 needs_fallback.append(fallback)
-                if fallback and temperature is not None and ti == len(opts.temperature) - 1:
+                should_skip.append(skip)
+                if fallback and ti == len(opts.temperature) - 1:
                     # exhausted the ladder: keep result, disable conditioning
                     condition_flags[active[row]] = False
             if not any(needs_fallback):
                 break
-        return seqs, scores, needs_fallback
+        return seqs, scores, should_skip
 
     @staticmethod
     def _trim_generated(tokens: np.ndarray, opts: GenerationOptions) -> List[int]:

@@ -137,3 +137,36 @@ def test_run_test_entity_recall(cb):
     results = cb.run_test(dataset, mel_fn, num_bootstraps=20)
     assert 0.0 <= results["Entity Recall"] <= 1.0
     assert results["Entity Recall LB"] <= results["Entity Recall UB"]
+
+
+def test_temperature_fallback_ladder(cb):
+    """A very low compression-ratio threshold forces retries up the ladder
+    (HF generate_with_fallback semantics); the driver must still terminate
+    and produce a transcript."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((1, 8, 130), dtype=np.float32)
+    opts = dataclasses.replace(
+        cb.opts,
+        num_beams=1,
+        temperature=(0.0, 0.7),
+        compression_ratio_threshold=0.01,  # everything "too repetitive"
+    )
+    out = cb.generator.generate(mel, opts, keyword_spotting=None, return_segments=True)
+    assert isinstance(out, dict) and out["sequences"].shape[0] == 1
+
+
+def test_no_speech_skip(cb):
+    """no_speech_threshold=-1 with no logprob threshold skips every segment:
+    the transcript comes back empty."""
+    import dataclasses
+
+    rng = np.random.default_rng(6)
+    mel = rng.standard_normal((1, 8, 130), dtype=np.float32)
+    opts = dataclasses.replace(
+        cb.opts, num_beams=1, no_speech_threshold=-1.0, no_speech_token_id=50
+    )
+    out = cb.generator.generate(mel, opts, return_segments=True)
+    assert out["segments"][0] == []
+    assert out["sequences"].shape[1] == 0

@@ -97,7 +97,7 @@ def test_decode_matches_hf(tiny, num_beams, prompt):
 
     enc = gen._encode(mel)
     cross_kv = gen._cross_kv_fn(enc)
-    got, _ = gen._decode_prompted(cross_kv, prompt_np, None, opts, return_timestamps=False)
+    got, _, _ = gen._decode_prompted(cross_kv, prompt_np, None, opts, return_timestamps=False)
 
     # HF pads to its own length; compare the valid region (pad id 0 after eos)
     want_t = want[0].tolist()
