@@ -1,0 +1,53 @@
+"""Host↔device pipelining: background prefetch of host-side work.
+
+The north-star calls for host audio decode pipelined against TPU compute:
+while the device transcribes utterance N, a worker thread decodes,
+resamples, and featurizes utterance N+1 (the reference does all of this
+serially inside ``__getitem__``, SURVEY.md §3.1 hot loop).
+
+:class:`PrefetchIterator` wraps any iterable with a bounded queue fed from
+a daemon thread — exceptions propagate to the consumer at the matching
+position.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+_SENTINEL = object()
+
+
+class PrefetchIterator(Iterator[T]):
+    def __init__(self, iterable: Iterable[T], depth: int = 2):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._iterable = iterable
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for item in self._iterable:
+                self._queue.put(("item", item))
+        except BaseException as e:  # re-raised on the consumer side
+            self._queue.put(("error", e))
+        finally:
+            self._queue.put(("done", _SENTINEL))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> T:
+        kind, payload = self._queue.get()
+        if kind == "item":
+            return payload
+        if kind == "error":
+            raise payload
+        raise StopIteration
+
+
+def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
+    return PrefetchIterator(iterable, depth)

@@ -121,7 +121,12 @@ class CBWhisper:
             self._catalog_dev = device_put_catalog(
                 self.catalog, out_h=self.config.kws_features_size[0], chunk=8
             )
-        stacks = self._kws_stack(jnp.asarray(input_features, jnp.float32))
+        try:
+            stacks = self._kws_stack(jnp.asarray(input_features, jnp.float32))
+        except Exception as e:  # failed segments yield no keywords, like the
+            # reference's try/except around its encoder (cb_whisper.py:99-108)
+            print(f"keyword spotting encoder failed: {e}")
+            return [[] for _ in range(input_features.shape[0])]
         out = []
         n = self.catalog.num_keywords
         for seg_idx in range(stacks.shape[0]):
@@ -200,10 +205,19 @@ class CBWhisper:
         """Evaluate entity recall over an eval dataset
         (cb_whisper.py:212-289).  ``mel_fn(item) -> (features, attention_mask)``
         supplies the log-mel input (precomputed or from audio)."""
+        from ..audio.prefetch import prefetch
+
         rng = rng or np.random.default_rng(0)
         preds, refs, mentions, speakers = [], [], [], []
-        for idx in range(len(dataset)):
-            item = dataset[idx]
+
+        def _decoded_items():
+            # host audio decode + featurization pipelined against the device
+            # transcription of the previous utterance
+            for idx in range(len(dataset)):
+                item = dataset[idx]
+                yield item, mel_fn(item)
+
+        for item, (features, attention_mask) in prefetch(_decoded_items(), depth=2):
             labels = np.asarray(item["hotword_labels"])
             if self.config.oracle == "gold":
                 oracle = [self.catalog.keywords[i] for i in np.nonzero(labels)[0]]
@@ -214,7 +228,6 @@ class CBWhisper:
             else:
                 oracle = []
 
-            features, attention_mask = mel_fn(item)
             preds.append(self.forward(features, attention_mask, oracle))
             refs.append(item["transcript"])
             if item.get("keywords") is not None:

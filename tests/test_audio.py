@@ -87,3 +87,18 @@ def test_prepare_features_longform():
     feats, mask = prepare_features(audio)
     assert feats.shape[-1] > N_FRAMES
     assert mask.shape[-1] == feats.shape[-1]
+
+
+def test_prefetch_iterator():
+    from enhance_cb_whisper_tpu.audio.prefetch import prefetch
+
+    assert list(prefetch(range(10), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("decode failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)
