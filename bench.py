@@ -113,13 +113,18 @@ def bench_reference_cpu(stacks, utt, n_sample=4):
 
 
 def main():
+    import os
+
     rng = np.random.default_rng(0)
     stacks = _make_stacks(rng, N_KEYWORDS)
     t_u = 750
     utt = rng.standard_normal((N_LAYERS, t_u, DIM), dtype=np.float32)
     utt /= np.linalg.norm(utt, axis=-1, keepdims=True)
 
-    ours = bench_tpu(stacks, utt)
+    # fp32 by default: measured 1669 kw/s fp32 vs 2039 kw/s bf16 on v5e, but
+    # the bf16 program takes ~35 min to compile through the remote-compile
+    # relay vs ~5 min for fp32 — not worth the risk in a timed harness
+    ours = bench_tpu(stacks, utt, dtype=os.environ.get("ECW_BENCH_DTYPE", "float32"))
     try:
         baseline = bench_reference_cpu(stacks, utt)
     except Exception:
