@@ -468,3 +468,60 @@ class EfficientKWSDataMod:
 
     def test_dataloader(self):
         return self._loader_cls(self.test_dataset, batch_size=1, collate_fn=lambda x: x[0])
+
+
+def chunk_stride(
+    features: np.ndarray,  # [n_layers, T, D]
+    mask: np.ndarray,  # [n_layers, T]
+    ctx_window: int,
+    chunk_size: int,
+    condensed_dimension: str = "time",
+):
+    """Chunk-striding infrastructure for sequence condensers
+    (``process_keyword``/``process_utterance``, reference dataset.py:43-207):
+    pad/truncate to ``ctx_window``, then unfold either the time or the
+    embedding dimension into non-overlapping chunks with positional indices.
+
+    Returns ``{strided, mask_strided, position_strided}`` with layouts
+    matching the reference's ``sru_*`` tensors:
+      * ``condensed_dimension='time'``       → [L, n_chunks, chunk, D]
+      * ``condensed_dimension='embeddings'`` → [L, n_chunks, chunk, ctx_window]
+
+    The shipped models never consume these (the ``sru_*`` config names are
+    vestigial, SURVEY.md §2.5); kept so condenser research on top of this
+    framework has the same entry point.
+    """
+    n_layers, t, d = features.shape
+    if ctx_window - t >= 0:
+        pad = ctx_window - t
+        mask = np.concatenate([mask[:, :t], np.zeros((n_layers, pad), mask.dtype)], axis=1)
+        features = np.concatenate(
+            [features, np.zeros((n_layers, pad, d), features.dtype)], axis=1
+        )
+    else:
+        features = features[:, :ctx_window, :]
+        mask = np.ones((n_layers, ctx_window), mask.dtype)
+
+    if condensed_dimension == "time":
+        n_chunks = ctx_window // chunk_size
+        strided = features[:, : n_chunks * chunk_size].reshape(
+            n_layers, n_chunks, chunk_size, d
+        )
+        mask_strided = mask[:, : n_chunks * chunk_size].reshape(
+            n_layers, n_chunks, chunk_size
+        )
+        condensed = chunk_size
+    else:  # embeddings/frames: unfold the embedding dim
+        n_chunks = d // chunk_size
+        strided = (
+            features[:, :, : n_chunks * chunk_size]
+            .reshape(n_layers, ctx_window, n_chunks, chunk_size)
+            .transpose(0, 2, 3, 1)
+        )
+        mask_strided = mask[:, None, :]
+        condensed = chunk_size
+
+    position = np.broadcast_to(
+        np.arange(condensed)[None, None, :], (n_layers, n_chunks, condensed)
+    ).copy()
+    return {"strided": strided, "mask_strided": mask_strided, "position_strided": position}

@@ -135,3 +135,22 @@ def test_lef_train_step_with_batchstats(mls_root):
         {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(0),
     )
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_chunk_stride_time_and_embeddings():
+    from enhance_cb_whisper_tpu.efficient_kws.data import chunk_stride
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 30, 16), dtype=np.float32)
+    mask = np.ones((2, 30), np.float32)
+
+    out = chunk_stride(feats, mask, ctx_window=40, chunk_size=10, condensed_dimension="time")
+    assert out["strided"].shape == (2, 4, 10, 16)
+    assert out["mask_strided"].shape == (2, 4, 10)
+    assert out["mask_strided"][:, 3].sum() == 0  # padded tail chunk
+    np.testing.assert_array_equal(out["strided"][:, 0], feats[:, :10])
+
+    out = chunk_stride(feats, mask, ctx_window=20, chunk_size=4,
+                       condensed_dimension="embeddings")
+    assert out["strided"].shape == (2, 4, 4, 20)
+    assert out["position_strided"].shape == (2, 4, 4)
