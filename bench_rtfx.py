@@ -1,0 +1,103 @@
+"""Supplementary benchmark: longform CB-Whisper real-time factor on TPU.
+
+End-to-end flagship path on synthetic audio: mel → encoder → per-segment
+keyword spotting over a catalog → biased prompt → greedy longform decode
+with condition-on-prev.  Whisper-tiny dimensions with random weights (the
+shapes and program structure match real checkpoints; only the tokens
+decoded differ), 100-keyword catalog.
+
+Prints one JSON line: {"metric": "cb_whisper_rtfx", ...} — seconds of audio
+transcribed per wall-clock second (the reference never measured throughput,
+BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from enhance_cb_whisper_tpu.catalog import KeywordCatalog
+    from enhance_cb_whisper_tpu.decoding import GenerationOptions
+    from enhance_cb_whisper_tpu.models import ResNetConfig
+    from enhance_cb_whisper_tpu.models.cb_whisper import CBWhisper, CBWhisperConfig
+    from enhance_cb_whisper_tpu.models.kws import KWSModel
+    from enhance_cb_whisper_tpu.models.whisper import WhisperConfig, init_whisper_params
+    from enhance_cb_whisper_tpu.ops.mel import log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    config = WhisperConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=384,
+        encoder_layers=4, encoder_attention_heads=6,
+        decoder_layers=4, decoder_attention_heads=6,
+        encoder_ffn_dim=1536, decoder_ffn_dim=1536,
+        max_source_positions=1500, max_target_positions=448,
+    )
+    params = init_whisper_params(rng, config)
+
+    n_kw, n_slabs = 100, 4
+    stacks = [
+        rng.standard_normal((n_slabs, int(rng.integers(4, 20)), config.d_model)).astype(np.float32)
+        for _ in range(n_kw)
+    ]
+    stacks = [s / np.linalg.norm(s, axis=-1, keepdims=True) for s in stacks]
+    catalog = KeywordCatalog.from_arrays([f"kw{i}" for i in range(n_kw)], stacks, group_size=50)
+
+    kws_cfg = ResNetConfig.from_version("resnet-18", num_channels=n_slabs)
+    kws = KWSModel(kws_cfg)
+    kws_vars = kws.init(jax.random.PRNGKey(0), np.zeros((1, n_slabs, 150, 750), np.float32))
+
+    opts = GenerationOptions(
+        num_beams=1, return_timestamps=True, condition_on_prev_tokens=True,
+    )
+
+    module = CBWhisper(
+        config=CBWhisperConfig(),
+        whisper_config=config,
+        whisper_params=params,
+        kws_model=kws,
+        kws_variables=kws_vars,
+        catalog=catalog,
+        generation_options=opts,
+        prompt_ids_fn=lambda text: [50361] + [100 + (ord(c) % 1000) for c in text][:8],
+        decode_fn=lambda toks: " ".join(map(str, toks)),
+        kws_layer_slice=(1, 5),
+    )
+
+    seconds = 120
+    audio = (rng.standard_normal(16000 * seconds) * 0.05).astype(np.float32)
+    from enhance_cb_whisper_tpu.ops.mel import HOP_LENGTH
+
+    target = ((audio.size + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
+    padded = np.zeros((target,), np.float32)
+    padded[: audio.size] = audio
+    mel = np.asarray(log_mel_spectrogram(padded[None]))
+
+    # warm up all compile paths with a short clip
+    t0 = time.perf_counter()
+    module.forward(mel[:, :, : 2 * 3000])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    module.forward(mel)
+    wall = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "cb_whisper_longform_rtfx",
+                "value": round(seconds / wall, 2),
+                "unit": "x realtime",
+                "vs_baseline": None,
+                "compile_seconds": round(compile_s, 1),
+                "wall_seconds": round(wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
