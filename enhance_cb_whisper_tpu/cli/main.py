@@ -127,6 +127,7 @@ def _run_paper1(subcommand: str, config: Dict[str, Any]):
             early_stopping=_early_stopping(config),
             monitors=_monitors(config),
             limit_train_batches=get(config, "trainer.limit_train_batches"),
+            resume_from=config.get("ckpt_path"),
         )
 
     ckpt_path = config.get("ckpt_path")

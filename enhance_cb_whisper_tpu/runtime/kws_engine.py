@@ -217,9 +217,23 @@ class KWSEngine:
         early_stopping: Optional[EarlyStopping] = None,
         monitors: Optional[Dict[str, str]] = None,
         limit_train_batches: Optional[int] = None,
+        resume_from: Optional[str] = None,
     ):
         datamodule.setup("fit")
         state = self.init_state()
+        start_epoch = 0
+        if resume_from is not None:  # Lightning's ckpt_path resume
+            from .checkpoint import load_checkpoint
+
+            ckpt, meta = load_checkpoint(
+                resume_from,
+                template={"params": state.params, "batch_stats": state.batch_stats,
+                          "epoch": 0},
+            )
+            state.params = ckpt["params"]
+            state.batch_stats = ckpt["batch_stats"]
+            start_epoch = int(ckpt.get("epoch", meta.get("epoch", -1))) + 1
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
         kws, disc, tx = self._models
         step_fn = make_train_step(self.config, kws, disc, tx)
         manager = CheckpointManager(
@@ -231,7 +245,7 @@ class KWSEngine:
         params, stats, opt_state = state.params, state.batch_stats, state.opt_state
 
         global_step = 0
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             state.epoch = epoch
             opt_state = update_epoch_lr(self.config, state, opt_state)
             if self.config.adversarial_training or self.config.entropy:

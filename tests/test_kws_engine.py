@@ -98,3 +98,18 @@ def test_scores_match_reference_group_features(datamodule, root):
     want = np.concatenate(want) * np.asarray(item["hotword_mask"], np.float32)
     got = probs * np.asarray(item["hotword_mask"], np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fit_resume(tmp_path, datamodule):
+    engine = KWSEngine(
+        KWSTrainConfig(learning_rate=1e-3),
+        resnet_config=TINY,
+        features_size=(32, 48),
+        ckpt_dir=str(tmp_path / "ckpt_resume"),
+    )
+    engine.fit(datamodule, max_epochs=1, limit_train_batches=1)
+    state = engine.fit(
+        datamodule, max_epochs=3, limit_train_batches=1,
+        resume_from=str(tmp_path / "ckpt_resume" / "final"),
+    )
+    assert state.epoch == 2  # resumed at 1, ran epochs 1..2
