@@ -11,7 +11,7 @@ torch when it is importable, so existing caches keep working.
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 

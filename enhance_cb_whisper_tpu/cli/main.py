@@ -229,7 +229,6 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
     import transformers
 
     from ..audio import load_audio_16k, prepare_features
-    from ..catalog.store import load_hidden_states
     from ..data.datamodule import KWSDataMod
     from ..models.cb_whisper import CBWhisper, CBWhisperConfig
     from ..models.kws import KWSModel

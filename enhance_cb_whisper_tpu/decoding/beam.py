@@ -22,9 +22,9 @@ in the decode loop.
 
 from __future__ import annotations
 
-import dataclasses
+
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

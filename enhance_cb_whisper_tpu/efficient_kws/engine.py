@@ -21,8 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ The entity-recall scorer consumes only the FIRST sentence of each transcript
 from __future__ import annotations
 
 import re
-import sys
 import unicodedata
 from typing import List, NamedTuple
 

@@ -20,7 +20,7 @@ HF's WhisperFeatureExtractor.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
