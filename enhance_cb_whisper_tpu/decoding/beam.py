@@ -66,7 +66,9 @@ def _gather_beams(tree: Any, beam_idx: jax.Array, batch: int, beams: int) -> Any
 )
 def beam_search(
     decode_fn: DecodeFn,
-    prompt: jax.Array,  # [B, P] decoder input ids (prefix, no padding)
+    prompt: jax.Array,  # [B, bucket] decoder input ids, right-padded with pad id
+    prompt_len,  # TRACED scalar: true prompt length (bucketing avoids
+    #              a recompile per longform segment as prompts grow)
     cache: Any,  # cache pytree with leading dim B*K, prefilled with the prompt
     ctx: Any,  # per-segment decode context (cross KV etc.), leading dim B*K
     processors: LogitsProcessorConfig,
@@ -80,14 +82,16 @@ def beam_search(
     """Returns (sequences [B, max_length] right-padded, scores [B]).
 
     ``cache`` must already contain the prompt prefill for each of the B*K
-    beam rows (identical across beams), with ``cache['index'] == P``.
+    beam rows (identical across beams), positioned at ``prompt_len - 1``.
     """
-    batch, prompt_len = prompt.shape
+    batch, bucket = prompt.shape
     K = num_beams
     V = processors.vocab_size
+    prompt_len = jnp.asarray(prompt_len, jnp.int32)
 
     tokens = jnp.full((batch, K, max_length), pad_token_id, dtype=jnp.int32)
-    tokens = tokens.at[:, :, :prompt_len].set(prompt[:, None, :])
+    # the bucket's pad tail is overwritten as generation reaches those slots
+    tokens = tokens.at[:, :, :bucket].set(prompt[:, None, :])
 
     running_scores = jnp.tile(
         jnp.array([0.0] + [NEG_INF] * (K - 1), dtype=jnp.float32)[None, :], (batch, 1)
@@ -97,7 +101,7 @@ def beam_search(
     finished_flags = jnp.zeros((batch, K), dtype=bool)
 
     init_state = (
-        jnp.asarray(prompt_len, jnp.int32),  # cur_len
+        prompt_len,  # cur_len
         tokens,
         running_scores,
         cache,
@@ -118,7 +122,8 @@ def beam_search(
         logits, new_cache = decode_fn(last.reshape(batch * K, 1), cache, ctx)
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logprobs = apply_logits_processors(
-            processors, logprobs, tokens.reshape(batch * K, max_length), cur_len
+            processors, logprobs, tokens.reshape(batch * K, max_length), cur_len,
+            prompt_len,
         ).reshape(batch, K, V)
 
         total = logprobs + running_scores[:, :, None]  # [B, K, V]
@@ -212,7 +217,8 @@ def beam_search(
 )
 def greedy_search(
     decode_fn: DecodeFn,
-    prompt: jax.Array,  # [B, P]
+    prompt: jax.Array,  # [B, bucket] right-padded with pad id
+    prompt_len,  # TRACED scalar: true prompt length
     cache: Any,  # prefilled, leading dim B
     ctx: Any,  # per-segment decode context
     processors: LogitsProcessorConfig,
@@ -232,13 +238,14 @@ def greedy_search(
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    batch, prompt_len = prompt.shape
+    batch, bucket = prompt.shape
     V = processors.vocab_size
+    prompt_len = jnp.asarray(prompt_len, jnp.int32)
     tokens = jnp.full((batch, max_length), pad_token_id, dtype=jnp.int32)
-    tokens = tokens.at[:, :prompt_len].set(prompt)
+    tokens = tokens.at[:, :bucket].set(prompt)
 
     init = (
-        jnp.asarray(prompt_len, jnp.int32),
+        prompt_len,
         tokens,
         cache,
         jnp.zeros((batch,), jnp.float32),  # sum logprobs
@@ -254,7 +261,9 @@ def greedy_search(
         cur_len, tokens, cache, sum_lp, n_gen, finished = state
         last = jax.lax.dynamic_slice_in_dim(tokens, cur_len - 1, 1, axis=1)
         logits, cache = decode_fn(last, cache, ctx)
-        processed = apply_logits_processors(processors, logits.astype(jnp.float32), tokens, cur_len)
+        processed = apply_logits_processors(
+            processors, logits.astype(jnp.float32), tokens, cur_len, prompt_len
+        )
         if temperature > 0.0:
             next_tok = jax.random.categorical(
                 jax.random.fold_in(rng, cur_len), processed / temperature, axis=-1

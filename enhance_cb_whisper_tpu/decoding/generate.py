@@ -183,11 +183,10 @@ class WhisperGenerator:
         kv = jax.tree.map(lambda x: jnp.repeat(x, reps, axis=0), cross_kv)
         return {"cross_kv": kv, "attn_mask": attn_t}
 
-    def _processors(self, opts: GenerationOptions, begin_index: int) -> LogitsProcessorConfig:
+    def _processors(self, opts: GenerationOptions) -> LogitsProcessorConfig:
         return LogitsProcessorConfig(
             suppress_tokens=tuple(opts.suppress_tokens),
             begin_suppress_tokens=tuple(opts.begin_suppress_tokens),
-            begin_index=begin_index,
             no_timestamps_token_id=opts.no_timestamps_token_id,
             max_initial_timestamp_index=opts.max_initial_timestamp_index,
             return_timestamps=opts.return_timestamps,
@@ -210,7 +209,7 @@ class WhisperGenerator:
         [B, max_len], scores [B], no_speech_probs [B])."""
         batch, plen = decoder_input_ids.shape
         max_length = opts.max_target_positions
-        bucket = self._bucket(plen)
+        bucket = min(self._bucket(plen), max_length)
         padded = np.full((batch, bucket), opts.pad_token_id, dtype=np.int32)
         padded[:, :plen] = decoder_input_ids
         pmask = (
@@ -220,7 +219,7 @@ class WhisperGenerator:
         )
 
         opts_ts = dataclasses.replace(opts, return_timestamps=return_timestamps)
-        processors = self._processors(opts_ts, begin_index=plen)
+        processors = self._processors(opts_ts)
 
         # sampling retries run single-hypothesis (HF's fallback ladder sets
         # do_sample=True, which drops beam search)
@@ -236,11 +235,12 @@ class WhisperGenerator:
             ]
         )
 
-        prompt_dev = jnp.asarray(decoder_input_ids.astype(np.int32))
+        prompt_dev = jnp.asarray(padded)
         if K == 1:
             seqs, scores = greedy_search(
                 self._decode_step,
                 prompt_dev,
+                plen,
                 cache,
                 ctx,
                 processors,
@@ -254,6 +254,7 @@ class WhisperGenerator:
             seqs, scores = beam_search(
                 self._decode_step,
                 prompt_dev,
+                plen,
                 cache,
                 ctx,
                 processors,

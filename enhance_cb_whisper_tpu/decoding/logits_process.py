@@ -34,9 +34,12 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 @dataclasses.dataclass(frozen=True)
 class LogitsProcessorConfig:
+    """Static processor configuration.  The begin index (first generated
+    position) is passed per call as a TRACED value so prompts of any length
+    share one compiled program (longform prompts grow every segment)."""
+
     suppress_tokens: Tuple[int, ...] = ()
     begin_suppress_tokens: Tuple[int, ...] = ()
-    begin_index: int = 0  # index of the first *generated* position
     no_timestamps_token_id: Optional[int] = None  # timestamps start at +1
     max_initial_timestamp_index: Optional[int] = 50
     return_timestamps: bool = False
@@ -63,6 +66,7 @@ def apply_logits_processors(
     logits: jax.Array,  # [B, vocab] raw logits for the next position
     tokens: jax.Array,  # [B, L] all tokens so far (prompt + generated, padded ahead)
     cur_len: jax.Array,  # scalar: number of valid tokens in ``tokens``
+    begin_index: jax.Array,  # scalar: index of the first generated position
 ) -> jax.Array:
     """Apply the processor stack; returns processed logits."""
     vocab = cfg.vocab_size
@@ -71,7 +75,7 @@ def apply_logits_processors(
     logits = _suppress(logits, cfg.suppress_tokens, vocab)
 
     if len(cfg.begin_suppress_tokens) > 0:
-        at_begin = cur_len == cfg.begin_index
+        at_begin = cur_len == begin_index
         mask = np.zeros((vocab,), dtype=bool)
         mask[np.asarray(cfg.begin_suppress_tokens, dtype=np.int64)] = True
         logits = jnp.where(
@@ -79,12 +83,13 @@ def apply_logits_processors(
         )
 
     if cfg.return_timestamps and cfg.no_timestamps_token_id is not None:
-        logits = _timestamp_rules(cfg, logits, tokens, cur_len)
+        logits = _timestamp_rules(cfg, logits, tokens, cur_len, begin_index)
     return logits
 
 
 def _timestamp_rules(
-    cfg: LogitsProcessorConfig, logits: jax.Array, tokens: jax.Array, cur_len: jax.Array
+    cfg: LogitsProcessorConfig, logits: jax.Array, tokens: jax.Array, cur_len: jax.Array,
+    begin_index: jax.Array,
 ) -> jax.Array:
     ts_begin = cfg.timestamp_begin
     vocab = cfg.vocab_size
@@ -96,7 +101,7 @@ def _timestamp_rules(
     logits = jnp.where(vocab_ids == cfg.no_timestamps_token_id, NEG_INF, logits)
 
     # how many tokens were generated after begin_index
-    n_generated = cur_len - cfg.begin_index
+    n_generated = cur_len - begin_index
 
     pos = jnp.arange(L)[None, :]
     last_tok = jnp.where(pos == cur_len - 1, tokens, 0).sum(axis=1)
@@ -117,7 +122,7 @@ def _timestamp_rules(
 
     # timestamps are non-decreasing relative to the LAST generated timestamp:
     # ban [ts_begin, last_ts) after a single ts, [ts_begin, last_ts + 1) else
-    gen_mask = jnp.logical_and(pos >= cfg.begin_index, pos < cur_len)
+    gen_mask = jnp.logical_and(pos >= begin_index, pos < cur_len)
     is_gen_ts = jnp.logical_and(gen_mask, tokens >= ts_begin)
     last_ts_pos = jnp.where(is_gen_ts, pos, -1).max(axis=1)  # -1 if none
     has_ts = last_ts_pos >= 0
@@ -129,7 +134,7 @@ def _timestamp_rules(
     logits = jnp.where(ban_lower, NEG_INF, logits)
 
     # first generated token: force a timestamp, capped at max_initial_timestamp
-    at_begin = cur_len == cfg.begin_index
+    at_begin = cur_len == begin_index
     ban_first_text = jnp.logical_not(is_ts_col)
     if cfg.max_initial_timestamp_index is not None:
         last_allowed = ts_begin + cfg.max_initial_timestamp_index
