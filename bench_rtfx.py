@@ -76,9 +76,10 @@ def main():
     padded[: audio.size] = audio
     mel = np.asarray(log_mel_spectrogram(padded[None]))
 
-    # warm up all compile paths with a short clip
+    # warm up every compile path (incl. all prompt-length buckets the
+    # growing condition-on-prev context will hit) with the same clip
     t0 = time.perf_counter()
-    module.forward(mel[:, :, : 2 * 3000])
+    module.forward(mel)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
