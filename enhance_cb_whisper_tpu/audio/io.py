@@ -67,9 +67,34 @@ def resample(waveform: np.ndarray, orig_sr: int, target_sr: int = SAMPLE_RATE) -
         return resample_poly(waveform, target_sr // g, orig_sr // g).astype(np.float32)
 
 
+def _ffmpeg_decode(path: str, target_sr: int) -> np.ndarray:
+    """Decode any format ffmpeg knows (mp3/opus/... — the MLS corpora ship
+    opus) to 16 kHz mono float32 via a subprocess pipe."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"cannot decode {path}: not a WAV file and no ffmpeg binary on "
+            "PATH (the reference requires ffmpeg for mp3/opus too, README:18)"
+        )
+    out = subprocess.run(
+        [
+            "ffmpeg", "-nostdin", "-threads", "0", "-i", path,
+            "-f", "f32le", "-ac", "1", "-acodec", "pcm_f32le",
+            "-ar", str(target_sr), "-",
+        ],
+        capture_output=True,
+        check=True,
+    )
+    return np.frombuffer(out.stdout, np.float32).copy()
+
+
 def load_audio_16k(path: str) -> np.ndarray:
-    wav, sr = read_wav(path)
-    return resample(wav, sr, SAMPLE_RATE)
+    if path.lower().endswith(".wav"):
+        wav, sr = read_wav(path)
+        return resample(wav, sr, SAMPLE_RATE)
+    return _ffmpeg_decode(path, SAMPLE_RATE)
 
 
 def prepare_features(

@@ -9,7 +9,7 @@ pooled features (fed to the domain discriminator) and optionally the CE loss.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -24,6 +24,14 @@ class KWSOutput:
 
     logits: jax.Array
     features: jax.Array
+    loss: Optional[jax.Array] = None
+
+
+class DiscOutput(NamedTuple):
+    """Mirror of the reference discriminator output (src/model/utils.py:12-15);
+    a NamedTuple so existing ``logits, loss = disc(...)`` unpacking works."""
+
+    logits: jax.Array
     loss: Optional[jax.Array] = None
 
 
@@ -130,7 +138,7 @@ class Discriminator(nn.Module):
         x = grad_reverse(input_features, beta) if use_grad_reverse else input_features
         logits = self.head(x, train=train)
         loss = cross_entropy(logits, labels) if labels is not None else None
-        return logits, loss
+        return DiscOutput(logits=logits, loss=loss)
 
 
 def entropy_loss(logits: jax.Array) -> jax.Array:
