@@ -97,6 +97,7 @@ class WhisperGenerator:
         params: Dict[str, Any],
         dtype: Any = jnp.float32,
         prompt_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 448),
+        use_flash: bool = False,
     ):
         self.config = config
         self.params = jax.tree.map(jnp.asarray, params)
@@ -110,7 +111,7 @@ class WhisperGenerator:
 
         @jax.jit
         def _encode(mel):
-            enc, _ = encoder_forward(params, mel, cfg, dtype=dtype)
+            enc, _ = encoder_forward(params, mel, cfg, dtype=dtype, use_flash=use_flash)
             return enc
 
         @jax.jit

@@ -279,6 +279,7 @@ def encoder_kws_stack(
     layer_slice: Tuple[int, int] = (10, 22),
     valid_frames: Optional[jax.Array] = None,
     dtype: Any = jnp.float32,
+    use_flash: bool = False,
 ) -> jax.Array:
     """The KWS embedding producer: hidden_states[lo:hi], L2-normalized over
     the embedding dim (reference src/utils.py:188-195, cb_whisper.py:100-106).
@@ -288,7 +289,8 @@ def encoder_kws_stack(
     ceil(unpadded/2); zero-padding keeps the shape static for XLA).
     """
     _, states = encoder_forward(
-        params, input_features, config, output_hidden_states=True, dtype=dtype
+        params, input_features, config, output_hidden_states=True, dtype=dtype,
+        use_flash=use_flash,
     )
     lo, hi = layer_slice
     stack = jnp.transpose(states[lo:hi], (1, 0, 2, 3)).astype(jnp.float32)
