@@ -179,11 +179,12 @@ class EfficientKWSEngine:
     # ------------------------------------------------------------------ eval
 
     def _eval_dataset(self, variables, dataset):
+        from ..audio.prefetch import prefetch
+
         preds, targets, losses = [], [], []
         recalls = {k: [] for k in RECALL_KS}
         speakers = []
-        for idx in range(len(dataset)):
-            item = dataset[idx]
+        for item in prefetch((dataset[i] for i in range(len(dataset))), depth=2):
             utt = item["utt"][None]
             utt_mask = item["utt_mask"][None]
             utt_probs, utt_logits = [], []

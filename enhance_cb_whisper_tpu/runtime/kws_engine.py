@@ -117,10 +117,13 @@ class KWSEngine:
         return float(-logp[np.arange(len(labels)), labels].mean())
 
     def _eval_dataset(self, variables, dataset):
+        from ..audio.prefetch import prefetch
+
         preds, targets, speakers, losses = [], [], [], []
         group = dataset.catalog.group_size
-        for idx in range(len(dataset)):
-            item = dataset[idx]
+        # host-side cache loads overlap with device scoring of the previous
+        # utterance (SURVEY.md §3.1's host hot loop, pipelined)
+        for item in prefetch((dataset[i] for i in range(len(dataset))), depth=2):
             probs, logits = self.score_utterance(variables, dataset, item["utt_hs"])
             labels = np.asarray(item["hotword_labels"])
             # per-group CE sum, mirroring the reference's group loop loss
