@@ -198,6 +198,16 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
 # ------------------------------------------------------------------ cb-whisper
 
 
+def _cbwhisper_kws_resnet(model_args):
+    """ResNet config for the KWS classifier: 12 channels (the [10:22] layer
+    stack) unless the config overrides it."""
+    from ..models.resnet import ResNetConfig
+
+    return ResNetConfig(
+        num_channels=model_args.get("kws_num_channels", 12), num_labels=2
+    )
+
+
 def _build_generation_options(tokenizer, hf_gc, model_args):
     from ..decoding.generate import GenerationOptions
 
@@ -232,7 +242,6 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
     from ..data.datamodule import KWSDataMod
     from ..models.cb_whisper import CBWhisper, CBWhisperConfig
     from ..models.kws import KWSModel
-    from ..models.resnet import ResNetConfig
     from ..models.whisper_loader import load_whisper_from_pretrained
 
     model_args = get(config, "model.init_args", {}) or {}
@@ -251,7 +260,7 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
     opts = _build_generation_options(tokenizer, hf_gc, model_args)
     opts = dataclasses.replace(opts, condition_on_prev_tokens=True, return_timestamps=True)
 
-    resnet_config = ResNetConfig(num_channels=12, num_labels=2)
+    resnet_config = _cbwhisper_kws_resnet(model_args)
     kws_model = KWSModel(resnet_config)
     kws_variables = _load_kws_variables(model_args["kws_ckpt"], resnet_config)
 
@@ -296,13 +305,16 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         decode_fn=decode_fn,
         encoder_params=encoder_params,
         encoder_config=encoder_config,
+        kws_layer_slice=tuple(model_args.get("kws_layer_slice", (10, 22))),
     )
 
     def mel_fn(item):
         wav = load_audio_16k(item["audio"])
         return prepare_features(wav, n_mels=whisper_config.num_mel_bins)
 
-    return module.run_test(dataset, mel_fn)
+    return module.run_test(
+        dataset, mel_fn, num_bootstraps=model_args.get("num_bootstraps", 1000)
+    )
 
 
 # --------------------------------------------------------------------- driver

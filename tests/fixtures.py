@@ -165,3 +165,63 @@ def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
                 f.write("\n".join(tlines) + "\n")
             with open(os.path.join(dev, "positives.tsv"), "w") as f:
                 f.write("\n".join(plines) + "\n")
+
+
+def make_acl(root, n_keywords=4, n_utts=3, ghost=(2,), seed=3, split="eval",
+             n_mels=8, whisper_dim=32, kw_layers=2, sr=16000):
+    """ACL-6060 layout: root/2/acl_6060/{eval,dev}/..."""
+    import wave
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "2", "acl_6060", split)
+    text = os.path.join(base, "text")
+    os.makedirs(os.path.join(text, "txt"), exist_ok=True)
+    os.makedirs(os.path.join(text, "tagged_terminology"), exist_ok=True)
+    os.makedirs(os.path.join(text, "xml"), exist_ok=True)
+    os.makedirs(os.path.join(base, "hs"), exist_ok=True)
+    os.makedirs(os.path.join(base, "segmented_wavs", "gold"), exist_ok=True)
+
+    keywords = [f"term{i}" for i in range(n_keywords)]
+    with open(os.path.join(text, "keywords.txt"), "w") as f:
+        f.write("\n".join(keywords) + "\n")
+
+    kw_dir = os.path.join(base, "keywords-hs", "tts")
+    os.makedirs(kw_dir, exist_ok=True)
+    for i in range(n_keywords):
+        if i in ghost:
+            continue
+        t = int(rng.integers(2, 6))
+        save_hidden_states(
+            os.path.join(kw_dir, f"{i}.npy"),
+            _norm(rng.standard_normal((kw_layers, t, whisper_dim), dtype=np.float32)),
+        )
+
+    transcripts, tagged, segs = [], [], []
+    for u in range(n_utts):
+        kw = keywords[u % n_keywords]
+        transcripts.append(f"the {kw} is here")
+        tagged.append(f"the [{kw}] is here")
+        t = int(rng.integers(8, 14))
+        save_hidden_states(
+            os.path.join(base, "hs", f"sent_{u + 1}.npy"),
+            _norm(rng.standard_normal((kw_layers, t, whisper_dim), dtype=np.float32)),
+        )
+        wav = (rng.standard_normal(sr) * 0.05).astype(np.float32)
+        with wave.open(os.path.join(base, "segmented_wavs", "gold", f"sent_{u + 1}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((wav * 32767).astype("<i2").tobytes())
+        segs.append(f'<seg id="{u + 1}">{transcripts[-1]}</seg>')
+
+    with open(os.path.join(text, "txt", f"ACL.6060.{split}.en-xx.en.txt"), "w") as f:
+        f.write("\n".join(transcripts) + "\n")
+    with open(os.path.join(text, "tagged_terminology", f"ACL.6060.{split}.tagged.en-xx.en.txt"), "w") as f:
+        f.write("\n".join(tagged) + "\n")
+    with open(os.path.join(text, "xml", f"ACL.6060.{split}.en-xx.en.xml"), "w") as f:
+        f.write(
+            '<mteval><srcset setid="s" srclang="en"><doc docid="d1" code="c1">'
+            + "".join(segs)
+            + "</doc></srcset></mteval>"
+        )
+    return keywords
