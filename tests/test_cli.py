@@ -141,3 +141,53 @@ def test_overrides():
     config = {"a": {"b": 1}}
     out = apply_overrides(config, ["--a.b", "5", "--a.c", "[1, 2]"])
     assert out["a"]["b"] == 5 and out["a"]["c"] == [1, 2]
+
+
+def test_cli_efficient_kws_fit(tmp_path):
+    """run_efficient_kws.py fit through the dispatcher on a tiny MLS fixture."""
+    from fixtures import make_mls
+
+    root = tmp_path / "mls"
+    root.mkdir()
+    make_mls(str(root), languages=("English", "German"))
+    run_dir = str(tmp_path / "run2")
+    config = {
+        "seed_everything": 123,
+        "trainer": {"max_epochs": 1, "limit_train_batches": 2,
+                    "default_root_dir": run_dir},
+        "f1_checkpoint": {"monitor": "metrics/f1", "mode": "max"},
+        "model": {
+            "class_path": "efficient_kws.model.KWSModel",
+            "init_args": {
+                "sampling": "random",
+                "kw_type": "natural",
+                "batch_size": 4,
+                "n_layers": 2,
+                "embedding_dim": 8,
+                "learn_features": True,
+                "proj_mlp": True,
+                "proj_mlp_units": 4,
+                "resnet_version": "resnet-18",
+                "features_size": [32, 64],
+                "pad_long_before_resize": True,
+            },
+        },
+        "data": {
+            "class_path": "efficient_kws.data_module.KWSDataMod",
+            "init_args": {
+                "train_info": [{"name": "mls", "root": str(root), "kw_type": "natural"}],
+                "val_info": [
+                    {"language": "English", "root": str(root), "kw_type": "natural"},
+                    {"language": "German", "root": str(root), "kw_type": "natural"},
+                ],
+                "keywords_per_group": 2,
+                "languages": ["English", "German"],
+            },
+        },
+    }
+    cfg = tmp_path / "lef.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(config, f)
+    run_cli(["fit", "--config", str(cfg)])
+    assert os.path.exists(os.path.join(run_dir, "checkpoints", "final", "state.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
