@@ -267,13 +267,15 @@ class EfficientKWSEngine:
 
             div = n_loaders // 2 if is_expanded else n_loaders
             div = 1 if n_loaders == 1 else div
+            lang_div = 2 if is_expanded else 4
+            lang_div = 1 if n_loaders == 1 else lang_div
             l_idx = (i // 2 // 2) if is_expanded else (i // 2)
             l_idx = min(l_idx, n_languages - 1)
             for key in avg_keys:
                 mk = f"{key}_{i}"
                 if mk in metrics:
                     avg[key] += metrics[mk] / div
-                    lang[l_idx][key] += metrics[mk] / (2 if is_expanded else min(4, div * 2) or 1)
+                    lang[l_idx][key] += metrics[mk] / lang_div
 
             if dump_dir is not None:
                 os.makedirs(dump_dir, exist_ok=True)

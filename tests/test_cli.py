@@ -59,8 +59,11 @@ def _write_config(path, root, run_dir):
 
 
 @pytest.fixture(scope="module")
-def tiny_engine_patch(monkeypatch=None):
-    """Shrink the hard-coded 12-channel ResNet-50 to fixture size."""
+def tiny_engine_patch():
+    """Swap the paper-1 runner for one with a fixture-sized ResNet (the
+    production runner hard-wires the 12-channel ResNet-50)."""
+    import unittest.mock as mock
+
     import enhance_cb_whisper_tpu.cli.main as main
     from enhance_cb_whisper_tpu.models.resnet import ResNetConfig
 
@@ -68,20 +71,13 @@ def tiny_engine_patch(monkeypatch=None):
         num_channels=3, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
         depths=(1, 1, 1, 1), num_labels=2,
     )
-    orig = ResNetConfig.__new__
-    import unittest.mock as mock
-
-    patcher = mock.patch.object(
-        main, "_run_paper1", _patched_run_paper1(main, tiny)
-    )
+    patcher = mock.patch.object(main, "_run_paper1", _patched_run_paper1(main, tiny))
     patcher.start()
     yield
     patcher.stop()
 
 
 def _patched_run_paper1(main, tiny):
-    orig = main._run_paper1.__wrapped__ if hasattr(main._run_paper1, "__wrapped__") else None
-
     def run(subcommand, config):
         from enhance_cb_whisper_tpu.cli.config import filter_kwargs, get
         from enhance_cb_whisper_tpu.data.datamodule import KWSDataMod
