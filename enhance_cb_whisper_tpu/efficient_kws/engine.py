@@ -184,19 +184,24 @@ class EfficientKWSEngine:
         preds, targets, losses = [], [], []
         recalls = {k: [] for k in RECALL_KS}
         speakers = []
+        cat_cache = {}
         for item in prefetch((dataset[i] for i in range(len(dataset))), depth=2):
             utt = item["utt"][None]
             utt_mask = item["utt_mask"][None]
-            utt_probs, utt_logits = [], []
-            for g in item["groups"]:
-                p, lg = self._score_group(
-                    variables, jnp.asarray(g["kwd"]), jnp.asarray(utt),
-                    jnp.asarray(g["kwd_mask"]), jnp.asarray(utt_mask),
-                )
-                utt_probs.append(np.asarray(p))
-                utt_logits.append(np.asarray(lg))
-            probs = np.concatenate(utt_probs) * np.asarray(item["hotword_mask"])
-            logits = np.concatenate(utt_logits)
+            # the whole keyword DB in ONE launch: groups are pre-padded to a
+            # common frame budget, so they concatenate into a single batch
+            # (the reference loops groups of 50, model.py:319-345)
+            if not cat_cache:
+                kwd = np.concatenate([g["kwd"] for g in item["groups"]])
+                km = np.concatenate([g["kwd_mask"] for g in item["groups"]])
+                cat_cache["kwd"] = jnp.asarray(kwd)
+                cat_cache["kwd_mask"] = jnp.asarray(km)
+            p, lg = self._score_group(
+                variables, cat_cache["kwd"], jnp.asarray(utt),
+                cat_cache["kwd_mask"], jnp.asarray(utt_mask),
+            )
+            probs = np.asarray(p) * np.asarray(item["hotword_mask"])
+            logits = np.asarray(lg)
             labels = np.asarray(item["hotword_labels"])
             losses.append(
                 sum(

@@ -71,7 +71,12 @@ class KWSEngine:
         self._score_fn = make_catalog_score_fn(
             kws_apply, out_size=self.features_size, chunk=8
         )
+        # batched variant: map the whole-catalog scorer over an utterance axis
+        self._batched_score_fn = jax.jit(
+            jax.vmap(self._score_fn, in_axes=(None, None, 0, 0))
+        )
         self._catalog_cache: Dict[int, Any] = {}
+        self.eval_batch_size = 4  # utterances per eval launch (same bucket)
 
     # ------------------------------------------------------------------ state
 
@@ -95,20 +100,36 @@ class KWSEngine:
             )
         return self._catalog_cache[key]
 
-    def score_utterance(self, variables, dataset, utt_hs: np.ndarray):
-        """Probabilities + logits for every catalog keyword vs one utterance."""
-        catalog_dev = self._catalog_dev(dataset)
+    def _pad_utt(self, utt_hs: np.ndarray):
         t_u = utt_hs.shape[1]
         t_pad = _bucket(t_u)
         utt = np.zeros((utt_hs.shape[0], t_pad, utt_hs.shape[2]), np.float32)
         utt[:, :t_u] = utt_hs
         w = np.zeros((self.features_size[1], t_pad), np.float32)
         w[:, :t_u] = resize_matrix(t_u, self.features_size[1], antialias=False)
+        return utt, w
+
+    def score_utterance(self, variables, dataset, utt_hs: np.ndarray):
+        """Probabilities + logits for every catalog keyword vs one utterance."""
+        catalog_dev = self._catalog_dev(dataset)
+        utt, w = self._pad_utt(utt_hs)
         probs, logits = self._score_fn(
             variables, catalog_dev, jnp.asarray(utt), jnp.asarray(w)
         )
         n = dataset.catalog.num_keywords
         return np.asarray(probs)[:n], np.asarray(logits)[:n]
+
+    def score_utterances(self, variables, dataset, utt_hs_list):
+        """One launch scoring SEVERAL utterances against the whole catalog
+        (vmapped over the utterance axis; utterances must share a frame
+        bucket, which :meth:`_eval_dataset` arranges)."""
+        catalog_dev = self._catalog_dev(dataset)
+        padded = [self._pad_utt(u) for u in utt_hs_list]
+        utt = jnp.asarray(np.stack([p[0] for p in padded]))
+        w = jnp.asarray(np.stack([p[1] for p in padded]))
+        probs, logits = self._batched_score_fn(variables, catalog_dev, utt, w)
+        n = dataset.catalog.num_keywords
+        return np.asarray(probs)[:, :n], np.asarray(logits)[:, :n]
 
     @staticmethod
     def _ce(logits: np.ndarray, labels: np.ndarray) -> float:
@@ -119,22 +140,48 @@ class KWSEngine:
     def _eval_dataset(self, variables, dataset):
         from ..audio.prefetch import prefetch
 
-        preds, targets, speakers, losses = [], [], [], []
+        n_items = len(dataset)
+        preds = [None] * n_items
+        targets = [None] * n_items
+        speakers = [None] * n_items
+        losses = [0.0] * n_items
         group = dataset.catalog.group_size
-        # host-side cache loads overlap with device scoring of the previous
-        # utterance (SURVEY.md §3.1's host hot loop, pipelined)
-        for item in prefetch((dataset[i] for i in range(len(dataset))), depth=2):
-            probs, logits = self.score_utterance(variables, dataset, item["utt_hs"])
+
+        def _finish(idx, item, probs, logits):
             labels = np.asarray(item["hotword_labels"])
             # per-group CE sum, mirroring the reference's group loop loss
-            loss = sum(
+            losses[idx] = sum(
                 self._ce(logits[lo : lo + group], labels[lo : lo + group])
                 for lo in range(0, len(labels), group)
             )
-            preds.append(probs * item["hotword_mask"])
-            targets.append(labels)
-            speakers.append(item.get("speaker"))
-            losses.append(loss)
+            preds[idx] = probs * item["hotword_mask"]
+            targets[idx] = labels
+            speakers[idx] = item.get("speaker")
+
+        # host-side cache loads overlap with device scoring (prefetch), and
+        # utterances sharing a frame bucket are scored several per launch
+        pending: Dict[int, list] = {}
+
+        def _flush(bucket):
+            batch = pending.pop(bucket)
+            utts = [it["utt_hs"] for _, it in batch]
+            # pad partial batches by repetition so every launch shares one
+            # compiled shape (extra rows discarded)
+            while len(utts) < self.eval_batch_size:
+                utts.append(utts[-1])
+            probs_b, logits_b = self.score_utterances(variables, dataset, utts)
+            for row, (idx, item) in enumerate(batch):
+                _finish(idx, item, probs_b[row], logits_b[row])
+
+        items = prefetch(((i, dataset[i]) for i in range(n_items)), depth=2)
+        for idx, item in items:
+            bucket = _bucket(item["utt_hs"].shape[1])
+            pending.setdefault(bucket, []).append((idx, item))
+            if len(pending[bucket]) == self.eval_batch_size:
+                _flush(bucket)
+        for bucket in list(pending):
+            _flush(bucket)
+
         return (
             np.concatenate(preds),
             np.concatenate(targets),
