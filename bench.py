@@ -1,10 +1,12 @@
 """Benchmark: fused keyword-catalog KWS scoring throughput on TPU.
 
 Measures the flagship hot loop of CB-Whisper — scoring a keyword catalog
-against one utterance's Whisper-encoder hidden-state stack (cosine-sim +
+against utterance Whisper-encoder hidden-state stacks (cosine-sim +
 bilinear resize folded into matmuls + ResNet-50 classification) — at
 whisper-medium dimensions (12 layer slabs, D=1024, 150x750 feature maps,
-the reference's configuration: src/configs/train.yaml:127-129).
+the reference's configuration: src/configs/train.yaml:127-129).  Several
+utterances are scored per launch (the engines' vmapped eval path), so the
+number counts keyword-utterance PAIRS per second.
 
 Baseline = the reference's per-keyword host loop (torch CPU matmul +
 bilinear interpolate + HF ResNetModel forward, src/data/dataset.py:311-317,
@@ -24,6 +26,7 @@ DIM = 1024
 OUT = (150, 750)
 N_KEYWORDS = 128
 CHUNK = 8
+UTT_BATCH = 4
 
 
 def _make_stacks(rng, n):
@@ -65,11 +68,13 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
         kws_apply, out_size=OUT, chunk=CHUNK,
         precision="highest" if dtype == "float32" else "default",
     )
+    batched = jax.jit(jax.vmap(score, in_axes=(None, None, 0, 0)))
     cat_dev = device_put_catalog(catalog, out_h=OUT[0], chunk=CHUNK, dtype=compute_dtype)
-    utt_j = jnp.asarray(utt)
-    w = jnp.asarray(resize_matrix(utt.shape[1], OUT[1], antialias=False))
+    utt_j = jnp.asarray(np.stack([utt] * UTT_BATCH))
+    w1 = resize_matrix(utt.shape[1], OUT[1], antialias=False)
+    w = jnp.asarray(np.stack([w1] * UTT_BATCH))
 
-    np.asarray(score(variables, cat_dev, utt_j, w)[0])  # compile + execute
+    np.asarray(batched(variables, cat_dev, utt_j, w)[0])  # compile + execute
 
     # np.asarray per iteration: a host fetch is the only reliable completion
     # barrier on this backend (block_until_ready returns early through the
@@ -77,9 +82,9 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(score(variables, cat_dev, utt_j, w)[0])
+        np.asarray(batched(variables, cat_dev, utt_j, w)[0])
     dt = (time.perf_counter() - t0) / iters
-    return catalog.num_padded / dt  # keywords scored per second
+    return UTT_BATCH * catalog.num_padded / dt  # keyword-utt pairs per second
 
 
 def bench_reference_cpu(stacks, utt, n_sample=4):
