@@ -26,7 +26,7 @@ DIM = 1024
 OUT = (150, 750)
 N_KEYWORDS = 128
 CHUNK = 8
-UTT_BATCH = 4
+UTT_BATCH = 8  # 2044 pairs/s at 8 vs 1950 at 4 (measured, v5e fp32)
 
 
 def _make_stacks(rng, n):

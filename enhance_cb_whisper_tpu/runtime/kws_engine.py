@@ -76,7 +76,7 @@ class KWSEngine:
             jax.vmap(self._score_fn, in_axes=(None, None, 0, 0))
         )
         self._catalog_cache: Dict[int, Any] = {}
-        self.eval_batch_size = 4  # utterances per eval launch (same bucket)
+        self.eval_batch_size = 8  # utterances per eval launch (same bucket)
 
     # ------------------------------------------------------------------ state
 
@@ -190,7 +190,6 @@ class KWSEngine:
         )
 
     def validate(self, variables, datamodule) -> Dict[str, float]:
-        loaders = datamodule.val_dataloader()
         datasets = list(datamodule.val_dataset.values())
         avg = {k: 0.0 for k in ("val/loss", "metrics/precision", "metrics/recall", "metrics/f1")}
         zh = {k + "_zh": 0.0 for k in avg}
