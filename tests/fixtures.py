@@ -225,3 +225,36 @@ def make_acl(root, n_keywords=4, n_utts=3, ghost=(2,), seed=3, split="eval",
             + "</doc></srcset></mteval>"
         )
     return keywords
+
+
+def make_mls_expanded(root, expanded_root, languages=("English",), seed=4, **kw):
+    """Expanded-catalog variant: same keyword DB, separate audio/transcripts
+    root (MLSEvaluationDataset.root_audios_transcripts)."""
+    make_mls(root, languages=languages, seed=seed, **kw)
+    rng = np.random.default_rng(seed + 100)
+    for lang in languages:
+        src = os.path.join(root, f"mls_{lang.lower()}_opus", "dev")
+        dst = os.path.join(expanded_root, f"mls_{lang.lower()}_opus", "dev")
+        os.makedirs(os.path.join(dst, "hs"), exist_ok=True)
+        # different utterances/transcripts for the expanded catalog eval
+        keywords = [l.strip() for l in open(os.path.join(src, "keywords.txt"))]
+        codes, tlines, plines = [], [], []
+        for u in range(2):
+            code = f"9_{u}_{u:06d}"
+            codes.append(code)
+            t = int(rng.integers(10, 16))
+            save_hidden_states(
+                os.path.join(dst, "hs", f"{code}.npy"),
+                _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+            )
+            kw_ = keywords[u % len(keywords)]
+            transcript = f"expanded {kw_} utterance"
+            tlines.append(f"{code}\t{transcript}")
+            start = transcript.index(kw_)
+            plines.append("\t".join([code, kw_, str(start), str(start + len(kw_))]))
+        with open(os.path.join(dst, "uttid"), "w") as f:
+            f.write("\n".join(codes) + "\n")
+        with open(os.path.join(dst, "transcripts.txt"), "w") as f:
+            f.write("\n".join(tlines) + "\n")
+        with open(os.path.join(dst, "positives.tsv"), "w") as f:
+            f.write("\n".join(plines) + "\n")

@@ -154,3 +154,47 @@ def test_chunk_stride_time_and_embeddings():
                        condensed_dimension="embeddings")
     assert out["strided"].shape == (2, 4, 4, 20)
     assert out["position_strided"].shape == (2, 4, 4)
+
+
+def test_expanded_catalog_validation(tmp_path):
+    """Expanded (root_audios_transcripts) dev sets: dataset flags
+    is_expanded, items resolve from the expanded root, and the engine's
+    validation skips them in the averaged curve metrics
+    (reference dataset.py:1155-1156, model.py:388-398)."""
+    root = tmp_path / "mls"
+    expanded = tmp_path / "mls_expanded"
+    from fixtures import make_mls_expanded
+
+    make_mls_expanded(str(root), str(expanded), languages=("English",))
+
+    ds_plain = MLSEvaluationDataset(
+        str(root), language="English", kw_type="natural", size=FS,
+        keywords_per_group=2, n_layers=2,
+    )
+    ds_exp = MLSEvaluationDataset(
+        str(root), language="English", kw_type="natural", size=FS,
+        keywords_per_group=2, n_layers=2,
+        root_audios_transcripts=str(expanded),
+    )
+    assert not ds_plain.is_expanded() and ds_exp.is_expanded()
+    assert len(ds_exp) == 2
+    assert ds_exp[0]["transcript"].startswith("expanded")
+
+    model_config = EfficientKWSConfig(
+        n_layers=2, embedding_dim=8, resnet_version="resnet-18",
+    )
+    engine = EfficientKWSEngine(model_config, EfficientTrainConfig())
+    sample_kwd = ds_plain.groups[0]
+    import jax
+
+    variables = engine.model.init(
+        jax.random.PRNGKey(0), sample_kwd["kwd"], ds_plain[0]["utt"][None],
+        sample_kwd["kwd_mask"], ds_plain[0]["utt_mask"][None],
+    )
+
+    class DM:
+        val_dataset = {"English/natural": ds_plain, "English/natural/exp": ds_exp}
+
+    metrics = engine.validate(variables, DM())
+    assert "metrics/f1_0" in metrics
+    assert "metrics/f1_1" not in metrics  # expanded loader skipped
