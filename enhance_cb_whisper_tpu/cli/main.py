@@ -113,7 +113,9 @@ def _run_paper1(subcommand: str, config: Dict[str, Any]):
     log_dir = get(config, "trainer.default_root_dir") or "runs/kws"
     engine = KWSEngine(
         train_config,
-        resnet_config=ResNetConfig(num_channels=12, num_labels=2),
+        resnet_config=ResNetConfig(
+            num_channels=model_args.get("num_channels", 12), num_labels=2
+        ),
         features_size=tuple(data_args.get("features_size") or (150, 750)),
         ckpt_dir=os.path.join(log_dir, "checkpoints"),
         logger=MetricsLogger(log_dir),

@@ -206,8 +206,10 @@ class CBWhisper:
         (cb_whisper.py:212-289).  ``mel_fn(item) -> (features, attention_mask)``
         supplies the log-mel input (precomputed or from audio)."""
         from ..audio.prefetch import prefetch
+        from ..runtime.profiler import RTFxMeter
 
         rng = rng or np.random.default_rng(0)
+        meter = RTFxMeter()
         preds, refs, mentions, speakers = [], [], [], []
 
         def _decoded_items():
@@ -218,6 +220,7 @@ class CBWhisper:
                 yield item, mel_fn(item)
 
         for item, (features, attention_mask) in prefetch(_decoded_items(), depth=2):
+            meter.start()
             labels = np.asarray(item["hotword_labels"])
             if self.config.oracle == "gold":
                 oracle = [self.catalog.keywords[i] for i in np.nonzero(labels)[0]]
@@ -229,6 +232,13 @@ class CBWhisper:
                 oracle = []
 
             preds.append(self.forward(features, attention_mask, oracle))
+            # 100 mel frames per second of audio (hop 160 @ 16 kHz)
+            n_frames = (
+                int(np.asarray(attention_mask).sum())
+                if attention_mask is not None
+                else features.shape[-1]
+            )
+            meter.stop(audio_seconds=n_frames / 100.0)
             refs.append(item["transcript"])
             if item.get("keywords") is not None:
                 mentions.append([{**kw, "ner_tag": "UNK"} for kw in item["keywords"]])
@@ -263,6 +273,8 @@ class CBWhisper:
             num_bootstraps=num_bootstraps, alpha=5,
         )
         results = {"Entity Recall": center, "Entity Recall LB": lb, "Entity Recall UB": ub}
+        print(f"throughput: {meter.summary()}")
+        results["RTFx"] = meter.rtfx
         try:
             import pandas as pd
 
