@@ -98,7 +98,12 @@ class WhisperGenerator:
         dtype: Any = jnp.float32,
         prompt_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 448),
         use_flash: bool = False,
+        matmul_precision: str = "default",
     ):
+        """``matmul_precision``: 'default' lets the TPU MXU round matmul
+        operands to bfloat16 — comparable to the TF32 regime the reference
+        runs under on Ampere GPUs; 'highest' forces full f32 passes for
+        strict cross-backend token parity at ~3-6x matmul cost."""
         self.config = config
         self.params = jax.tree.map(jnp.asarray, params)
         params = self.params
@@ -108,27 +113,31 @@ class WhisperGenerator:
         self.prompt_buckets = tuple(sorted(prompt_buckets))
 
         cfg = config
+        self.matmul_precision = matmul_precision
 
         @jax.jit
         def _encode(mel):
-            enc, _ = encoder_forward(params, mel, cfg, dtype=dtype, use_flash=use_flash)
-            return enc
+            with jax.default_matmul_precision(matmul_precision):
+                enc, _ = encoder_forward(params, mel, cfg, dtype=dtype, use_flash=use_flash)
+                return enc
 
         @jax.jit
         def _cross_kv(enc):
-            return precompute_cross_kv(params, enc, cfg)
+            with jax.default_matmul_precision(matmul_precision):
+                return precompute_cross_kv(params, enc, cfg)
 
         def _decode_step(tokens, cache, ctx):
-            logits, new_cache = decoder_forward(
-                params,
-                tokens,
-                ctx["cross_kv"],
-                cfg,
-                cache=cache,
-                attention_mask=ctx["attn_mask"],
-                dtype=dtype,
-            )
-            return logits[:, -1], new_cache
+            with jax.default_matmul_precision(matmul_precision):
+                logits, new_cache = decoder_forward(
+                    params,
+                    tokens,
+                    ctx["cross_kv"],
+                    cfg,
+                    cache=cache,
+                    attention_mask=ctx["attn_mask"],
+                    dtype=dtype,
+                )
+                return logits[:, -1], new_cache
 
         @partial(jax.jit, static_argnames=("max_length",))
         def _prefill(prompt_padded, prompt_len, ctx, max_length: int):
@@ -140,15 +149,16 @@ class WhisperGenerator:
             ``prompt_len`` — this keeps the loop body uniform."""
             batch = prompt_padded.shape[0]
             cache = init_cache(cfg, batch, max_length, dtype=dtype)
-            logits, cache = decoder_forward(
-                params,
-                prompt_padded,
-                ctx["cross_kv"],
-                cfg,
-                cache=cache,
-                attention_mask=ctx["attn_mask"],
-                dtype=dtype,
-            )
+            with jax.default_matmul_precision(matmul_precision):
+                logits, cache = decoder_forward(
+                    params,
+                    prompt_padded,
+                    ctx["cross_kv"],
+                    cfg,
+                    cache=cache,
+                    attention_mask=ctx["attn_mask"],
+                    dtype=dtype,
+                )
             cache["index"] = prompt_len - 1
             # logits at the final prompt position predict the first generated
             # token — the slot the no-speech probability is read from (HF
