@@ -91,11 +91,18 @@ def prepare_decoder_input_ids(
 
     if has_prev:
         active = [list(p) if p is not None else [] for p in prev_tokens_per_batch]
+        # with keywords: the reference's shared budget (pba_whisper.py:534).
+        # without: plain HF semantics (full cut_off_length) — the reference's
+        # extra -1 here is an artifact of its keyword plumbing, and the
+        # no-keyword path must stay token-exact with HF (docs/PARITY.md #4)
+        prev_cut = (
+            cut_off_length - kw.shape[1] - 1 if kw.shape[1] > 0 else cut_off_length
+        )
         prev = pad_to_max_length(
             active,
             pad_token_id,
             padding="left",
-            cut_off_length=cut_off_length - kw.shape[1] - 1,
+            cut_off_length=prev_cut,
         )
     else:
         prev = np.zeros((cur_bsz, 0), dtype=np.int64)

@@ -149,3 +149,48 @@ def test_longform_matches_hf(tiny):
         for s in got["segments"][0]
     ]
     assert got_segments == want_segments
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_longform_matches_hf_more_seeds(seed):
+    """Longform token parity across differently-initialized models and
+    audio — guards against single-seed coincidences."""
+    hf_config = transformers.WhisperConfig(
+        vocab_size=96, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(seed)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    gen = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+
+    rng = np.random.default_rng(seed)
+    mel = rng.standard_normal((1, 8, 150), dtype=np.float32)
+
+    gc = hf.generation_config
+    gc.suppress_tokens = None
+    gc.begin_suppress_tokens = None
+    gc.forced_decoder_ids = None
+    gc.no_timestamps_token_id = 70
+    gc.max_initial_timestamp_index = 10
+    gc.max_length = 32
+    with torch.no_grad():
+        want = hf.generate(
+            torch.from_numpy(mel), num_beams=1, do_sample=False,
+            return_timestamps=True, condition_on_prev_tokens=True,
+            return_segments=True,
+        )
+
+    opts = _opts(
+        num_beams=1, return_timestamps=True, condition_on_prev_tokens=True,
+        max_initial_timestamp_index=10, max_target_positions=32,
+        no_timestamps_token_id=70,
+    )
+    got = gen.generate(mel, opts, return_segments=True)
+    assert got["sequences"][0].tolist() == want["sequences"][0].numpy().tolist()
