@@ -8,12 +8,16 @@ src/model/cb_whisper.py:166-178) as a single jit-compiled
 * scores accumulate log-softmax values with processor masks applied after
   normalization (HF beam-search order);
 * eos candidates with rank < num_beams retire into the finished set with
-  score ``total / len**length_penalty`` (length counted WITHOUT the eos,
-  like ``BeamHypotheses.add``); eos is re-appended on output;
-* batch is done when K hypotheses exist and the worst finished score >=
-  best-running-total / cur_len**penalty (HF ``early_stopping=False``);
-* at the step limit, running beams back-fill unfinished batches, exactly
-  like ``BeamSearchScorer.finalize``.
+  score ``total / (generated_len + 1)**length_penalty`` — modern HF
+  (the vectorized `_beam_search`, transformers >= 4.49) normalizes by the
+  length WITHOUT the decoder prompt and WITH the retiring token
+  (``_update_finished_beams``); eos is kept in the output sequence;
+* a batch is done once all K finished slots are filled and the best
+  running score normalized at the current generated length cannot beat the
+  worst finished score (``_check_early_stop_heuristic``,
+  ``early_stopping=False``);
+* when the loop hits max_length, the top running beams retire through the
+  same normalization and compete with earlier finished hypotheses.
 
 The KV cache rides in the loop state with leading dim ``batch*beams`` and is
 gathered per step with the beam permutation — no host round-trips anywhere
@@ -134,8 +138,10 @@ def beam_search(
         is_eos = cand_token == eos_token_id
         rank = jnp.broadcast_to(jnp.arange(2 * K)[None, :], (batch, 2 * K))
 
-        # --- retire eos candidates (rank < K) into the finished set
-        new_fin_score = cand_scores / jnp.asarray(cur_len, jnp.float32) ** length_penalty
+        # --- retire eos candidates (rank < K) into the finished set;
+        # normalization length = generated tokens incl. the retiring one
+        gen_len = jnp.asarray(cur_len + 1 - prompt_len, jnp.float32)
+        new_fin_score = cand_scores / gen_len**length_penalty
         eligible = is_eos & (rank < K) & jnp.logical_not(done[:, None])
         cand_fin_score = jnp.where(eligible, new_fin_score, NEG_INF)
 
@@ -173,10 +179,10 @@ def beam_search(
         new_tokens = jnp.where(keep[:, :, None], tokens, new_tokens)
         new_running_scores = jnp.where(keep, running_scores, new_running_scores)
 
-        # --- done condition (early_stopping=False semantics)
-        best_possible = cand_scores[:, 0] / (
-            jnp.asarray(cur_len + 1, jnp.float32) ** length_penalty
-        )
+        # --- done condition (early_stopping=False heuristic): all K slots
+        # filled AND the best running beam, normalized at the current
+        # generated length, can no longer beat the worst finished score
+        best_possible = new_running_scores[:, 0] / gen_len**length_penalty
         worst_finished = fin_scores.min(axis=1)
         newly_done = (fin_flags.sum(axis=1) >= K) & (worst_finished >= best_possible)
         done = done | newly_done
@@ -196,15 +202,20 @@ def beam_search(
         jax.lax.while_loop(not_done, step, init_state)
     )
 
-    # finalize: back-fill unfinished batches with running beams
-    none_finished = jnp.logical_not(fin_flags.any(axis=1))
-    running_norm = running_scores / jnp.asarray(cur_len, jnp.float32) ** length_penalty
-    fin_scores = jnp.where(none_finished[:, None], running_norm, fin_scores)
-    fin_tokens = jnp.where(none_finished[:, None, None], tokens, fin_tokens)
+    # finalize: when the loop ended at max_length, the running beams retire
+    # through the same normalization (their last token counted, prompt not)
+    # and compete with the finished hypotheses; is_done batches keep
+    # finished hyps only.
+    running_norm = running_scores / (
+        jnp.asarray(cur_len - prompt_len, jnp.float32) ** length_penalty
+    )
+    running_norm = jnp.where(done[:, None], NEG_INF, running_norm)
+    all_scores = jnp.concatenate([fin_scores, running_norm], axis=1)  # [B, 2K]
+    all_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)  # [B, 2K, L]
 
-    best = jnp.argmax(fin_scores, axis=1)
-    sequences = jnp.take_along_axis(fin_tokens, best[:, None, None], axis=1)[:, 0]
-    scores = jnp.take_along_axis(fin_scores, best[:, None], axis=1)[:, 0]
+    best = jnp.argmax(all_scores, axis=1)
+    sequences = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
     return sequences, scores
 
 

@@ -194,3 +194,37 @@ def test_longform_matches_hf_more_seeds(seed):
     )
     got = gen.generate(mel, opts, return_segments=True)
     assert got["sequences"][0].tolist() == want["sequences"][0].numpy().tolist()
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_beam5_matches_hf_more_seeds(seed):
+    """Beam-5 token parity across model seeds (tie-breaking, finished-set
+    bookkeeping, early-stopping condition)."""
+    hf_config = transformers.WhisperConfig(
+        vocab_size=96, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=64,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(seed)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    gen = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+
+    rng = np.random.default_rng(seed)
+    mel = rng.standard_normal((1, 8, 48), dtype=np.float32)
+    prompt = [[9, 5, 3, 4]]
+    want = _hf_generate(hf, mel, prompt, num_beams=5, max_length=24)
+
+    opts = _opts(num_beams=5, max_target_positions=len(prompt[0]) + 24)
+    enc = gen._encode(mel)
+    cross_kv = gen._cross_kv_fn(enc)
+    got, _, _ = gen._decode_prompted(
+        cross_kv, np.asarray(prompt, dtype=np.int64), None, opts, return_timestamps=False
+    )
+    want_t = want[0].tolist()
+    assert got[0].tolist()[: len(want_t)] == want_t
