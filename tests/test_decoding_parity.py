@@ -228,3 +228,39 @@ def test_beam5_matches_hf_more_seeds(seed):
     )
     want_t = want[0].tolist()
     assert got[0].tolist()[: len(want_t)] == want_t
+
+
+def test_batch2_beam_matches_hf():
+    """Batched beam search: two utterances decoded together."""
+    hf_config = transformers.WhisperConfig(
+        vocab_size=96, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=64,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(7)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    gen = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((2, 8, 48), dtype=np.float32)
+    prompt = [[3, 4], [3, 4]]
+    # NOTE: an explicit max_length != GenerationConfig's default (20) is an
+    # ABSOLUTE total length in HF (prompt included) — matching
+    # max_target_positions semantics here
+    want = _hf_generate(hf, mel, prompt, num_beams=3, max_length=16)
+
+    opts = _opts(num_beams=3, max_target_positions=16)
+    enc = gen._encode(mel)
+    cross_kv = gen._cross_kv_fn(enc)
+    got, _, _ = gen._decode_prompted(
+        cross_kv, np.asarray(prompt, dtype=np.int64), None, opts, return_timestamps=False
+    )
+    for b in range(2):
+        want_t = want[b].tolist()
+        assert got[b].tolist()[: len(want_t)] == want_t, f"batch row {b}"
