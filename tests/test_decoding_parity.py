@@ -264,3 +264,74 @@ def test_batch2_beam_matches_hf():
     for b in range(2):
         want_t = want[b].tolist()
         assert got[b].tolist()[: len(want_t)] == want_t, f"batch row {b}"
+
+
+@pytest.mark.parametrize("seed", [8, 9])
+def test_shortform_timestamps_matches_hf(seed):
+    """Shortform via WhisperGenerator.generate with timestamps + injected
+    keyword prompt vs HF whisper generate (which strips the prompt)."""
+    hf_config = transformers.WhisperConfig(
+        vocab_size=128, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=40,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(seed)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    gen = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+
+    rng = np.random.default_rng(seed)
+    mel = rng.standard_normal((1, 8, 48), dtype=np.float32)
+    kw_prompt = [99, 23, 24, 25]
+
+    gc = hf.generation_config
+    gc.suppress_tokens = None
+    gc.begin_suppress_tokens = None
+    gc.forced_decoder_ids = None
+    gc.no_timestamps_token_id = 100
+    gc.max_initial_timestamp_index = 10
+    gc.max_length = 40
+    with torch.no_grad():
+        want = hf.generate(
+            torch.from_numpy(mel),
+            prompt_ids=torch.tensor(kw_prompt),
+            num_beams=1, do_sample=False, return_timestamps=True,
+        )[0].numpy().tolist()
+
+    opts = _opts(
+        num_beams=1, return_timestamps=True, max_initial_timestamp_index=10,
+        max_target_positions=40,
+    )
+    got = gen.generate(
+        mel, opts, keyword_spotting=lambda input_features, start_of_prev: [kw_prompt]
+    )[0]
+    got = [t for t in got.tolist()]
+
+    # HF strips the prompt AND the <|startoftranscript|> init token from
+    # shortform outputs; ours strips the prompt only (pba_whisper.py:338).
+    # Compare the generated region after aligning on the init tokens.
+    init = opts.init_tokens()
+    assert got[: len(init)] == init
+    got_gen = got[len(init):]
+    # trim trailing pad/eos from both
+    def trim(seq):
+        out = []
+        for t in seq:
+            if t in (0, 2):
+                break
+            out.append(t)
+        return out
+
+    # modern HF's unified shortform path post-trims the output after the
+    # final complete timestamp segment (docs/PARITY.md #12); the reference's
+    # 4.37-era shortform (super().generate) returns the raw sequence like
+    # ours.  The decoded tokens must agree over HF's trimmed region.
+    want_t = trim(want)
+    assert trim(got_gen)[: len(want_t)] == want_t, (
+        f"\nours: {trim(got_gen)}\nhf:   {want_t}"
+    )
