@@ -335,3 +335,43 @@ def test_shortform_timestamps_matches_hf(seed):
     assert trim(got_gen)[: len(want_t)] == want_t, (
         f"\nours: {trim(got_gen)}\nhf:   {want_t}"
     )
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13])
+def test_decode_fuzz_matches_hf(seed):
+    """Randomized decode fuzz: varying beams, prompt lengths, and caps."""
+    rng = np.random.default_rng(seed)
+    num_beams = int(rng.choice([1, 2, 4, 5]))
+    prompt_len = int(rng.integers(1, 7))
+    total_len = int(rng.integers(prompt_len + 8, 30))
+
+    hf_config = transformers.WhisperConfig(
+        vocab_size=80, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=64,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(seed)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    gen = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+
+    mel = rng.standard_normal((1, 8, 48), dtype=np.float32)
+    prompt = [[3] + rng.integers(4, 70, prompt_len - 1).tolist()] if prompt_len > 1 else [[3]]
+
+    want = _hf_generate(hf, mel, prompt, num_beams=num_beams, max_length=total_len)
+    opts = _opts(num_beams=num_beams, max_target_positions=total_len)
+    enc = gen._encode(mel)
+    cross_kv = gen._cross_kv_fn(enc)
+    got, _, _ = gen._decode_prompted(
+        cross_kv, np.asarray(prompt, dtype=np.int64), None, opts, return_timestamps=False
+    )
+    want_t = want[0].tolist()
+    assert got[0].tolist()[: len(want_t)] == want_t, (
+        f"beams={num_beams} plen={prompt_len} total={total_len}\n"
+        f"ours: {got[0].tolist()[: len(want_t)]}\nhf:   {want_t}"
+    )
