@@ -375,3 +375,60 @@ def test_decode_fuzz_matches_hf(seed):
         f"beams={num_beams} plen={prompt_len} total={total_len}\n"
         f"ours: {got[0].tolist()[: len(want_t)]}\nhf:   {want_t}"
     )
+
+
+def test_longform_batch2_with_attention_mask():
+    """Batched longform with different audio lengths: the reference's
+    dynamic batch reduction (_maybe_reduce_batch, pba_whisper.py:370-376)
+    becomes a shrinking active set in our host driver."""
+    hf_config = transformers.WhisperConfig(
+        vocab_size=96, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(6)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WhisperConfig.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    gen = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+
+    rng = np.random.default_rng(6)
+    mel = rng.standard_normal((2, 8, 150), dtype=np.float32)
+    attn = np.zeros((2, 150), np.int32)
+    attn[0, :150] = 1
+    attn[1, :100] = 1
+    mel[1, :, 100:] = 0.0
+
+    gc = hf.generation_config
+    gc.suppress_tokens = None
+    gc.begin_suppress_tokens = None
+    gc.forced_decoder_ids = None
+    gc.no_timestamps_token_id = 70
+    gc.max_initial_timestamp_index = 10
+    gc.max_length = 32
+    with torch.no_grad():
+        want = hf.generate(
+            torch.from_numpy(mel), attention_mask=torch.from_numpy(attn),
+            num_beams=1, do_sample=False, return_timestamps=True,
+            condition_on_prev_tokens=True, return_segments=True,
+        )
+
+    opts = _opts(
+        num_beams=1, return_timestamps=True, condition_on_prev_tokens=True,
+        max_initial_timestamp_index=10, max_target_positions=32,
+        no_timestamps_token_id=70,
+    )
+    got = gen.generate(mel, opts, attention_mask=attn, return_segments=True)
+
+    for b in range(2):
+        want_b = want["sequences"][b].numpy().tolist()
+        got_b = got["sequences"][b].tolist()
+        # both right-pad to their own batch max; compare the unpadded region
+        n = min(len(want_b), len(got_b))
+        trimmed_w = [t for t in want_b if t != 0]
+        trimmed_g = [t for t in got_b if t != 0]
+        assert trimmed_g == trimmed_w, f"row {b}\nours: {trimmed_g}\nhf:   {trimmed_w}"
