@@ -170,3 +170,44 @@ def test_no_speech_skip(cb):
     out = cb.generator.generate(mel, opts, return_segments=True)
     assert out["segments"][0] == []
     assert out["sequences"].shape[1] == 0
+
+
+def test_run_test_oracle_gold_and_random(cb):
+    """Oracle modes (cb_whisper.py:221-226): gold injects the labeled
+    keywords; random samples the same COUNT from the negatives."""
+    rng = np.random.default_rng(7)
+    dataset = [
+        {
+            "transcript": "w10 w20",
+            "hotword_labels": np.array([1, 0, 0]),
+            "speaker": "s0",
+            "keywords": [{"mention": "w10", "total_offset": 0, "end_offset": 3}],
+        }
+        for _ in range(2)
+    ]
+
+    def mel_fn(item):
+        return rng.standard_normal((1, 8, 48), dtype=np.float32), None
+
+    captured = []
+    orig = cb.keyword_spotting
+
+    def spy(input_features, start_of_prev=False):
+        captured.append(list(cb.oracle_buffer))
+        return orig(input_features, start_of_prev=start_of_prev)
+
+    cb.keyword_spotting = spy
+    old = cb.config.oracle
+    try:
+        cb.config.oracle = "gold"
+        cb.run_test(dataset, mel_fn, num_bootstraps=5)
+        assert captured and all(b == ["alpha"] for b in captured)
+
+        captured.clear()
+        cb.config.oracle = "random"
+        cb.run_test(dataset, mel_fn, num_bootstraps=5)
+        # random mode: as many keywords as gold positives, all from negatives
+        assert captured and all(len(b) == 1 and b[0] in ("beta", "gamma") for b in captured)
+    finally:
+        cb.config.oracle = old
+        cb.keyword_spotting = orig

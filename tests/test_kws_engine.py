@@ -113,3 +113,35 @@ def test_fit_resume(tmp_path, datamodule):
         resume_from=str(tmp_path / "ckpt_resume" / "final"),
     )
     assert state.epoch == 2  # resumed at 1, ran epochs 1..2
+
+
+def test_validate_zh_en_aggregation(datamodule, root):
+    """With 4 validation dataloaders the reference averages 0,1 into _zh and
+    2,3 into _en (model.py:291-296)."""
+    dm = KWSDataMod(
+        batch_size=4,
+        sampling="random",
+        train_info=[{"name": "aishell", "root": root, "kw_type": "natural"}],
+        val_info=[{"name": "aishell", "root": root, "kw_type": "natural"}] * 4,
+        hotwords_per_group=2,
+        features_size=(32, 48),
+    )
+    # dict-keyed val datasets collapse duplicates; build them manually
+    dm.setup("fit")
+    ds = dm._make_val_dataset(dm.val_info[0])
+    dm.val_dataset = {f"v{i}": ds for i in range(4)}
+
+    engine = KWSEngine(KWSTrainConfig(), resnet_config=TINY, features_size=(32, 48))
+    state = engine.init_state()
+    metrics = engine.validate(engine.variables(state), dm)
+    assert "metrics/f1_zh" in metrics and "metrics/f1_en" in metrics
+    import numpy as np
+
+    np.testing.assert_allclose(
+        metrics["metrics/f1_zh"],
+        (metrics["metrics/f1_0"] + metrics["metrics/f1_1"]) / 2,
+    )
+    np.testing.assert_allclose(
+        metrics["metrics/f1"],
+        sum(metrics[f"metrics/f1_{i}"] for i in range(4)) / 4,
+    )
