@@ -41,3 +41,17 @@ def test_pad_or_trim():
     a = np.ones((1, 100), np.float32)
     assert pad_or_trim(a).shape == (1, N_SAMPLES)
     assert pad_or_trim(np.ones((1, N_SAMPLES + 5), np.float32)).shape == (1, N_SAMPLES)
+
+
+def test_mel_128_bins_large_v3(fe):
+    """whisper-large-v3 uses 128 mel bins; the filterbank and log-mel must
+    match a 128-bin WhisperFeatureExtractor."""
+    fe128 = transformers.WhisperFeatureExtractor(feature_size=128)
+    np.testing.assert_allclose(mel_filter_bank(128), fe128.mel_filters, rtol=1e-5, atol=1e-7)
+
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    want = fe128(audio, sampling_rate=16000, return_tensors="np").input_features[0]
+    got = np.asarray(log_mel_spectrogram(pad_or_trim(audio[None]), n_mels=128))[0]
+    assert got.shape == want.shape == (128, N_FRAMES)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
