@@ -187,3 +187,52 @@ def test_cli_efficient_kws_fit(tmp_path):
     run_cli(["fit", "--config", str(cfg)])
     assert os.path.exists(os.path.join(run_dir, "checkpoints", "final", "state.msgpack"))
     assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def test_load_reference_lightning_checkpoint(tmp_path):
+    """A reference-format Lightning .ckpt (torch state_dict under 'model.',
+    incl. the legacy 'model.resnet.' layout) loads into flax variables and
+    produces the same logits as the torch source."""
+    import numpy as np
+    import torch
+
+    transformers = pytest.importorskip("transformers")
+    import enhance_cb_whisper_tpu.cli.main as main
+    from enhance_cb_whisper_tpu.models import KWSModel, ResNetConfig
+
+    hf_cfg = transformers.ResNetConfig(
+        num_channels=3, embedding_size=8, hidden_sizes=[8, 16, 24, 32],
+        depths=[1, 1, 1, 1],
+    )
+    torch.manual_seed(0)
+    hf = transformers.ResNetModel(hf_cfg).eval()
+    head = torch.nn.Linear(32, 2)
+
+    sd = {f"model.feature_extractor.{k}": v for k, v in hf.state_dict().items()}
+    sd["model.classifier.1.weight"] = head.weight
+    sd["model.classifier.1.bias"] = head.bias
+    ckpt_path = tmp_path / "reference.ckpt"
+    torch.save({"state_dict": sd}, ckpt_path)
+
+    cfg = ResNetConfig(
+        num_channels=3, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 1, 1), num_labels=2,
+    )
+    variables = main._load_kws_variables(str(ckpt_path), cfg)
+
+    x = np.random.default_rng(0).standard_normal((2, 3, 48, 48), dtype=np.float32)
+    model = KWSModel(cfg)
+    got = np.asarray(model.apply(variables, x).logits)
+    with torch.no_grad():
+        want = head(hf(torch.from_numpy(x)).pooler_output.flatten(1)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # legacy 'model.resnet.' layout migrates through the shim
+    legacy = {
+        ("model.resnet." + k[len("model.feature_extractor."):] if k.startswith("model.feature_extractor.") else k): v
+        for k, v in sd.items()
+    }
+    torch.save({"state_dict": legacy}, tmp_path / "legacy.ckpt")
+    variables2 = main._load_kws_variables(str(tmp_path / "legacy.ckpt"), cfg)
+    got2 = np.asarray(model.apply(variables2, x).logits)
+    np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-4)
