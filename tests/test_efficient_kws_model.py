@@ -128,3 +128,56 @@ def test_eval_broadcast_single_utterance():
     logits, sims = model.apply(variables, kwd, utt[:1], kwd_mask=km, utt_mask=um[:1])
     assert logits.shape == (4, 2)
     assert sims.shape[0] == 4
+
+
+def test_LEF_variant_matches_with_copied_weights():
+    """LEF similarity maps parity with a torch replica: per-layer MLP +
+    Conv1d/BatchNorm(eval)/MaxPool copied into flax."""
+    config = EfficientKWSConfig(n_layers=L, embedding_dim=D, learn_features=True,
+                                proj_mlp=True, proj_mlp_units=U, frames_conv=True,
+                                resnet_version="resnet-18")
+    kwd, utt, km, um = _inputs(tk=16, tu=32, seed=3)
+    km[:] = 1.0  # full-length masks: pooled masks equal torch's full windows
+    um[:] = 1.0
+    model = EfficientKWSModel(config)
+    import jax
+
+    variables = model.init(jax.random.PRNGKey(3), kwd, utt, km, um)
+
+    torch.manual_seed(1)
+    proj = nn.ModuleList(
+        [nn.Sequential(nn.Linear(D, D // 2), nn.ReLU(), nn.Linear(D // 2, U)) for _ in range(L)]
+    )
+    tconv = nn.ModuleList(
+        [
+            nn.Sequential(nn.Conv1d(U, U, 3, 1, 1), nn.BatchNorm1d(U), nn.MaxPool1d(3, 2, 1))
+            for _ in range(L)
+        ]
+    ).eval()
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    for i in range(L):
+        params["projector"][f"proj_{i}_0"]["kernel"] = proj[i][0].weight.detach().numpy().T
+        params["projector"][f"proj_{i}_0"]["bias"] = proj[i][0].bias.detach().numpy()
+        params["projector"][f"proj_{i}_1"]["kernel"] = proj[i][2].weight.detach().numpy().T
+        params["projector"][f"proj_{i}_1"]["bias"] = proj[i][2].bias.detach().numpy()
+        # torch Conv1d [out, in, W] -> flax [W, in, out]
+        params["time_projector"][f"conv_{i}"]["kernel"] = (
+            tconv[i][0].weight.detach().numpy().transpose(2, 1, 0)
+        )
+        params["time_projector"][f"conv_{i}"]["bias"] = tconv[i][0].bias.detach().numpy()
+        params["time_projector"][f"bn_{i}"]["scale"] = tconv[i][1].weight.detach().numpy()
+        params["time_projector"][f"bn_{i}"]["bias"] = tconv[i][1].bias.detach().numpy()
+        stats["time_projector"][f"bn_{i}"]["mean"] = tconv[i][1].running_mean.numpy()
+        stats["time_projector"][f"bn_{i}"]["var"] = tconv[i][1].running_var.numpy()
+    variables = {"params": params, "batch_stats": stats}
+
+    got = _get_sims(config, variables, kwd, utt, km, um)
+    with torch.no_grad():
+        want = _torch_forward(
+            torch.from_numpy(kwd), torch.from_numpy(utt),
+            torch.from_numpy(km), torch.from_numpy(um),
+            proj=proj, tconv=tconv, pool_masks=True,
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
