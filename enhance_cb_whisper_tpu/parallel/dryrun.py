@@ -1,0 +1,141 @@
+"""Multi-chip dry run: the framework's three parallelism axes on a virtual mesh.
+
+Run as ``python -m enhance_cb_whisper_tpu.parallel.dryrun N`` in a process
+whose environment sets ``JAX_PLATFORMS=cpu`` and
+``XLA_FLAGS=--xla_force_host_platform_device_count=N`` *before* interpreter
+start (``__graft_entry__.dryrun_multichip`` spawns exactly that subprocess).
+XLA parses ``XLA_FLAGS`` once at first backend initialization; this
+environment's ``sitecustomize`` initializes a backend at interpreter start
+whenever ``PALLAS_AXON_POOL_IPS`` is set, so in-process env mutation is too
+late — the round-1 driver gate failed on precisely this (MULTICHIP_r01).
+
+Stages (mirroring the reference's parallelism story, SURVEY.md §2.7):
+  1. FULL adversarial KWS training step (GRL discriminator + entropy +
+     grad-accumulation scan) with the batch sharded over the ``data`` axis —
+     the DP analogue of Lightning DDP (reference configs/train.yaml:4-7).
+  2. Keyword-catalog scoring sharded over the ``model`` axis — the sharded
+     replacement for the host group loop (reference cb_whisper.py:110-129).
+  3. Tensor-parallel Whisper encoder forward (megatron-style param sharding)
+     — the optional TP axis for large encoders.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main(n_devices: int) -> None:
+    import jax
+
+    assert len(jax.devices()) == n_devices, (
+        f"need {n_devices} devices, backend has {len(jax.devices())} "
+        f"({jax.default_backend()}); XLA_FLAGS must set "
+        f"xla_force_host_platform_device_count before jax initializes"
+    )
+
+    import jax.numpy as jnp
+
+    from enhance_cb_whisper_tpu.catalog import (
+        KeywordCatalog,
+        device_put_catalog,
+        make_catalog_score_fn,
+    )
+    from enhance_cb_whisper_tpu.models import ResNetConfig
+    from enhance_cb_whisper_tpu.models.kws import KWSModel
+    from enhance_cb_whisper_tpu.models.whisper import (
+        WhisperConfig,
+        encoder_forward,
+        init_whisper_params,
+    )
+    from enhance_cb_whisper_tpu.ops.resize import resize_matrix
+    from enhance_cb_whisper_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        shard_catalog,
+        whisper_param_sharding,
+    )
+    from enhance_cb_whisper_tpu.parallel.sharding import device_put_with_specs
+    from enhance_cb_whisper_tpu.train.kws_train import (
+        KWSTrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    model_axis = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh({"data": n_devices // model_axis, "model": model_axis})
+    print(f"mesh: {mesh.shape}")
+
+    # ---- 1. FULL training step (adversarial + entropy + grad accumulation),
+    #         batch sharded over the data axis (DP)
+    tiny = ResNetConfig(
+        num_channels=3, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 1, 1), num_labels=2,
+    )
+    config = KWSTrainConfig(
+        adversarial_training=True, entropy=True, num_domains=4,
+        accumulate_grad_batches=2,
+    )
+    rng = jax.random.PRNGKey(0)
+    state, (kws, disc, tx) = init_train_state(rng, config, tiny, (3, 32, 32))
+    step = make_train_step(config, kws, disc, tx)
+
+    nprng = np.random.default_rng(0)
+    batch_size = max(8, 2 * n_devices)
+    batch = {
+        "features": jnp.asarray(
+            nprng.standard_normal((batch_size, 3, 32, 32), dtype=np.float32)
+        ),
+        "labels": jnp.asarray(nprng.integers(0, 2, batch_size)),
+        "domain": jnp.asarray(nprng.integers(0, 4, batch_size)),
+    }
+    with mesh:
+        sharded_step = make_sharded_train_step(step, mesh)
+        params, stats, opt_state, metrics = sharded_step(
+            state.params, state.batch_stats, state.opt_state, batch, rng, 0.1, 0.5
+        )
+        print("dp train step ok:", {k: float(v) for k, v in metrics.items()})
+
+        # ---- 2. keyword-catalog scoring sharded over the model axis
+        stacks = [
+            nprng.standard_normal((3, int(nprng.integers(2, 6)), 16)).astype(np.float32)
+            for _ in range(8 * model_axis)
+        ]
+        catalog = KeywordCatalog.from_arrays(
+            [f"k{i}" for i in range(len(stacks))], stacks, group_size=8
+        )
+        kws_eval = KWSModel(tiny)
+        kv = kws_eval.init(jax.random.PRNGKey(1), np.zeros((1, 3, 32, 48), np.float32))
+
+        def kws_apply(v, x):
+            return kws_eval.apply(v, x).logits
+
+        score = make_catalog_score_fn(kws_apply, out_size=(32, 48), chunk=8)
+        cat_dev = shard_catalog(device_put_catalog(catalog, out_h=32, chunk=8), mesh)
+        utt = nprng.standard_normal((3, 20, 16)).astype(np.float32)
+        w = jnp.asarray(resize_matrix(20, 48, antialias=False))
+        probs, _ = score(kv, cat_dev, jnp.asarray(utt), w)
+        print("sharded catalog scoring ok:", np.asarray(probs).shape)
+
+        # ---- 3. tensor-parallel Whisper encoder forward
+        wcfg = WhisperConfig(
+            vocab_size=64, num_mel_bins=8, d_model=32,
+            encoder_layers=2, encoder_attention_heads=2,
+            decoder_layers=2, decoder_attention_heads=2,
+            encoder_ffn_dim=64, decoder_ffn_dim=64,
+            max_source_positions=16, max_target_positions=16,
+        )
+        wparams = init_whisper_params(nprng, wcfg)
+        specs = whisper_param_sharding(wparams, mesh)
+        wparams_tp = device_put_with_specs(wparams, specs)
+        mel = nprng.standard_normal(
+            (max(2, mesh.shape["data"]), 8, 32)
+        ).astype(np.float32)
+        enc, _ = jax.jit(lambda p, m: encoder_forward(p, m, wcfg))(wparams_tp, mel)
+        np.asarray(enc)  # host fetch = the only reliable completion barrier here
+        print("tp encoder ok:", enc.shape)
+
+    print(f"dryrun_multichip({n_devices}) passed")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
