@@ -60,55 +60,10 @@ def _write_config(path, root, run_dir):
 
 @pytest.fixture(scope="module")
 def tiny_engine_patch():
-    """Swap the paper-1 runner for one with a fixture-sized ResNet (the
-    production runner hard-wires the 12-channel ResNet-50)."""
-    import unittest.mock as mock
+    from fixtures import tiny_paper1_patch
 
-    import enhance_cb_whisper_tpu.cli.main as main
-    from enhance_cb_whisper_tpu.models.resnet import ResNetConfig
-
-    tiny = ResNetConfig(
-        num_channels=3, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
-        depths=(1, 1, 1, 1), num_labels=2,
-    )
-    patcher = mock.patch.object(main, "_run_paper1", _patched_run_paper1(main, tiny))
-    patcher.start()
-    yield
-    patcher.stop()
-
-
-def _patched_run_paper1(main, tiny):
-    def run(subcommand, config):
-        from enhance_cb_whisper_tpu.cli.config import filter_kwargs, get
-        from enhance_cb_whisper_tpu.data.datamodule import KWSDataMod
-        from enhance_cb_whisper_tpu.runtime.kws_engine import KWSEngine
-        from enhance_cb_whisper_tpu.runtime.logging import MetricsLogger
-        from enhance_cb_whisper_tpu.train.kws_train import KWSTrainConfig
-
-        model_args = get(config, "model.init_args", {}) or {}
-        data_args = dict(get(config, "data.init_args", {}) or {})
-        for key in ("sampling", "resample_every_epoch", "kw_type", "batch_size"):
-            if key in model_args:
-                data_args[key] = model_args[key]
-        train_config = KWSTrainConfig(**filter_kwargs(model_args, KWSTrainConfig))
-        datamodule = KWSDataMod(**filter_kwargs(data_args, KWSDataMod))
-        log_dir = get(config, "trainer.default_root_dir") or "runs/kws"
-        engine = KWSEngine(
-            train_config, resnet_config=tiny,
-            features_size=tuple(data_args["features_size"]),
-            ckpt_dir=os.path.join(log_dir, "checkpoints"),
-            logger=MetricsLogger(log_dir),
-        )
-        if subcommand == "fit":
-            return engine.fit(
-                datamodule,
-                max_epochs=get(config, "trainer.max_epochs") or 1,
-                limit_train_batches=get(config, "trainer.limit_train_batches"),
-            )
-        variables = main._load_kws_variables(config["ckpt_path"], tiny)
-        return engine.test(variables, datamodule)
-
-    return run
+    with tiny_paper1_patch():
+        yield
 
 
 def test_cli_fit_then_test(tmp_path, root, tiny_engine_patch):
