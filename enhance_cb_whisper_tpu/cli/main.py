@@ -210,7 +210,7 @@ def _cbwhisper_kws_resnet(model_args):
     )
 
 
-def _build_generation_options(tokenizer, hf_gc, model_args):
+def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None):
     from ..decoding.generate import GenerationOptions
 
     language = model_args.get("language", "english")
@@ -218,6 +218,12 @@ def _build_generation_options(tokenizer, hf_gc, model_args):
     lang_token = tokenizer.convert_tokens_to_ids(f"<|{lang_code}|>")
     task_token = tokenizer.convert_tokens_to_ids("<|transcribe|>")
     return GenerationOptions(
+        # budget math + decode length derive from the MODEL's positional
+        # capacity (reference: self.config.max_target_positions,
+        # pba_whisper.py:492), not a fixed 448
+        max_target_positions=(
+            whisper_config.max_target_positions if whisper_config is not None else 448
+        ),
         decoder_start_token_id=hf_gc.decoder_start_token_id,
         language_token_id=lang_token,
         task_token_id=task_token,
@@ -259,7 +265,7 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
 
     tokenizer = transformers.WhisperTokenizer.from_pretrained(whisper_ckpt)
     hf_gc = transformers.GenerationConfig.from_pretrained(whisper_ckpt)
-    opts = _build_generation_options(tokenizer, hf_gc, model_args)
+    opts = _build_generation_options(tokenizer, hf_gc, model_args, whisper_config)
     opts = dataclasses.replace(opts, condition_on_prev_tokens=True, return_timestamps=True)
 
     resnet_config = _cbwhisper_kws_resnet(model_args)
