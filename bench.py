@@ -120,6 +120,10 @@ def bench_reference_cpu(stacks, utt, n_sample=4):
 def main():
     import os
 
+    from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     rng = np.random.default_rng(0)
     stacks = _make_stacks(rng, N_KEYWORDS)
     t_u = 750

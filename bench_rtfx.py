@@ -20,6 +20,10 @@ import numpy as np
 def main():
     import jax
 
+    from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from enhance_cb_whisper_tpu.catalog import KeywordCatalog
     from enhance_cb_whisper_tpu.decoding import GenerationOptions
     from enhance_cb_whisper_tpu.models import ResNetConfig

@@ -158,6 +158,7 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
     for key in (
         "n_layers", "sampling", "resample_every_epoch", "batch_size",
         "features_size", "pad_long_before_resize",
+        "learn_features", "load_embeddings", "kws_whisper_ckpt",
     ):
         if key in model_args:
             data_args[key] = model_args[key]
@@ -166,12 +167,22 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
     train_config = EfficientTrainConfig(**filter_kwargs(model_args, EfficientTrainConfig))
     datamodule = EfficientKWSDataMod(**filter_kwargs(data_args, EfficientKWSDataMod))
 
+    # audio-mode training: frozen Whisper encoder runs inside the train step
+    whisper = None
+    if not data_args.get("load_embeddings", True):
+        from ..models.whisper_loader import load_whisper_from_pretrained
+
+        whisper = load_whisper_from_pretrained(model_args["kws_whisper_ckpt"])
+
     log_dir = get(config, "trainer.default_root_dir") or "runs/efficient_kws"
     engine = EfficientKWSEngine(
         model_config,
         train_config,
         ckpt_dir=os.path.join(log_dir, "checkpoints"),
         logger=MetricsLogger(log_dir),
+        whisper=whisper,
+        kws_layer_slice=tuple(model_args.get("kws_layer_slice", (10, 22))),
+        utt_frames_budget=tuple(model_args.get("features_size", (150, 1500)))[1],
     )
 
     if subcommand == "fit":
@@ -329,6 +340,9 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
 
 
 def run_cli(argv: Optional[List[str]] = None):
+    from ..runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     assert argv and argv[0] in ("fit", "test", "validate"), (
         f"usage: <entry> {{fit,test,validate}} --config CONFIG [--dotted.key value ...]"

@@ -69,6 +69,7 @@ class EfficientMLSKWSDataset(MLSKWSDataset):
         pad_long_before_resize: bool = True,
         n_channels: int = 12,
         hidden_dim: int = 1024,
+        load_embeddings: bool = True,
     ):
         super().__init__(root, languages, kw_type)
         self.features_size = tuple(features_size)
@@ -76,6 +77,9 @@ class EfficientMLSKWSDataset(MLSKWSDataset):
         self.pad_long_before_resize = pad_long_before_resize
         self.n_channels = n_channels
         self.hidden_dim = hidden_dim
+        # audio mode (reference dataset.py:471-492): utterances come as raw
+        # 30 s audio; the train step runs the KWS Whisper encoder in-loop
+        self.load_embeddings = load_embeddings
         # infer the ghost stand-in shape from a real cache (the reference
         # hard-codes (12, 1024); dims must match the corpus)
         for lang in self.languages:
@@ -99,34 +103,70 @@ class EfficientMLSKWSDataset(MLSKWSDataset):
         kw_lang = self.languages[lang_idx]
 
         mask = 0 if keyword_idx in self.ghost_keyword_indices[kw_lang] else 1
-        utt = load_hidden_states(
-            os.path.join(self.roots[submeta["language"]], "hs", data["code"] + ".bin")
-        )
         if mask:
             kwd = load_hidden_states(self._kw_path(kw_lang, keyword_idx))
         else:
             kwd = np.zeros((self.n_channels, 1, self.hidden_dim), np.float32)
-
         kwd_f, kwd_m = pad_or_truncate(
             kwd, self.features_size[0], self.pad_long_before_resize, self.n_layers
-        )
-        utt_f, utt_m = pad_or_truncate(
-            utt, self.features_size[1], self.pad_long_before_resize, self.n_layers
         )
         label = int(
             any(keyword_idx == p for _, p, _ in data["positives"])
             and submeta["language"] == kw_lang
         )
-        return {
+        item = {
             "label": label,
             "mask": mask,
             "domain": (0 if self.kw_type == "tts" else len(self.languages))
             + self.languages.index(submeta["language"]),
-            "utt_features": utt_f,
             "kwd_features": kwd_f,
-            "utt_mask": utt_m,
             "kwd_mask": kwd_m,
         }
+
+        if self.load_embeddings:
+            utt = load_hidden_states(
+                os.path.join(self.roots[submeta["language"]], "hs", data["code"] + ".bin")
+            )
+            utt_f, utt_m = pad_or_truncate(
+                utt, self.features_size[1], self.pad_long_before_resize, self.n_layers
+            )
+            item["utt_features"] = utt_f
+            item["utt_mask"] = utt_m
+        else:
+            # raw audio, zero-padded to the 30 s window; the train step runs
+            # mel + the Whisper encoder on device in one fused batch (the
+            # reference featurizes per item on host, dataset.py:471-492)
+            audio, frames = self._load_utterance_audio(
+                self.roots[submeta["language"]], data["code"]
+            )
+            item["utt_audio"] = audio
+            item["utt_frames"] = frames
+        return item
+
+    @staticmethod
+    def _load_utterance_audio(root: str, code: str):
+        """30 s-padded waveform + valid encoder frame count
+        (= ceil(unpadded_mel_frames / 2), reference utils.py:187).  Audio at
+        ``audio/{spk}/{book}/{code}.{opus,wav,mp3,flac}``
+        (dataset.py:371-381; extension widened for non-opus corpora)."""
+        import re as _re
+
+        from ..audio.io import load_audio_16k
+        from ..ops.mel import HOP_LENGTH, N_SAMPLES
+
+        m = _re.match(r"(?P<f1>\d+)_(?P<f2>\d+)_\d+", code)
+        base = os.path.join(root, "audio", m.group("f1"), m.group("f2"), code)
+        for ext in (".opus", ".wav", ".mp3", ".flac"):
+            if os.path.exists(base + ext):
+                wav = load_audio_16k(base + ext)
+                break
+        else:
+            raise FileNotFoundError(f"no audio for {code} under {root}/audio")
+        wav = wav[:N_SAMPLES]
+        frames = int(np.ceil((wav.shape[0] // HOP_LENGTH) / 2.0))
+        padded = np.zeros((N_SAMPLES,), np.float32)
+        padded[: wav.shape[0]] = wav
+        return padded, frames
 
 
 class _EfficientGroupedEval:
@@ -333,7 +373,12 @@ class EfficientKWSDataCollator:
         if isinstance(features[0], tuple):
             features = [item for pair in features for item in pair]
         batch = {}
-        for key in ("utt_features", "kwd_features", "utt_mask", "kwd_mask"):
+        keys = ("kwd_features", "kwd_mask") + (
+            ("utt_features", "utt_mask")
+            if "utt_features" in features[0]
+            else ("utt_audio", "utt_frames")  # audio mode
+        )
+        for key in keys:
             batch[key] = np.stack([f[key] for f in features])
         batch["labels"] = np.asarray(
             [f["label"] if f.get("mask", 1) == 1 else -100 for f in features], np.int64
@@ -365,8 +410,22 @@ class EfficientKWSDataMod:
         resample_every_epoch: bool = True,
         languages: Sequence[str] = tuple(MLS_LANGUAGES),
         test_split: str = "test",
+        learn_features: bool = False,
+        load_embeddings: bool = True,
+        kws_whisper_ckpt=None,
         **kwargs,
     ):
+        # reference data_module.py:72-77 contract
+        assert load_embeddings or learn_features, (
+            "when not loading pre-computed utterance embeddings, "
+            "`learn_features` must be set to `True`"
+        )
+        assert load_embeddings or kws_whisper_ckpt is not None, (
+            "when not loading pre-computed utterance embeddings, "
+            "`kws_whisper_ckpt` must be assigned"
+        )
+        self.load_embeddings = load_embeddings
+        self.kws_whisper_ckpt = kws_whisper_ckpt
         self.batch_size = batch_size
         self.sampling = sampling
         self.train_info = train_info or []
@@ -391,6 +450,7 @@ class EfficientKWSDataMod:
             features_size=self.features_size,
             n_layers=self.n_layers,
             pad_long_before_resize=self.pad_long_before_resize,
+            load_embeddings=self.load_embeddings,
         )
 
     def setup(self, stage=None):

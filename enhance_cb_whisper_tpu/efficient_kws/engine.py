@@ -65,6 +65,9 @@ class EfficientKWSEngine:
         seed: int = 123,
         ckpt_dir: str = "checkpoints/efficient_kws",
         logger: Optional[MetricsLogger] = None,
+        whisper: Optional[tuple] = None,  # (WhisperConfig, params) — audio mode
+        kws_layer_slice: tuple = (10, 22),
+        utt_frames_budget: int = 1500,
     ):
         self.model_config = model_config
         self.train_config = train_config
@@ -72,6 +75,36 @@ class EfficientKWSEngine:
         self.ckpt_dir = ckpt_dir
         self.logger = logger or MetricsLogger()
         self.model = EfficientKWSModel(model_config)
+
+        # audio-mode embedding producer (load_embeddings=False, reference
+        # dataset.py:471-492): mel + frozen Whisper encoder run INSIDE the
+        # jitted train step, one fused batch — exactly the cache-producing
+        # math of pipeline.extract_hidden_states (utils.py:186-195)
+        self._embed_utterances = None
+        if whisper is not None:
+            import jax.numpy as jnp
+
+            from ..models.whisper import encoder_kws_stack
+            from ..ops.mel import log_mel_spectrogram
+
+            wcfg, wparams = whisper
+            wparams = jax.tree.map(jnp.asarray, wparams)
+            lo, hi = kws_layer_slice
+            n_layers = model_config.n_layers
+            budget = min(utt_frames_budget, wcfg.max_source_positions)
+
+            def embed(audio, frames):  # [B, S], [B] -> utt [B,n_layers,T,D], mask
+                mel = log_mel_spectrogram(audio, n_mels=wcfg.num_mel_bins)
+                stack = encoder_kws_stack(
+                    wparams, mel, wcfg, layer_slice=(lo, hi), valid_frames=frames
+                )
+                # layer slice [-n_layers:] + frame budget (dataset.py:543-573)
+                utt = jax.lax.stop_gradient(stack[:, -n_layers:, :budget, :])
+                t = jnp.arange(budget)
+                m = (t[None, :] < jnp.minimum(frames, budget)[:, None]).astype(jnp.float32)
+                return utt, jnp.broadcast_to(m[:, None, :], utt.shape[:3])
+
+            self._embed_utterances = jax.jit(embed)
 
         @jax.jit
         def _score_group(variables, kwd, utt, kwd_mask, utt_mask):
@@ -86,12 +119,18 @@ class EfficientKWSEngine:
 
     def init_state(self, sample: Dict[str, np.ndarray]):
         rng = jax.random.PRNGKey(self.seed)
+        if "utt_features" not in sample:
+            utt, utt_mask = self._embed_utterances(
+                sample["utt_audio"][:1], sample["utt_frames"][:1]
+            )
+        else:
+            utt, utt_mask = sample["utt_features"][:1], sample["utt_mask"][:1]
         variables = self.model.init(
             rng,
             sample["kwd_features"][:1],
-            sample["utt_features"][:1],
+            utt,
             sample["kwd_mask"][:1],
-            sample["utt_mask"][:1],
+            utt_mask,
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -160,6 +199,8 @@ class EfficientKWSEngine:
             loss = cross_entropy(logits, batch["labels"])
             return loss, updated["batch_stats"]
 
+        embed = self._embed_utterances
+
         @jax.jit
         def step(params, batch_stats, opt_state, batch, rng):
             if config.kw_type == "all":
@@ -167,6 +208,11 @@ class EfficientKWSEngine:
                 pick = jax.random.bernoulli(rng, 1.0 - config.kw_p, (half,)).astype(jnp.int32)
                 sel = 2 * jnp.arange(half) + (1 - pick)
                 batch = {k: v[sel] for k, v in batch.items()}
+            if "utt_audio" in batch:
+                # audio mode: fused mel + frozen encoder inside the step
+                batch = dict(batch)
+                utt, utt_mask = embed(batch.pop("utt_audio"), batch.pop("utt_frames"))
+                batch["utt_features"], batch["utt_mask"] = utt, utt_mask
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_stats, batch
             )

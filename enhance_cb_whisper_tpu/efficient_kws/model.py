@@ -86,12 +86,25 @@ class PerLayerTimeConv(nn.Module):
         return jnp.stack(outs, axis=1)
 
 
+def _safe_normalize(x: jax.Array, eps: float) -> jax.Array:
+    """x / max(||x||, eps) with a finite gradient at x == 0.
+
+    ``jnp.linalg.norm`` backprops nan at exactly-zero vectors (0/0 in the
+    sqrt VJP) even under a ``maximum`` clamp; torch defines that gradient as
+    0, which is what zero-padded frames need (they occur whenever a
+    zero-init projector maps padding to exactly 0 — LE training diverged on
+    this).  Clamping the SQUARED norm before the sqrt keeps both value and
+    gradient finite and matches the reference's clamp semantics
+    (model.py:210-218).
+    """
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
 def sim_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
     """model.py:210-218 (norms clamped at eps)."""
-    a_n = jnp.linalg.norm(a, axis=-1, keepdims=True)
-    b_n = jnp.linalg.norm(b, axis=-1, keepdims=True)
-    a = a / jnp.maximum(a_n, eps)
-    b = b / jnp.maximum(b_n, eps)
+    a = _safe_normalize(a, eps)
+    b = _safe_normalize(b, eps)
     return jnp.einsum("...ud,...kd->...uk", a, b, precision="highest",
                       preferred_element_type=jnp.float32)
 
@@ -169,8 +182,8 @@ class EfficientKWSModel(nn.Module):
         # (reference permutes the [T_u, T_k] bmm output, model.py:174-184)
         sims = jnp.einsum(
             "blud,blkd->blku",
-            utt / jnp.maximum(jnp.linalg.norm(utt, axis=-1, keepdims=True), 1e-6),
-            kwd / jnp.maximum(jnp.linalg.norm(kwd, axis=-1, keepdims=True), 1e-6),
+            _safe_normalize(utt, 1e-6),
+            _safe_normalize(kwd, 1e-6),
             precision="highest",
             preferred_element_type=jnp.float32,
         )

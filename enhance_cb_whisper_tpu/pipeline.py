@@ -205,6 +205,10 @@ def keyword_tts(tts_folder: str, keyword_file: str, locale: str, voice: Optional
 def main(argv: Optional[List[str]] = None):
     import argparse
 
+    from .runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     parser = argparse.ArgumentParser(description="Utilities for building datasets")
     parser.add_argument("--tts", action="store_true")
     parser.add_argument("--cut_audios", action="store_true")

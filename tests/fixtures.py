@@ -91,8 +91,13 @@ def make_aishell_hotword(root, n_hotwords=5, n_utts=3, ghost=(3,), seed=1):
 
 
 def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
-             ghost=(3,), seed=2, with_dev=True):
-    """MLS layout: root/mls_{lang}_opus/{train,dev}/..."""
+             ghost=(3,), seed=2, with_dev=True, with_audio=False, sr=16000,
+             dim=DIM, n_layers=N_LAYERS):
+    """MLS layout: root/mls_{lang}_opus/{train,dev}/...  With ``with_audio``,
+    each train utterance also gets audio/{spk}/{book}/{code}.wav (1-2 s) for
+    the load_embeddings=False path."""
+    import wave
+
     rng = np.random.default_rng(seed)
     for lang in languages:
         base = os.path.join(root, f"mls_{lang.lower()}_opus")
@@ -110,7 +115,7 @@ def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
                 t = int(rng.integers(2, 6))
                 save_hidden_states(
                     os.path.join(d, f"{i}.npy"),
-                    _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                    _norm(rng.standard_normal((n_layers, t, dim), dtype=np.float32)),
                 )
         kw_rev = sorted(keywords, key=lambda x: x[::-1])
         lines = []
@@ -119,8 +124,18 @@ def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
             t = int(rng.integers(10, 18))
             save_hidden_states(
                 os.path.join(train, "hs", f"{code}.npy"),
-                _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                _norm(rng.standard_normal((n_layers, t, dim), dtype=np.float32)),
             )
+            if with_audio:
+                adir = os.path.join(train, "audio", str(u), str(u))
+                os.makedirs(adir, exist_ok=True)
+                n = int(rng.integers(sr, 2 * sr))
+                wav_data = (rng.standard_normal(n) * 0.1).astype(np.float32)
+                with wave.open(os.path.join(adir, f"{code}.wav"), "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes((wav_data * 32767).astype("<i2").tobytes())
             pos = sorted(rng.choice([i for i in range(n_keywords) if i not in ghost],
                                     size=2, replace=False).tolist())
             parts = [code]
@@ -143,7 +158,7 @@ def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
                 t = int(rng.integers(2, 6))
                 save_hidden_states(
                     os.path.join(d, f"{i}.npy"),
-                    _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                    _norm(rng.standard_normal((n_layers, t, dim), dtype=np.float32)),
                 )
             codes, tlines, plines = [], [], []
             for u in range(n_utts):
@@ -152,7 +167,7 @@ def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
                 t = int(rng.integers(10, 18))
                 save_hidden_states(
                     os.path.join(dev, "hs", f"{code}.npy"),
-                    _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                    _norm(rng.standard_normal((n_layers, t, dim), dtype=np.float32)),
                 )
                 kw = keywords[u % n_keywords]
                 transcript = f"the {kw} appears"
