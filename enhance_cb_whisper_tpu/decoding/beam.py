@@ -66,6 +66,7 @@ def _gather_beams(tree: Any, beam_idx: jax.Array, batch: int, beams: int) -> Any
         "length_penalty",
         "pad_token_id",
         "eos_token_id",
+        "do_sample",
     ),
 )
 def beam_search(
@@ -82,16 +83,34 @@ def beam_search(
     pad_token_id: int = 50257,
     eos_token_id: int = 50257,
     decoder_attention_mask: Optional[jax.Array] = None,  # [B, P]
+    do_sample: bool = False,
+    temperature=1.0,  # TRACED: the fallback ladder revisits several values
+    rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (sequences [B, max_length] right-padded, scores [B]).
 
     ``cache`` must already contain the prompt prefill for each of the B*K
     beam rows (identical across beams), positioned at ``prompt_len - 1``.
+
+    ``do_sample=True`` is HF's beam-sample (the temperature>0 rungs of
+    Whisper's fallback ladder keep ``num_beams`` beams,
+    ``generate_with_fallback`` → ``_beam_search(do_sample=True)``): the
+    processed log-probs are scaled by 1/temperature (TemperatureLogitsWarper
+    runs after log_softmax in modern HF) and the 2K continuation candidates
+    are drawn WITHOUT replacement from softmax(accumulated scores) instead
+    of top-k — realized here with Gumbel-top-k, which yields exactly the
+    sequential sampling-without-replacement distribution of
+    ``torch.multinomial``.  Candidate order = sampling order, so eos
+    retirement eligibility (first K positions, HF's ``top_num_beam_mask``)
+    and running-beam re-selection behave exactly as in HF.
     """
     batch, bucket = prompt.shape
     K = num_beams
     V = processors.vocab_size
     prompt_len = jnp.asarray(prompt_len, jnp.int32)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     tokens = jnp.full((batch, K, max_length), pad_token_id, dtype=jnp.int32)
     # the bucket's pad tail is overwritten as generation reaches those slots
@@ -129,10 +148,19 @@ def beam_search(
             processors, logprobs, tokens.reshape(batch * K, max_length), cur_len,
             prompt_len,
         ).reshape(batch, K, V)
+        if do_sample:
+            logprobs = logprobs / temperature
 
         total = logprobs + running_scores[:, :, None]  # [B, K, V]
         flat = total.reshape(batch, K * V)
-        cand_scores, cand_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
+        if do_sample:
+            gumbel = jax.random.gumbel(
+                jax.random.fold_in(rng, cur_len), flat.shape, dtype=jnp.float32
+            )
+            _, cand_idx = jax.lax.top_k(flat + gumbel, 2 * K)  # sampling order
+            cand_scores = jnp.take_along_axis(flat, cand_idx, axis=1)
+        else:
+            cand_scores, cand_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
         cand_beam = cand_idx // V
         cand_token = cand_idx % V
         is_eos = cand_token == eos_token_id

@@ -232,10 +232,11 @@ class WhisperGenerator:
         opts_ts = dataclasses.replace(opts, return_timestamps=return_timestamps)
         processors = self._processors(opts_ts)
 
-        # sampling retries run single-hypothesis (HF's fallback ladder sets
-        # do_sample=True, which drops beam search)
+        # temperature>0 rungs of the fallback ladder sample; with num_beams>1
+        # that is HF's beam-sample (generate_with_fallback keeps num_beams
+        # when it flips do_sample=True, pba_whisper.py:425-442)
         use_sampling = temperature > 0.0
-        K = 1 if use_sampling else opts.num_beams
+        K = opts.num_beams
         reps = K if K > 1 else 1
         ctx = self._make_ctx(cross_kv, pmask, max_length, reps)
         prompt_padded = jnp.asarray(np.repeat(padded, reps, axis=0))
@@ -274,6 +275,9 @@ class WhisperGenerator:
                 length_penalty=opts.length_penalty,
                 pad_token_id=opts.pad_token_id,
                 eos_token_id=opts.eos_token_id,
+                do_sample=use_sampling,
+                temperature=float(temperature) if use_sampling else 1.0,
+                rng=rng,
             )
         return np.asarray(seqs), np.asarray(scores), no_speech_probs
 
@@ -443,12 +447,19 @@ class WhisperGenerator:
             should_skip = []
             for row in range(seqs.shape[0]):
                 gen = self._trim_generated(seqs[row, plen:], opts)
-                avg_lp = float(scores[row]) / max(len(gen) + 1, 1)
+                # num_beams>1: beam_search scores ARE HF's sequences_scores
+                # (sum logprob / gen_len**penalty), which _need_fallback uses
+                # directly; num_beams==1: average over generated tokens incl.
+                # eos (HF _retrieve_avg_logprobs)
+                if opts.num_beams > 1:
+                    avg_lp = float(scores[row])
+                else:
+                    avg_lp = float(scores[row]) / max(len(gen) + 1, 1)
                 fallback, skip = False, False
                 if opts.compression_ratio_threshold is not None:
                     if _compression_ratio(gen) > opts.compression_ratio_threshold:
                         fallback = True
-                if opts.logprob_threshold is not None and opts.num_beams == 1:
+                if opts.logprob_threshold is not None:
                     if avg_lp < opts.logprob_threshold:
                         fallback = True
                 if opts.no_speech_threshold is not None:
