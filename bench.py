@@ -130,10 +130,10 @@ def main():
     utt = rng.standard_normal((N_LAYERS, t_u, DIM), dtype=np.float32)
     utt /= np.linalg.norm(utt, axis=-1, keepdims=True)
 
-    # fp32 by default: measured 1669 kw/s fp32 vs 2039 kw/s bf16 on v5e, but
-    # the bf16 program takes ~35 min to compile through the remote-compile
-    # relay vs ~5 min for fp32 — not worth the risk in a timed harness
-    ours = bench_tpu(stacks, utt, dtype=os.environ.get("ECW_BENCH_DTYPE", "float32"))
+    # bf16 by default since round 2: 3689 kw/s vs ~2040 fp32 on v5e, and the
+    # persistent compilation cache (enable_persistent_cache above) amortizes
+    # the big remote compile — warm-cache wall time measured 43 s end-to-end
+    ours = bench_tpu(stacks, utt, dtype=os.environ.get("ECW_BENCH_DTYPE", "bfloat16"))
     try:
         baseline = bench_reference_cpu(stacks, utt)
     except Exception:
