@@ -118,7 +118,7 @@ def _run_paper1(subcommand: str, config: Dict[str, Any]):
         ),
         features_size=tuple(data_args.get("features_size") or (150, 750)),
         ckpt_dir=os.path.join(log_dir, "checkpoints"),
-        logger=MetricsLogger(log_dir),
+        logger=_logger_from_config(config, log_dir),
     )
 
     if subcommand == "fit":
@@ -144,6 +144,23 @@ def _run_paper1(subcommand: str, config: Dict[str, Any]):
 
 
 # --------------------------------------------------------------------- paper 2
+
+
+def _logger_from_config(config, log_dir):
+    """MetricsLogger honoring the reference's MLFlowLogger block
+    (configs/train.yaml:9-15): run_name/experiment_name/tags/tracking_uri.
+    The real MLflow client activates only when tracking_uri is set and the
+    package is importable; local files are always written."""
+    from ..runtime.logging import MetricsLogger
+
+    largs = get(config, "trainer.logger.init_args", {}) or {}
+    return MetricsLogger(
+        log_dir,
+        run_name=largs.get("run_name", "run"),
+        experiment_name=largs.get("experiment_name", "default"),
+        tags=largs.get("tags"),
+        tracking_uri=largs.get("tracking_uri"),
+    )
 
 
 def _run_paper2(subcommand: str, config: Dict[str, Any]):
@@ -179,7 +196,7 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
         model_config,
         train_config,
         ckpt_dir=os.path.join(log_dir, "checkpoints"),
-        logger=MetricsLogger(log_dir),
+        logger=_logger_from_config(config, log_dir),
         whisper=whisper,
         kws_layer_slice=tuple(model_args.get("kws_layer_slice", (10, 22))),
         utt_frames_budget=tuple(model_args.get("features_size", (150, 1500)))[1],

@@ -126,17 +126,32 @@ def _mha(
     v = _split_heads(_linear(p["v_proj"], x_kv), num_heads)
     if use_flash and mask is None:
         # stock Pallas TPU flash attention over the encoder's 1500-frame
-        # self-attention: O(T) VMEM instead of materializing [H, T, T] scores
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+        # self-attention: O(T) VMEM instead of materializing [H, T, T]
+        # scores.  The kernel needs seq divisible by its 128/512 blocks, so
+        # 1500 pads to 1536 with segment ids masking the 36 pad frames
+        # (pad rows are sliced off the output).
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
 
+        t = q.shape[1]
+        t_pad = ((t + 511) // 512) * 512 if t % 128 else t
+        qf = jnp.transpose(q, (0, 2, 1, 3))
+        kf = jnp.transpose(k, (0, 2, 1, 3))
+        vf = jnp.transpose(v, (0, 2, 1, 3))
+        seg = None
+        if t_pad != t:
+            pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+            qf, kf, vf = (jnp.pad(a, pad) for a in (qf, kf, vf))
+            ids = (jnp.arange(t_pad) < t).astype(jnp.int32)[None, :]
+            ids = jnp.broadcast_to(ids, (qf.shape[0], t_pad))
+            seg = SegmentIds(q=ids, kv=ids)
         o = flash_attention(
-            jnp.transpose(q, (0, 2, 1, 3)),
-            jnp.transpose(k, (0, 2, 1, 3)),
-            jnp.transpose(v, (0, 2, 1, 3)),
-            causal=False,
+            qf, kf, vf, segment_ids=seg, causal=False,
             sm_scale=1.0,  # q is pre-scaled
         )
-        o = jnp.transpose(o, (0, 2, 1, 3))
+        o = jnp.transpose(o[:, :, :t, :], (0, 2, 1, 3))
     else:
         o = _attention(q, k, v, mask)
     return _linear(p["out_proj"], o.reshape(*o.shape[:2], -1))

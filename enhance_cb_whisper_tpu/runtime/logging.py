@@ -1,10 +1,14 @@
-"""Metrics logging: stdout + MLflow-compatible file layout.
+"""Metrics logging: stdout + MLflow-compatible file layout + optional real
+MLflow client.
 
-The reference logs through MLFlowLogger (configs/train.yaml:9-15).  In the
-zero-egress TPU environment we write the same information locally:
+The reference logs through MLFlowLogger with a ``tracking_uri``
+(configs/train.yaml:9-15, ``log_model: true``).  In the zero-egress TPU
+environment we always write the same information locally —
 ``<dir>/metrics.jsonl`` (one record per log call: step, epoch, metrics) and
-``params.json``, which an MLflow importer can ingest.  Logging failures are
-swallowed like the reference's NewConnectionError catches
+``params.json``, which an MLflow importer can ingest — and, when a
+``tracking_uri`` is given AND the ``mlflow`` package is importable, mirror
+every call to a real MLflow run (networked deployments).  Logging failures
+are swallowed like the reference's NewConnectionError catches
 (src/efficient_kws/model.py:293-294)."""
 
 from __future__ import annotations
@@ -18,7 +22,8 @@ from typing import Dict, Optional
 class MetricsLogger:
     def __init__(self, directory: Optional[str] = None, run_name: str = "run",
                  experiment_name: str = "default", tags: Optional[dict] = None,
-                 verbose: bool = True):
+                 verbose: bool = True, tracking_uri: Optional[str] = None,
+                 mlflow_module=None):
         self.directory = directory
         self.verbose = verbose
         self._fh = None
@@ -28,9 +33,25 @@ class MetricsLogger:
             with open(os.path.join(directory, "run.json"), "w") as f:
                 json.dump(
                     {"run_name": run_name, "experiment_name": experiment_name,
-                     "tags": tags or {}, "start_time": time.time()},
+                     "tags": tags or {}, "start_time": time.time(),
+                     "tracking_uri": tracking_uri},
                     f,
                 )
+
+        # optional real MLflow client (reference MLFlowLogger surface);
+        # import-guarded — the local file layout above is always written
+        self._mlflow = None
+        if tracking_uri is not None:
+            try:
+                mlflow = mlflow_module
+                if mlflow is None:
+                    import mlflow  # noqa: F811
+                mlflow.set_tracking_uri(tracking_uri)
+                mlflow.set_experiment(experiment_name)
+                mlflow.start_run(run_name=run_name, tags=tags or {})
+                self._mlflow = mlflow
+            except Exception as e:  # unreachable server / missing package
+                print(f"mlflow client unavailable ({e}); file logging only")
 
     def log_params(self, params: dict) -> None:
         if self.directory is not None:
@@ -38,6 +59,11 @@ class MetricsLogger:
                 with open(os.path.join(self.directory, "params.json"), "w") as f:
                     json.dump(params, f, indent=2, default=str)
             except OSError:
+                pass
+        if self._mlflow is not None:
+            try:
+                self._mlflow.log_params(params)
+            except Exception:
                 pass
 
     def log_metrics(self, metrics: Dict[str, float], step: Optional[int] = None,
@@ -50,6 +76,13 @@ class MetricsLogger:
                 self._fh.flush()
             except OSError:
                 pass
+        if self._mlflow is not None:
+            try:
+                self._mlflow.log_metrics(
+                    {k: float(v) for k, v in metrics.items()}, step=step
+                )
+            except Exception:
+                pass
         if self.verbose:
             parts = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
             prefix = f"[epoch {epoch}]" if epoch is not None else ""
@@ -58,3 +91,8 @@ class MetricsLogger:
     def close(self):
         if self._fh is not None:
             self._fh.close()
+        if self._mlflow is not None:
+            try:
+                self._mlflow.end_run()
+            except Exception:
+                pass

@@ -68,3 +68,73 @@ def test_rtfx_meter():
     m.stop(audio_seconds=5.0)
     assert m.rtfx > 1
     assert m.summary()["audio_seconds"] == 5.0
+
+
+def test_metrics_logger_mlflow_client(tmp_path):
+    """Optional real MLflow client (reference MLFlowLogger,
+    configs/train.yaml:9-15): with a tracking_uri and an importable client,
+    params/metrics/end_run mirror to it; files are still written."""
+
+    class StubMLflow:
+        def __init__(self):
+            self.calls = []
+
+        def set_tracking_uri(self, uri):
+            self.calls.append(("uri", uri))
+
+        def set_experiment(self, name):
+            self.calls.append(("exp", name))
+
+        def start_run(self, run_name=None, tags=None):
+            self.calls.append(("start", run_name, tags))
+
+        def log_params(self, params):
+            self.calls.append(("params", dict(params)))
+
+        def log_metrics(self, metrics, step=None):
+            self.calls.append(("metrics", dict(metrics), step))
+
+        def end_run(self):
+            self.calls.append(("end",))
+
+    stub = StubMLflow()
+    logger = MetricsLogger(
+        str(tmp_path), run_name="r2", experiment_name="kws",
+        tracking_uri="http://mlflow.internal:5000", mlflow_module=stub,
+        verbose=False,
+    )
+    logger.log_params({"lr": 1e-3})
+    logger.log_metrics({"f1": 0.5}, step=3)
+    logger.close()
+
+    assert ("uri", "http://mlflow.internal:5000") in stub.calls
+    assert ("exp", "kws") in stub.calls
+    assert ("start", "r2", {}) in stub.calls
+    assert ("params", {"lr": 1e-3}) in stub.calls
+    assert ("metrics", {"f1": 0.5}, 3) in stub.calls
+    assert ("end",) in stub.calls
+    assert (tmp_path / "metrics.jsonl").exists()  # file fallback preserved
+
+
+def test_metrics_logger_no_uri_no_client(tmp_path):
+    """Without tracking_uri the client is never constructed (zero egress)."""
+    logger = MetricsLogger(str(tmp_path), verbose=False)
+    assert logger._mlflow is None
+    logger.log_metrics({"x": 1.0})
+    logger.close()
+
+
+def test_metrics_logger_unreachable_uri_falls_back(tmp_path):
+    """An unreachable tracking server degrades to file logging (the
+    reference swallows NewConnectionError, efficient_kws/model.py:293-294)."""
+
+    class Exploding:
+        def set_tracking_uri(self, uri):
+            raise ConnectionError("no route to host")
+
+    logger = MetricsLogger(str(tmp_path), tracking_uri="http://nope:5000",
+                           mlflow_module=Exploding(), verbose=False)
+    assert logger._mlflow is None
+    logger.log_metrics({"x": 1.0}, step=1)
+    logger.close()
+    assert (tmp_path / "metrics.jsonl").exists()
