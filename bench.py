@@ -76,6 +76,16 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
 
     np.asarray(batched(variables, cat_dev, utt_j, w)[0])  # compile + execute
 
+    # FLOPs of the compiled program (XLA cost analysis) for the MFU figure
+    flops = None
+    try:
+        cost = batched.lower(variables, cat_dev, utt_j, w).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # np.asarray per iteration: a host fetch is the only reliable completion
     # barrier on this backend (block_until_ready returns early through the
     # remote relay)
@@ -84,7 +94,7 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
     for _ in range(iters):
         np.asarray(batched(variables, cat_dev, utt_j, w)[0])
     dt = (time.perf_counter() - t0) / iters
-    return UTT_BATCH * catalog.num_padded / dt  # keyword-utt pairs per second
+    return UTT_BATCH * catalog.num_padded / dt, (flops / dt if flops else None)
 
 
 def bench_reference_cpu(stacks, utt, n_sample=4):
@@ -133,12 +143,15 @@ def main():
     # bf16 by default since round 2: 3689 kw/s vs ~2040 fp32 on v5e, and the
     # persistent compilation cache (enable_persistent_cache above) amortizes
     # the big remote compile — warm-cache wall time measured 43 s end-to-end
-    ours = bench_tpu(stacks, utt, dtype=os.environ.get("ECW_BENCH_DTYPE", "bfloat16"))
+    dtype = os.environ.get("ECW_BENCH_DTYPE", "bfloat16")
+    ours, flops_per_s = bench_tpu(stacks, utt, dtype=dtype)
     try:
         baseline = bench_reference_cpu(stacks, utt)
     except Exception:
         baseline = None
 
+    # v5e peak: ~197 TFLOP/s bf16 per chip (override for other hardware)
+    peak = float(os.environ.get("ECW_PEAK_TFLOPS", "197")) * 1e12
     print(
         json.dumps(
             {
@@ -146,6 +159,7 @@ def main():
                 "value": round(ours, 2),
                 "unit": "keywords/s",
                 "vs_baseline": round(ours / baseline, 2) if baseline else None,
+                "mfu": round(flops_per_s / peak, 4) if flops_per_s else None,
             }
         )
     )

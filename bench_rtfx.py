@@ -12,9 +12,90 @@ BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def bench_reference_cpu(seconds: int = 60) -> float:
+    """Reference-style longform CB-Whisper on CPU (torch + HF), same dims as
+    the TPU path: per 30 s segment, a Whisper-encoder KWS pass (encoder fwd +
+    cossim + bilinear resize + ResNet-18 over a 100-keyword DB in groups of
+    50, cb_whisper.py:82-149) followed by HF longform generate (greedy,
+    condition_on_prev, timestamps).  Returns x-realtime.  This anchors the
+    BASELINE.md north-star (>=20x CPU RTFx)."""
+    import torch
+    import torch.nn.functional as F
+    import transformers
+
+    torch.manual_seed(0)
+    hf_config = transformers.WhisperConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=384,
+        encoder_layers=4, encoder_attention_heads=6,
+        decoder_layers=4, decoder_attention_heads=6,
+        encoder_ffn_dim=1536, decoder_ffn_dim=1536,
+        max_source_positions=1500, max_target_positions=448,
+        pad_token_id=50256, bos_token_id=50257, eos_token_id=50256,
+        decoder_start_token_id=50257, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    model = transformers.WhisperForConditionalGeneration(hf_config).eval()
+
+    rng = np.random.default_rng(0)
+    n_kw, n_slabs = 100, 4
+    kwd_stacks = [
+        torch.from_numpy(
+            rng.standard_normal((n_slabs, int(rng.integers(4, 20)), 384)).astype(np.float32)
+        )
+        for _ in range(n_kw)
+    ]
+    rcfg = transformers.ResNetConfig(
+        num_channels=n_slabs, embedding_sizes=None,
+        layer_type="basic", hidden_sizes=[64, 128, 256, 512], depths=[2, 2, 2, 2],
+    )
+    resnet = transformers.ResNetModel(rcfg).eval()
+    head = torch.nn.Linear(512, 2)
+
+    fe = transformers.WhisperFeatureExtractor()
+    audio = (rng.standard_normal(16000 * seconds) * 0.05).astype(np.float32)
+
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for seg_start in range(0, seconds, 30):
+            seg = audio[seg_start * 16000 : (seg_start + 30) * 16000]
+            feats = fe(seg, sampling_rate=16000, return_tensors="pt").input_features
+            # KWS pass: encoder hidden states -> grouped cossim scoring
+            enc = model.model.encoder(feats, output_hidden_states=True)
+            utt = torch.cat(enc.hidden_states[1:5], dim=0)  # [4, 1500, 384]
+            utt = utt / torch.linalg.norm(utt, dim=-1, keepdim=True)
+            for lo in range(0, n_kw, 50):
+                for s in kwd_stacks[lo : lo + 50]:
+                    sim = torch.matmul(s, utt.transpose(1, 2))
+                    resized = F.interpolate(
+                        sim[None], size=(150, 750), mode="bilinear",
+                        align_corners=False, antialias=False,
+                    )
+                    head(resnet(resized).pooler_output.flatten(1)).softmax(-1)
+        # longform biased decode (HF seek loop, greedy, condition_on_prev)
+        full = fe(
+            audio, sampling_rate=16000, return_tensors="pt",
+            truncation=False, padding="longest",
+        ).input_features
+        gc = transformers.GenerationConfig(
+            pad_token_id=50256, bos_token_id=50257, eos_token_id=50256,
+            decoder_start_token_id=50257, max_length=448,
+            no_timestamps_token_id=50363,
+        )
+        try:
+            model.generate(
+                full, generation_config=gc, return_timestamps=True,
+                condition_on_prev_tokens=True, num_beams=1, do_sample=False,
+            )
+        except Exception as e:  # random weights can emit undecodable seeks
+            print(f"cpu longform generate stopped early: {e}")
+    wall = time.perf_counter() - t0
+    return seconds / wall
 
 
 def main():
@@ -90,13 +171,22 @@ def main():
     module.forward(mel)
     wall = time.perf_counter() - t0
 
+    baseline = None
+    if os.environ.get("ECW_RTFX_CPU_BASELINE", "1") != "0":
+        try:
+            baseline = bench_reference_cpu(seconds=60)
+        except Exception as e:
+            print(f"cpu baseline failed: {e}")
+
+    rtfx = seconds / wall
     print(
         json.dumps(
             {
                 "metric": "cb_whisper_longform_rtfx",
-                "value": round(seconds / wall, 2),
+                "value": round(rtfx, 2),
                 "unit": "x realtime",
-                "vs_baseline": None,
+                "vs_baseline": round(rtfx / baseline, 2) if baseline else None,
+                "cpu_baseline_rtfx": round(baseline, 3) if baseline else None,
                 "compile_seconds": round(compile_s, 1),
                 "wall_seconds": round(wall, 2),
             }

@@ -97,7 +97,6 @@ class WhisperGenerator:
         params: Dict[str, Any],
         dtype: Any = jnp.float32,
         prompt_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 448),
-        use_flash: bool = False,
         matmul_precision: str = "default",
     ):
         """``matmul_precision``: 'default' lets the TPU MXU round matmul
@@ -118,7 +117,7 @@ class WhisperGenerator:
         @jax.jit
         def _encode(mel):
             with jax.default_matmul_precision(matmul_precision):
-                enc, _ = encoder_forward(params, mel, cfg, dtype=dtype, use_flash=use_flash)
+                enc, _ = encoder_forward(params, mel, cfg, dtype=dtype)
                 return enc
 
         @jax.jit

@@ -118,42 +118,12 @@ def _mha(
     x_kv: jax.Array,
     num_heads: int,
     mask: Optional[jax.Array] = None,
-    use_flash: bool = False,
 ) -> jax.Array:
     head_dim = x_q.shape[-1] // num_heads
     q = _split_heads(_linear(p["q_proj"], x_q), num_heads) * (head_dim**-0.5)
     k = _split_heads(_linear(p["k_proj"], x_kv), num_heads)
     v = _split_heads(_linear(p["v_proj"], x_kv), num_heads)
-    if use_flash and mask is None:
-        # stock Pallas TPU flash attention over the encoder's 1500-frame
-        # self-attention: O(T) VMEM instead of materializing [H, T, T]
-        # scores.  The kernel needs seq divisible by its 128/512 blocks, so
-        # 1500 pads to 1536 with segment ids masking the 36 pad frames
-        # (pad rows are sliced off the output).
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            SegmentIds,
-            flash_attention,
-        )
-
-        t = q.shape[1]
-        t_pad = ((t + 511) // 512) * 512 if t % 128 else t
-        qf = jnp.transpose(q, (0, 2, 1, 3))
-        kf = jnp.transpose(k, (0, 2, 1, 3))
-        vf = jnp.transpose(v, (0, 2, 1, 3))
-        seg = None
-        if t_pad != t:
-            pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
-            qf, kf, vf = (jnp.pad(a, pad) for a in (qf, kf, vf))
-            ids = (jnp.arange(t_pad) < t).astype(jnp.int32)[None, :]
-            ids = jnp.broadcast_to(ids, (qf.shape[0], t_pad))
-            seg = SegmentIds(q=ids, kv=ids)
-        o = flash_attention(
-            qf, kf, vf, segment_ids=seg, causal=False,
-            sm_scale=1.0,  # q is pre-scaled
-        )
-        o = jnp.transpose(o[:, :, :t, :], (0, 2, 1, 3))
-    else:
-        o = _attention(q, k, v, mask)
+    o = _attention(q, k, v, mask)
     return _linear(p["out_proj"], o.reshape(*o.shape[:2], -1))
 
 
@@ -243,10 +213,9 @@ def init_whisper_params(rng: np.random.Generator, config: WhisperConfig) -> Dict
 # encoder
 
 
-def encoder_layer(p: Dict[str, Any], x: jax.Array, num_heads: int,
-                  use_flash: bool = False) -> jax.Array:
+def encoder_layer(p: Dict[str, Any], x: jax.Array, num_heads: int) -> jax.Array:
     h = _layer_norm(p["self_attn_layer_norm"], x)
-    x = x + _mha(p["self_attn"], h, h, num_heads, use_flash=use_flash)
+    x = x + _mha(p["self_attn"], h, h, num_heads)
     h = _layer_norm(p["final_layer_norm"], x)
     h = jax.nn.gelu(_linear(p["fc1"], h), approximate=False)
     return x + _linear(p["fc2"], h)
@@ -258,7 +227,6 @@ def encoder_forward(
     config: WhisperConfig,
     output_hidden_states: bool = False,
     dtype: Any = jnp.float32,
-    use_flash: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Returns (last_hidden_state [B, 1500, D], hidden_states [n_layers+1, B, 1500, D]
     or None).
@@ -275,8 +243,7 @@ def encoder_forward(
 
     states = [x] if output_hidden_states else None
     for i in range(config.encoder_layers):
-        x = encoder_layer(p["layers"][i], x, config.encoder_attention_heads,
-                          use_flash=use_flash)
+        x = encoder_layer(p["layers"][i], x, config.encoder_attention_heads)
         if output_hidden_states:
             states.append(x)
     last = _layer_norm(p["layer_norm"], x)
@@ -294,7 +261,6 @@ def encoder_kws_stack(
     layer_slice: Tuple[int, int] = (10, 22),
     valid_frames: Optional[jax.Array] = None,
     dtype: Any = jnp.float32,
-    use_flash: bool = False,
 ) -> jax.Array:
     """The KWS embedding producer: hidden_states[lo:hi], L2-normalized over
     the embedding dim (reference src/utils.py:188-195, cb_whisper.py:100-106).
@@ -305,7 +271,6 @@ def encoder_kws_stack(
     """
     _, states = encoder_forward(
         params, input_features, config, output_hidden_states=True, dtype=dtype,
-        use_flash=use_flash,
     )
     lo, hi = layer_slice
     stack = jnp.transpose(states[lo:hi], (1, 0, 2, 3)).astype(jnp.float32)
