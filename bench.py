@@ -25,8 +25,8 @@ N_LAYERS = 12
 DIM = 1024
 OUT = (150, 750)
 N_KEYWORDS = 128
-CHUNK = 8
-UTT_BATCH = 8  # 2044 pairs/s at 8 vs 1950 at 4 (measured, v5e fp32)
+CHUNK = 8       # r2 sweep (bf16, v5e): chunk 8 > 16 > 32 at every batch
+UTT_BATCH = 16  # 4107 pairs/s vs 3689 at 8 (bf16 sweep, /tmp-less: BASELINE.md)
 
 
 def _make_stacks(rng, n):
