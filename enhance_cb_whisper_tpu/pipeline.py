@@ -188,18 +188,105 @@ def cut_audios(wav: str, segments: str, segments_audios: str):
             )
 
 
-def keyword_tts(tts_folder: str, keyword_file: str, locale: str, voice: Optional[str] = None):
-    """edge-tts synthesis (src/utils.py:31-80) — network-bound; raises a
-    clear error where the package/egress is unavailable."""
-    try:
-        import edge_tts  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "keyword_tts requires the edge-tts package and network egress; "
-            "this environment has neither. Provide pre-synthesized keyword "
-            "audio or run this stage on a networked host."
-        ) from e
-    raise NotImplementedError("edge-tts synthesis loop (networked hosts only)")
+def keyword_tts(
+    tts_folder: str,
+    keyword_file: str,
+    locale: str,
+    voice: Optional[str] = None,
+    synthesize=None,   # (text, voice_name, out_path) -> None
+    list_voices=None,  # (locale) -> [{"ShortName", "Name"}]
+    max_retries: int = 3,
+    rng=None,
+):
+    """Keyword speech synthesis (src/utils.py:31-80).
+
+    Synthesis is injectable so the loop logic is testable offline; the
+    default backend is edge-tts (networked hosts). Behaviors mirrored from
+    the reference: resume by skipping indices with existing mp3s
+    (utils.py:42,54); per-keyword voice from a two-column keyword file,
+    else the explicit ``voice`` arg, else a random voice in the locale;
+    zero-filled output names; a ``<keywords>_voice.txt`` dump of the chosen
+    voices. One deliberate fix: the reference's retry loop is effectively
+    single-attempt (``while True: except: continue / finally: break`` — the
+    ``finally`` break overrides the continue, utils.py:67-74); here failures
+    retry up to ``max_retries`` and then the keyword is skipped with a
+    message (resumable on a later run).
+    """
+    import random
+
+    assert os.path.isdir(tts_folder), (
+        "the provided folder for storing the synthesized speech does not exist"
+    )
+    assert os.path.exists(keyword_file), "there is no file with keywords list"
+
+    if synthesize is None or list_voices is None:
+        try:
+            import asyncio
+
+            import edge_tts
+        except ImportError as e:
+            raise RuntimeError(
+                "keyword_tts requires the edge-tts package and network egress "
+                "(or injected synthesize/list_voices callables); this "
+                "environment has neither. Run this stage on a networked host."
+            ) from e
+
+        def list_voices(locale):  # noqa: F811
+            voices = asyncio.run(edge_tts.VoicesManager.create())
+            return voices.find(Locale=locale)
+
+        def synthesize(text, voice_name, out_path):  # noqa: F811
+            asyncio.run(edge_tts.Communicate(text, voice_name).save(out_path))
+
+    done = {
+        int(os.path.splitext(os.path.basename(p))[0])
+        for p in glob(os.path.join(tts_folder, "*.mp3"))
+    }
+    with open(keyword_file) as f:
+        keywords = [
+            {
+                "keyword": line.split("\t")[0].strip(),
+                "voice": line.split("\t")[1].strip() if len(line.split("\t")) != 1 else None,
+                "idx": idx,
+            }
+            for idx, line in enumerate(f.readlines())
+        ]
+    zfill = len(str(len(keywords) - 1))
+    todo = [k for k in keywords if k["idx"] not in done]
+
+    l_voices = list_voices(locale)
+    rng = rng or random
+    for item in todo:
+        if item["voice"] is None:
+            if voice is None:
+                v = rng.choice(l_voices)
+            else:
+                v = l_voices[[x["ShortName"] == voice for x in l_voices].index(True)]
+        else:
+            v = l_voices[[x["ShortName"] == item["voice"] for x in l_voices].index(True)]
+        item["voice"] = v["ShortName"]
+        out = os.path.join(tts_folder, str(item["idx"]).zfill(zfill) + ".mp3")
+        for attempt in range(max_retries):
+            try:
+                synthesize(item["keyword"], v.get("Name", v["ShortName"]), out)
+                break
+            except Exception as e:
+                print(f"{item['keyword']}: {e}")
+        else:
+            print(f"{item['keyword']}: giving up after {max_retries} attempts")
+
+    # dump keyword->voice metadata (utils.py:78-80)
+    dump = (
+        keyword_file
+        if "voice" in os.path.basename(keyword_file)
+        else os.path.splitext(keyword_file)[0] + "_voice.txt"
+    )
+    with open(dump, "w") as f:
+        f.write(
+            "\n".join(
+                "\t".join([k["keyword"], k["voice"]]) for k in todo if k["voice"]
+            )
+        )
 
 
 def main(argv: Optional[List[str]] = None):

@@ -107,3 +107,62 @@ def test_safetensors_loading_matches_torch(tiny_ckpt):
         want["decoder"]["embed_tokens"]["weight"],
         rtol=1e-6,
     )
+
+
+def test_keyword_tts_loop_with_fake_synthesizer(tmp_path):
+    """The synthesis loop (utils.py:31-80) with an injected backend: voice
+    resolution (per-keyword / explicit / random-in-locale), resume by
+    existing mp3s, bounded retry on flaky failures, voice-metadata dump."""
+    from enhance_cb_whisper_tpu.pipeline import keyword_tts
+
+    kw_file = tmp_path / "keywords.txt"
+    kw_file.write_text("alpha\nbeta\tvB\ngamma\n")
+    out = tmp_path / "tts"
+    out.mkdir()
+    # index 0 already synthesized -> resumed over
+    (out / "0.mp3").write_bytes(b"existing")
+
+    voices = [{"ShortName": "vA", "Name": "Voice A"},
+              {"ShortName": "vB", "Name": "Voice B"}]
+    calls = []
+    fail_once = {"beta": 1}
+
+    def synthesize(text, voice_name, out_path):
+        if fail_once.get(text, 0):
+            fail_once[text] -= 1
+            raise ConnectionError("flaky network")
+        calls.append((text, voice_name))
+        with open(out_path, "wb") as f:
+            f.write(b"mp3")
+
+    class SeqRng:
+        def choice(self, seq):
+            return seq[0]
+
+    keyword_tts(str(out), str(kw_file), "en-US",
+                synthesize=synthesize, list_voices=lambda loc: voices,
+                rng=SeqRng())
+
+    assert (out / "1.mp3").exists() and (out / "2.mp3").exists()
+    assert (out / "0.mp3").read_bytes() == b"existing"  # not re-synthesized
+    assert ("beta", "Voice B") in calls   # per-keyword voice, after 1 retry
+    assert ("gamma", "Voice A") in calls  # random-in-locale
+    dump = (tmp_path / "keywords_voice.txt").read_text().splitlines()
+    assert dump == ["beta\tvB", "gamma\tvA"]
+
+
+def test_keyword_tts_gives_up_after_retries(tmp_path):
+    from enhance_cb_whisper_tpu.pipeline import keyword_tts
+
+    kw_file = tmp_path / "keywords.txt"
+    kw_file.write_text("alpha\n")
+    out = tmp_path / "tts"
+    out.mkdir()
+
+    def synthesize(text, voice_name, out_path):
+        raise ConnectionError("always down")
+
+    keyword_tts(str(out), str(kw_file), "en-US", max_retries=2,
+                synthesize=synthesize,
+                list_voices=lambda loc: [{"ShortName": "vA", "Name": "A"}])
+    assert not (out / "0.mp3").exists()  # skipped, resumable next run
