@@ -349,7 +349,10 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         return prepare_features(wav, n_mels=whisper_config.num_mel_bins)
 
     return module.run_test(
-        dataset, mel_fn, num_bootstraps=model_args.get("num_bootstraps", 1000)
+        dataset, mel_fn,
+        num_bootstraps=model_args.get("num_bootstraps", 1000),
+        # >1 decodes several utterances per longform launch (oracle='kws')
+        batch_size=model_args.get("eval_batch_size", 1),
     )
 
 

@@ -208,6 +208,40 @@ class CBWhisper:
             tokens = result[0]
         return self.decode_fn(tokens).strip()
 
+    def forward_batch(
+        self,
+        features_list: List[np.ndarray],   # each [1, n_mels, T_i]
+        masks_list: List[Optional[np.ndarray]],
+    ) -> List[str]:
+        """Transcribe SEVERAL utterances in one longform launch: mels are
+        right-padded to the longest with attention masks, the seek loop runs
+        them as one batch (dynamic batch reduction drops finished rows).
+        A capability beyond the reference's batch-1 eval; oracle modes need
+        per-utterance keyword buffers and stay on the batch-1 path."""
+        assert self.config.oracle == "kws", (
+            "batched eval supports oracle='kws' only (per-segment spotting); "
+            "gold/random oracles are per-utterance state"
+        )
+        self.oracle_buffer = []
+        t_max = max(f.shape[-1] for f in features_list)
+        batch = len(features_list)
+        n_mels = features_list[0].shape[1]
+        mels = np.zeros((batch, n_mels, t_max), np.float32)
+        attn = np.zeros((batch, t_max), np.int32)
+        for i, (f, m) in enumerate(zip(features_list, masks_list)):
+            t = f.shape[-1]
+            mels[i, :, :t] = f[0]
+            if m is not None:
+                attn[i, : m.shape[-1]] = np.asarray(m).reshape(-1)[:t_max]
+            else:
+                attn[i, :t] = 1
+        result = self.generator.generate(
+            mels, self.opts, attention_mask=attn,
+            keyword_spotting=self.keyword_spotting, return_segments=True,
+        )
+        sequences = result["sequences"] if isinstance(result, dict) else result
+        return [self.decode_fn(sequences[i]).strip() for i in range(batch)]
+
     # -------------------------------------------------------------------- test
 
     def run_test(
@@ -216,10 +250,13 @@ class CBWhisper:
         mel_fn: Callable[[dict], Tuple[np.ndarray, Optional[np.ndarray]]],
         num_bootstraps: int = 1000,
         rng: Optional[np.random.Generator] = None,
+        batch_size: int = 1,
     ) -> Dict[str, float]:
         """Evaluate entity recall over an eval dataset
         (cb_whisper.py:212-289).  ``mel_fn(item) -> (features, attention_mask)``
-        supplies the log-mel input (precomputed or from audio)."""
+        supplies the log-mel input (precomputed or from audio).
+        ``batch_size > 1`` (oracle='kws' only) decodes several utterances per
+        longform launch via :meth:`forward_batch`."""
         from ..audio.prefetch import prefetch
         from ..runtime.profiler import RTFxMeter
 
@@ -233,6 +270,34 @@ class CBWhisper:
             for idx in range(len(dataset)):
                 item = dataset[idx]
                 yield item, mel_fn(item)
+
+        if batch_size > 1:
+            pending_items, pending_feats, pending_masks = [], [], []
+
+            def flush():
+                if not pending_items:
+                    return
+                meter.start()
+                outs = self.forward_batch(pending_feats, pending_masks)
+                frames = sum(
+                    int(np.asarray(m).sum()) if m is not None else f.shape[-1]
+                    for f, m in zip(pending_feats, pending_masks)
+                )
+                meter.stop(audio_seconds=frames / 100.0)
+                preds.extend(outs)
+                pending_items.clear(); pending_feats.clear(); pending_masks.clear()
+
+            for item, (features, attention_mask) in prefetch(_decoded_items(), depth=2):
+                pending_items.append(item)
+                pending_feats.append(np.asarray(features, np.float32))
+                pending_masks.append(attention_mask)
+                self._collect_refs(item, refs, mentions, speakers)
+                if len(pending_items) == batch_size:
+                    flush()
+            flush()
+            return self._finalize_test(
+                preds, refs, mentions, speakers, num_bootstraps, meter
+            )
 
         for item, (features, attention_mask) in prefetch(_decoded_items(), depth=2):
             meter.start()
@@ -254,24 +319,30 @@ class CBWhisper:
                 else features.shape[-1]
             )
             meter.stop(audio_seconds=n_frames / 100.0)
-            refs.append(item["transcript"])
-            if item.get("keywords") is not None:
-                mentions.append([{**kw, "ner_tag": "UNK"} for kw in item["keywords"]])
-            else:
-                mentions.append(
-                    [
-                        {
-                            "mention": kw,
-                            "total_offset": m.start(),
-                            "end_offset": m.end(),
-                            "ner_tag": "UNK",
-                        }
-                        for kw in self.catalog.keywords
-                        for m in re.finditer(re.escape(kw), item["transcript"])
-                    ]
-                )
-            speakers.append(item.get("speaker"))
+            self._collect_refs(item, refs, mentions, speakers)
 
+        return self._finalize_test(preds, refs, mentions, speakers, num_bootstraps, meter)
+
+    def _collect_refs(self, item, refs, mentions, speakers):
+        refs.append(item["transcript"])
+        if item.get("keywords") is not None:
+            mentions.append([{**kw, "ner_tag": "UNK"} for kw in item["keywords"]])
+        else:
+            mentions.append(
+                [
+                    {
+                        "mention": kw,
+                        "total_offset": m.start(),
+                        "end_offset": m.end(),
+                        "ner_tag": "UNK",
+                    }
+                    for kw in self.catalog.keywords
+                    for m in re.finditer(re.escape(kw), item["transcript"])
+                ]
+            )
+        speakers.append(item.get("speaker"))
+
+    def _finalize_test(self, preds, refs, mentions, speakers, num_bootstraps, meter):
         def f_recall(labels, samples, samples2=None):
             refs_, mentions_ = zip(*labels)
             return entity_recall(

@@ -252,3 +252,58 @@ def test_forward_batched_longform_oracle_gold(cb):
     finally:
         cb.config.oracle = old
     assert isinstance(out, str)
+
+
+def test_run_test_batched_matches_sequential(cb):
+    """batch_size>1 longform eval (one launch, attention-masked mels) must
+    produce the same transcripts as the sequential batch-1 path."""
+    dataset = [
+        {
+            "transcript": "w10 w20 w30",
+            "hotword_labels": np.array([1, 0, 0]),
+            "speaker": f"s{i % 2}",
+            "keywords": [{"mention": "w10", "total_offset": 0, "end_offset": 3}],
+        }
+        for i in range(4)
+    ]
+    # deterministic per-item mels, mixed lengths (two longform, two short)
+    mels = {
+        i: np.random.default_rng(100 + i).standard_normal(
+            (1, 8, 130 if i % 2 else 90), dtype=np.float32
+        )
+        for i in range(4)
+    }
+
+    def make_mel_fn():
+        state = {"i": 0}
+
+        def mel_fn(item):
+            m = mels[state["i"]]
+            state["i"] += 1
+            return m, None
+
+        return mel_fn
+
+    seq = cb.run_test(dataset, make_mel_fn(), num_bootstraps=10)
+    seq_preds = [
+        cb.forward(mels[i]) for i in range(4)
+    ]
+    batched_preds = cb.forward_batch(
+        [mels[i] for i in range(4)], [None] * 4
+    )
+    assert batched_preds == seq_preds
+
+    batched = cb.run_test(dataset, make_mel_fn(), num_bootstraps=10, batch_size=2)
+    assert batched["Entity Recall"] == seq["Entity Recall"]
+
+
+def test_forward_batch_requires_kws_oracle(cb):
+    old = cb.config.oracle
+    cb.config.oracle = "gold"
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="oracle='kws'"):
+            cb.forward_batch([np.zeros((1, 8, 48), np.float32)], [None])
+    finally:
+        cb.config.oracle = old
