@@ -139,7 +139,15 @@ def main():
         num_beams=1, return_timestamps=True, condition_on_prev_tokens=True,
     )
 
+    import jax.numpy as jnp
+
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("ECW_RTFX_DTYPE", "float32") == "bfloat16"
+        else jnp.float32
+    )
     module = CBWhisper(
+        dtype=dtype,
         config=CBWhisperConfig(),
         whisper_config=config,
         whisper_params=params,

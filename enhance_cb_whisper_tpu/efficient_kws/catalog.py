@@ -89,6 +89,10 @@ def make_projected_score_fn(model: EfficientKWSModel, chunk: int = 64):
             return jax.nn.softmax(logits, -1)[:, 1]
 
         n_pad = catalog["kwd"].shape[0]
+        assert n_pad % chunk == 0, (
+            f"catalog rows ({n_pad}) must be a multiple of chunk ({chunk}) — "
+            "build the catalog with project_catalog(chunk=...) or pad it"
+        )
         n_chunks = n_pad // chunk
         kwd = catalog["kwd"].reshape(n_chunks, chunk, *catalog["kwd"].shape[1:])
         km = catalog["kwd_mask"].reshape(n_chunks, chunk, *catalog["kwd_mask"].shape[1:])

@@ -24,7 +24,6 @@ Weight layout convention (HF names, jax-native layouts):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

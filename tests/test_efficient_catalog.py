@@ -84,3 +84,35 @@ def test_projected_catalog_sharded_over_model_axis():
         sharded = {**catalog, **shard_catalog(arrays, mesh, axis="model")}
         got = np.asarray(score(variables, sharded, jnp.asarray(utt), jnp.asarray(utt_mask)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_projected_score_fn_rejects_unpadded_catalog():
+    """A catalog whose row count is not a chunk multiple must fail with the
+    contract error, not a cryptic reshape TypeError."""
+    import jax.numpy as jnp
+    import pytest
+
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_projected_score_fn
+    from enhance_cb_whisper_tpu.efficient_kws.model import (
+        EfficientKWSConfig,
+        EfficientKWSModel,
+    )
+
+    cfg = EfficientKWSConfig(n_layers=2, embedding_dim=16, learn_features=True,
+                             proj_mlp=True, resnet_version="resnet-18")
+    model = EfficientKWSModel(cfg)
+    rng = np.random.default_rng(0)
+    utt = rng.standard_normal((1, 2, 40, 16)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        rng.standard_normal((1, 2, 10, 16)).astype(np.float32), utt,
+        np.ones((1, 2, 10), np.float32), np.ones((1, 2, 40), np.float32),
+    )
+    catalog = {
+        "kwd": jnp.zeros((10, 2, 10, 64)),  # 10 rows, chunk 4 -> not a multiple
+        "kwd_mask": jnp.ones((10, 2, 10)),
+        "mask": jnp.ones((10,)),
+    }
+    score = make_projected_score_fn(model, chunk=4)
+    with pytest.raises(AssertionError, match="multiple of chunk"):
+        score(variables, catalog, jnp.asarray(utt), jnp.ones((1, 2, 40)))
