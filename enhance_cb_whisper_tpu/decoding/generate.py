@@ -240,10 +240,16 @@ class WhisperGenerator:
         ctx = self._make_ctx(cross_kv, pmask, max_length, reps)
         prompt_padded = jnp.asarray(np.repeat(padded, reps, axis=0))
         cache, first_logits = self._prefill(prompt_padded, plen, ctx, max_length)
-        no_speech_probs = np.asarray(
-            jax.nn.softmax(first_logits.astype(jnp.float32), -1)[
-                ::reps, opts.no_speech_token_id
-            ]
+        # fetch the no-speech probability only when a threshold will read it:
+        # every host fetch is a full device round-trip, and the flagship
+        # config (no_speech_threshold=None) never looks at it
+        no_speech_dev = jax.nn.softmax(first_logits.astype(jnp.float32), -1)[
+            ::reps, opts.no_speech_token_id
+        ]
+        no_speech_probs = (
+            np.asarray(no_speech_dev)
+            if opts.no_speech_threshold is not None
+            else np.zeros((batch,), np.float32)
         )
 
         prompt_dev = jnp.asarray(padded)
@@ -289,27 +295,44 @@ class WhisperGenerator:
         attention_mask: Optional[np.ndarray] = None,
         keyword_spotting: Optional[Callable] = None,
         return_segments: bool = False,
+        encode_spot: Optional[Callable] = None,
     ):
         """Top-level generate — dispatches shortform vs longform on total mel
-        frames exactly like pba_whisper.py:246-251."""
+        frames exactly like pba_whisper.py:246-251.
+
+        ``encode_spot(segment_mels, start_of_prev=False) -> (keyword_tokens,
+        encoding | None)`` is the single-encode fusion hook: when the KWS
+        encoder shares the ASR checkpoint, one encoder forward produces both
+        the KWS layer stack and the decoder's cross-attention input (the
+        reference encodes every segment twice — cb_whisper.py:72 plus
+        generate's internal encoder).  A ``None`` encoding falls back to the
+        generator's own encoder (e.g. after a spotting failure)."""
         total_frames = input_features.shape[-1]
         if total_frames <= self.n_segment_frames:
-            return self._generate_shortform(input_features, opts, keyword_spotting)
+            return self._generate_shortform(
+                input_features, opts, keyword_spotting, encode_spot
+            )
         return self._generate_longform(
-            input_features, opts, attention_mask, keyword_spotting, return_segments
+            input_features, opts, attention_mask, keyword_spotting,
+            return_segments, encode_spot,
         )
 
-    def _generate_shortform(self, input_features, opts, keyword_spotting):
+    def _generate_shortform(self, input_features, opts, keyword_spotting, encode_spot=None):
         if input_features.shape[0] != 1:
             raise ValueError("shortform biased generation is single-utterance (pba_whisper.py:284-285)")
-        if keyword_spotting is not None:
+        padded_seg = self._pad_segment(input_features)
+        enc = None
+        if encode_spot is not None:
+            tokens_per_seg, enc = encode_spot(padded_seg, start_of_prev=True)
+            prompt_ids = list(tokens_per_seg[0])
+        elif keyword_spotting is not None:
             prompt_ids = list(keyword_spotting(input_features=input_features, start_of_prev=True)[0])
         else:
             prompt_ids = []
 
         decoder_ids = np.asarray([prompt_ids + opts.init_tokens()], dtype=np.int64)
-        mel = jnp.asarray(self._pad_segment(input_features))
-        enc = self._encode(mel)
+        if enc is None:
+            enc = self._encode(jnp.asarray(padded_seg))
         cross_kv = self._cross_kv_fn(enc)
         seqs, _, _ = self._decode_prompted(
             cross_kv, decoder_ids, None, opts, return_timestamps=opts.return_timestamps
@@ -326,7 +349,8 @@ class WhisperGenerator:
         return np.pad(np.asarray(seg, dtype=np.float32), ((0, 0), (0, 0), (0, pad)))
 
     def _generate_longform(
-        self, input_features, opts, attention_mask, keyword_spotting, return_segments
+        self, input_features, opts, attention_mask, keyword_spotting,
+        return_segments, encode_spot=None,
     ):
         batch = input_features.shape[0]
         total = input_features.shape[-1]
@@ -355,7 +379,10 @@ class WhisperGenerator:
                 ]
             )
 
-            if keyword_spotting is not None:
+            enc = None
+            if encode_spot is not None:
+                keywords_tokens, enc = encode_spot(seg)
+            elif keyword_spotting is not None:
                 keywords_tokens = keyword_spotting(input_features=seg)
             else:
                 keywords_tokens = [[] for _ in active]
@@ -389,8 +416,8 @@ class WhisperGenerator:
                 prev_sot_token_id=opts.prev_sot_token_id,
             )
 
-            mel = jnp.asarray(seg)
-            enc = self._encode(mel)
+            if enc is None:
+                enc = self._encode(jnp.asarray(seg))
             cross_kv = self._cross_kv_fn(enc)
 
             seqs, scores, should_skip = self._generate_with_fallback(

@@ -100,6 +100,26 @@ class CBWhisper:
 
         self._kws_stack = _kws_stack
 
+        # single-encode fusion: when the KWS encoder IS the ASR encoder
+        # (no separate encoder_ckpt), one forward per segment yields both the
+        # KWS layer stack and the decoder's cross-attention input — the
+        # reference encodes every segment twice (cb_whisper.py:72 + generate's
+        # own encoder; SURVEY.md §7 "two encoders per segment")
+        self.encode_fused = encoder_params is None and (
+            encoder_config is None or encoder_config == whisper_config
+        )
+        prec = self.generator.matmul_precision
+
+        @jax.jit
+        def _kws_stack_enc(mel):
+            with jax.default_matmul_precision(prec):
+                return encoder_kws_stack(
+                    self.generator.params, mel, whisper_config,
+                    layer_slice=(lo, hi), dtype=dtype, return_encoding=True,
+                )
+
+        self._kws_stack_enc = _kws_stack_enc
+
         def kws_apply(variables, images):
             return self.kws_model.apply(variables, images).logits
 
@@ -119,29 +139,24 @@ class CBWhisper:
 
     # -------------------------------------------------------- keyword spotting
 
-    def spot_keywords(self, input_features: np.ndarray) -> List[List[str]]:
-        """Detected keyword strings per segment (argmax class 1, deduped —
-        cb_whisper.py:124-132)."""
+    @staticmethod
+    def _segment_bucket(n_seg: int) -> int:
+        # bucket the segment batch to a power of two so the encoder + scorer
+        # compile once per bucket, not once per n_active (the longform driver
+        # shrinks the batch as segments finish)
+        return 1 << max(0, n_seg - 1).bit_length() if n_seg > 1 else 1
+
+    def _ensure_catalog(self):
         if self._catalog_dev is None:
             self._catalog_dev = device_put_catalog(
                 self.catalog, out_h=self.config.kws_features_size[0], chunk=8
             )
-        # bucket the segment batch to a power of two so the encoder + scorer
-        # compile once per bucket, not once per n_active (the longform driver
-        # shrinks the batch as segments finish)
-        n_seg = input_features.shape[0]
-        bucket = 1 << max(0, n_seg - 1).bit_length() if n_seg > 1 else 1
-        feats = np.zeros((bucket, *input_features.shape[1:]), np.float32)
-        feats[:n_seg] = input_features
-        try:
-            stacks = self._kws_stack(jnp.asarray(feats))
-            _, logits = self._batched_score(
-                self.kws_variables, self._catalog_dev, stacks, self._utt_w
-            )
-        except Exception as e:  # failed segments yield no keywords, like the
-            # reference's try/except around its encoder (cb_whisper.py:99-108)
-            print(f"keyword spotting encoder failed: {e}")
-            return [[] for _ in range(n_seg)]
+
+    def _score_to_keywords(self, stacks, n_seg: int) -> List[List[str]]:
+        """Catalog scoring + argmax-class-1 dedupe (cb_whisper.py:124-132)."""
+        _, logits = self._batched_score(
+            self.kws_variables, self._catalog_dev, stacks, self._utt_w
+        )
         n = self.catalog.num_keywords
         hits = np.asarray(jnp.argmax(logits[:, :n], axis=-1)) == 1  # [bucket, n]
         hits &= self.catalog.mask[:n].astype(bool)[None, :]
@@ -150,6 +165,41 @@ class CBWhisper:
             keywords = [self.catalog.keywords[i] for i in np.nonzero(hits[seg_idx])[0]]
             out.append(list(dict.fromkeys(keywords)))
         return out
+
+    def spot_keywords(self, input_features: np.ndarray) -> List[List[str]]:
+        """Detected keyword strings per segment (argmax class 1, deduped —
+        cb_whisper.py:124-132)."""
+        self._ensure_catalog()
+        n_seg = input_features.shape[0]
+        bucket = self._segment_bucket(n_seg)
+        feats = np.zeros((bucket, *input_features.shape[1:]), np.float32)
+        feats[:n_seg] = input_features
+        try:
+            stacks = self._kws_stack(jnp.asarray(feats))
+            return self._score_to_keywords(stacks, n_seg)
+        except Exception as e:  # failed segments yield no keywords, like the
+            # reference's try/except around its encoder (cb_whisper.py:99-108)
+            print(f"keyword spotting encoder failed: {e}")
+            return [[] for _ in range(n_seg)]
+
+    def encode_and_spot(self, input_features: np.ndarray, start_of_prev: bool = False):
+        """Fused generate() hook (one encoder forward per segment batch):
+        returns (prompt token ids per segment, cross-attention encoding
+        [n_seg, T_enc, D]).  Wired when :attr:`encode_fused` and
+        oracle='kws'; a spotting failure returns a ``None`` encoding and the
+        generator falls back to its own encoder."""
+        self._ensure_catalog()
+        n_seg = input_features.shape[0]
+        bucket = self._segment_bucket(n_seg)
+        feats = np.zeros((bucket, *input_features.shape[1:]), np.float32)
+        feats[:n_seg] = input_features
+        try:
+            stacks, enc = self._kws_stack_enc(jnp.asarray(feats))
+            keywords = self._score_to_keywords(stacks, n_seg)
+        except Exception as e:
+            print(f"keyword spotting encoder failed: {e}")
+            return [[] for _ in range(n_seg)], None
+        return self._format_prompt_tokens(keywords, start_of_prev), enc[:n_seg]
 
     def keyword_spotting(self, input_features, start_of_prev: bool = False) -> List[List[int]]:
         """The generate() callback: prompt token ids per segment
@@ -167,6 +217,13 @@ class CBWhisper:
             # weak #3)
             keywords = [list(self.oracle_buffer) for _ in range(num_segments)]
 
+        return self._format_prompt_tokens(keywords, start_of_prev)
+
+    def _format_prompt_tokens(
+        self, keywords: List[List[str]], start_of_prev: bool
+    ) -> List[List[int]]:
+        """Wrap detected keywords in the prompt template and tokenize
+        (cb_whisper.py:140-147)."""
         cfg = self.config
         out = []
         for kwds in keywords:
@@ -183,6 +240,15 @@ class CBWhisper:
             else:
                 out.append([])
         return out
+
+    def _encode_spot_hook(self):
+        """The generator's single-encode hook, when applicable."""
+        use = (
+            self.encode_fused
+            and self.config.prompt
+            and self.config.oracle == "kws"
+        )
+        return self.encode_and_spot if use else None
 
     # ----------------------------------------------------------------- forward
 
@@ -201,6 +267,7 @@ class CBWhisper:
             attention_mask=attention_mask,
             keyword_spotting=self.keyword_spotting,
             return_segments=True,
+            encode_spot=self._encode_spot_hook(),
         )
         if isinstance(result, dict):
             tokens = result["sequences"][0]
@@ -238,6 +305,7 @@ class CBWhisper:
         result = self.generator.generate(
             mels, self.opts, attention_mask=attn,
             keyword_spotting=self.keyword_spotting, return_segments=True,
+            encode_spot=self._encode_spot_hook(),
         )
         sequences = result["sequences"] if isinstance(result, dict) else result
         return [self.decode_fn(sequences[i]).strip() for i in range(batch)]

@@ -260,15 +260,20 @@ def encoder_kws_stack(
     layer_slice: Tuple[int, int] = (10, 22),
     valid_frames: Optional[jax.Array] = None,
     dtype: Any = jnp.float32,
-) -> jax.Array:
+    return_encoding: bool = False,
+):
     """The KWS embedding producer: hidden_states[lo:hi], L2-normalized over
     the embedding dim (reference src/utils.py:188-195, cb_whisper.py:100-106).
 
-    Returns [B, n_slabs, T_enc, D].  If ``valid_frames`` is given, frames at
+    Returns [B, n_slabs, T_enc, D] (or ``(stack, last_hidden_state)`` when
+    ``return_encoding=True`` — the single-encode fusion path: one encoder
+    forward feeds both KWS and the decoder's cross-attention, replacing the
+    reference's two encoder passes per segment, cb_whisper.py:72 vs
+    generate's internal encoder).  If ``valid_frames`` is given, frames at
     or beyond it are zeroed (the reference instead truncates to
     ceil(unpadded/2); zero-padding keeps the shape static for XLA).
     """
-    _, states = encoder_forward(
+    last, states = encoder_forward(
         params, input_features, config, output_hidden_states=True, dtype=dtype,
     )
     lo, hi = layer_slice
@@ -278,6 +283,8 @@ def encoder_kws_stack(
         t = jnp.arange(stack.shape[2])
         mask = (t[None, :] < valid_frames[:, None])[:, None, :, None]
         stack = jnp.where(mask, stack, 0.0)
+    if return_encoding:
+        return stack, last
     return stack
 
 

@@ -307,3 +307,48 @@ def test_forward_batch_requires_kws_oracle(cb):
             cb.forward_batch([np.zeros((1, 8, 48), np.float32)], [None])
     finally:
         cb.config.oracle = old
+
+
+def test_single_encode_fusion_matches_unfused(cb):
+    """Single-encode fusion (SURVEY.md §7 "two encoders per segment"): when
+    the KWS encoder shares the ASR checkpoint, each segment is encoded ONCE
+    and the generator's own encoder is never invoked; transcripts must be
+    identical to the unfused two-encoder path."""
+    import dataclasses as _dc
+
+    assert cb.encode_fused  # fixture shares the checkpoint -> fusion active
+
+    # an explicit encoder_ckpt (even with identical weights) disables fusion
+    unfused = CBWhisper(
+        config=_dc.replace(cb.config),
+        whisper_config=cb.whisper_config,
+        whisper_params=cb.generator.params,
+        kws_model=cb.kws_model,
+        kws_variables=cb.kws_variables,
+        catalog=cb.catalog,
+        generation_options=cb.opts,
+        prompt_ids_fn=cb.prompt_ids_fn,
+        decode_fn=cb.decode_fn,
+        encoder_params=cb.generator.params,
+        encoder_config=cb.whisper_config,
+        kws_layer_slice=cb.kws_layer_slice,
+    )
+    assert not unfused.encode_fused
+
+    calls = {"n": 0}
+    orig_encode = cb.generator._encode
+
+    def counting_encode(mel):
+        calls["n"] += 1
+        return orig_encode(mel)
+
+    cb.generator._encode = counting_encode
+    try:
+        rng = np.random.default_rng(21)
+        short = rng.standard_normal((1, 8, 48), dtype=np.float32)
+        long = rng.standard_normal((1, 8, 130), dtype=np.float32)
+        assert cb.forward(short) == unfused.forward(short)
+        assert cb.forward(long) == unfused.forward(long)
+        assert calls["n"] == 0  # fused path never ran the second encoder
+    finally:
+        cb.generator._encode = orig_encode
