@@ -76,23 +76,29 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
 
     np.asarray(batched(variables, cat_dev, utt_j, w)[0])  # compile + execute
 
-    # FLOPs of the compiled program (XLA cost analysis) for the MFU figure
+    # FLOPs for the MFU figure: static jaxpr count (NOT XLA cost_analysis,
+    # which counts the lax.map body once regardless of trip count and
+    # under-reports this program ~16x — runtime/flops.py)
+    from enhance_cb_whisper_tpu.runtime.flops import estimate_flops
+
     flops = None
     try:
-        cost = batched.lower(variables, cat_dev, utt_j, w).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        flops = estimate_flops(
+            jax.vmap(score, in_axes=(None, None, 0, 0)), variables, cat_dev, utt_j, w
+        )
     except Exception:
         pass
 
-    # np.asarray per iteration: a host fetch is the only reliable completion
-    # barrier on this backend (block_until_ready returns early through the
-    # remote relay)
-    iters = 5
+    # pipelined dispatch: enqueue all launches, fetch at the end — the
+    # serving pattern (utterance batches stream through), and the relay's
+    # ~30 ms round-trip is paid once instead of per launch.  A host fetch is
+    # the only reliable completion barrier on this backend
+    # (block_until_ready returns early through the remote relay).
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        np.asarray(batched(variables, cat_dev, utt_j, w)[0])
+    outs = [batched(variables, cat_dev, utt_j, w)[0] for _ in range(iters)]
+    for o in outs:
+        np.asarray(o)
     dt = (time.perf_counter() - t0) / iters
     return UTT_BATCH * catalog.num_padded / dt, (flops / dt if flops else None)
 

@@ -52,9 +52,12 @@ class KWSModel(nn.Module):
 
     config: ResNetConfig
     dtype: Any = jnp.float32
+    channels_last: bool = False  # input [B, H, W, L] instead of [B, L, H, W]
 
     def setup(self):
-        self.model = ResNetClassifier(self.config, dtype=self.dtype)
+        self.model = ResNetClassifier(
+            self.config, dtype=self.dtype, channels_last=self.channels_last
+        )
 
     def __call__(
         self,
