@@ -352,3 +352,29 @@ def test_single_encode_fusion_matches_unfused(cb):
         assert calls["n"] == 0  # fused path never ran the second encoder
     finally:
         cb.generator._encode = orig_encode
+
+
+def test_encode_spot_failure_falls_back_to_generator_encoder(cb):
+    """A spotting-encoder failure in the fused path returns (no keywords,
+    None); the generator must fall back to its own encoder and still
+    transcribe (reference guard: cb_whisper.py:99-108)."""
+    rng = np.random.default_rng(22)
+    mel = rng.standard_normal((1, 8, 130), dtype=np.float32)
+    want = cb.forward(mel)
+
+    orig = cb._kws_stack_enc
+    cb._kws_stack_enc = lambda *_: (_ for _ in ()).throw(RuntimeError("boom"))
+    try:
+        out = cb.forward(mel)
+    finally:
+        cb._kws_stack_enc = orig
+    assert isinstance(out, str)
+    # no keywords spotted -> same as prompt-less decode of the same audio
+    old_prompt = cb.config.prompt
+    cb.config.prompt = False
+    try:
+        promptless = cb.forward(mel)
+    finally:
+        cb.config.prompt = old_prompt
+    assert out == promptless
+    assert isinstance(want, str)
