@@ -64,6 +64,10 @@ class KWSTrainConfig:
     weight_decay: float = 0.0
     beta_1: float = 0.9
     beta_2: float = 0.99
+    # TPU extension (not in the reference): bfloat16 activations/conv compute
+    # with float32 params, optimizer state and BatchNorm statistics —
+    # measured ~2x step throughput on v5e at the reference's full config
+    compute_dtype: str = "float32"
 
     def suppression(self, epoch: int) -> float:
         """2/(1+exp(-decay*epoch)) - 1 (model.py:99)."""
@@ -108,7 +112,7 @@ def _label_tree(params):
 
 
 def build_models(config: KWSTrainConfig, resnet_config: ResNetConfig):
-    kws = KWSModel(resnet_config)
+    kws = KWSModel(resnet_config, dtype=jnp.dtype(config.compute_dtype))
     disc = (
         Discriminator(num_labels=config.num_domains, large=config.large_heads)
         if config.adversarial_training

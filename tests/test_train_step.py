@@ -93,3 +93,24 @@ def test_step_lr_updates():
     state.epoch = 4
     os_ = update_epoch_lr(config, state)
     assert float(os_.hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
+
+def test_bfloat16_compute_dtype():
+    """TPU extension: compute_dtype='bfloat16' runs the step with bf16
+    activations while params/opt state stay float32."""
+    import jax.numpy as jnp
+
+    config = KWSTrainConfig(compute_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    state, (kws, disc, tx) = init_train_state(rng, config, TINY, SHAPE)
+    step = make_train_step(config, kws, disc, tx)
+    nprng = np.random.default_rng(0)
+    params, stats, opt_state, metrics = step(
+        state.params, state.batch_stats, state.opt_state, _batch(nprng),
+        jax.random.fold_in(rng, 0), 0.0, 0.0,
+    )
+    assert np.isfinite(float(metrics["class_loss"]))
+    leaves = jax.tree.leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    stats_leaves = jax.tree.leaves(stats)
+    assert all(l.dtype == jnp.float32 for l in stats_leaves)
