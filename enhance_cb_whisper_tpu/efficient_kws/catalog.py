@@ -13,6 +13,10 @@ catalog is ~40x smaller (SURVEY.md §7 hard parts).  This module:
   single jit (``lax.map`` bounds working memory); shard the catalog arrays
   over a mesh ``model`` axis (:func:`..parallel.shard_catalog`) to split a
   100k catalog across chips.
+
+Chunk default from the on-chip sweep (v5e, 100,352-keyword bf16 catalog,
+pipelined dispatch): 128 → 11,366 kw/s at 58.3% MFU (64: 10,590 / 54.3%;
+256: 10,447 / 53.6%) — docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ def project_catalog(
     model: EfficientKWSModel,
     variables: Dict[str, Any],
     groups,
-    chunk: int = 64,
+    chunk: int = 128,
     dtype=jnp.float32,
 ) -> Dict[str, jax.Array]:
     """``groups``: the eval datasets' group list ({kwd, kwd_mask, mask})."""
@@ -70,7 +74,7 @@ def project_catalog(
     }
 
 
-def make_projected_score_fn(model: EfficientKWSModel, chunk: int = 64):
+def make_projected_score_fn(model: EfficientKWSModel, chunk: int = 128):
     """Returns jitted ``score(variables, catalog, utt, utt_mask) ->
     probs [N_pad]`` (utt: [1, L, T, D] raw features)."""
 
