@@ -114,16 +114,33 @@ def main():
     from enhance_cb_whisper_tpu.ops.mel import log_mel_spectrogram
 
     rng = np.random.default_rng(0)
-    config = WhisperConfig(
-        vocab_size=51865, num_mel_bins=80, d_model=384,
-        encoder_layers=4, encoder_attention_heads=6,
-        decoder_layers=4, decoder_attention_heads=6,
-        encoder_ffn_dim=1536, decoder_ffn_dim=1536,
-        max_source_positions=1500, max_target_positions=448,
-    )
+    # ECW_RTFX_MODEL: 'tiny' (4-layer d=384 dims, the fast default) or
+    # 'medium' (24-layer d=1024 — the reference's KWS encoder scale,
+    # aishell/build.sh:74-112; random weights, real shapes/program)
+    model_size = os.environ.get("ECW_RTFX_MODEL", "tiny")
+    if model_size == "medium":
+        config = WhisperConfig(
+            vocab_size=51865, num_mel_bins=80, d_model=1024,
+            encoder_layers=24, encoder_attention_heads=16,
+            decoder_layers=24, decoder_attention_heads=16,
+            encoder_ffn_dim=4096, decoder_ffn_dim=4096,
+            max_source_positions=1500, max_target_positions=448,
+        )
+        n_slabs = 12
+        kws_layer_slice = (10, 22)
+    else:
+        config = WhisperConfig(
+            vocab_size=51865, num_mel_bins=80, d_model=384,
+            encoder_layers=4, encoder_attention_heads=6,
+            decoder_layers=4, decoder_attention_heads=6,
+            encoder_ffn_dim=1536, decoder_ffn_dim=1536,
+            max_source_positions=1500, max_target_positions=448,
+        )
+        n_slabs = 4
+        kws_layer_slice = (1, 5)
     params = init_whisper_params(rng, config)
 
-    n_kw, n_slabs = 100, 4
+    n_kw = 100
     stacks = [
         rng.standard_normal((n_slabs, int(rng.integers(4, 20)), config.d_model)).astype(np.float32)
         for _ in range(n_kw)
@@ -135,8 +152,13 @@ def main():
     kws = KWSModel(kws_cfg)
     kws_vars = kws.init(jax.random.PRNGKey(0), np.zeros((1, n_slabs, 150, 750), np.float32))
 
+    # knobs: ECW_RTFX_BEAMS (1 = greedy flagship, 5 = reference beam width),
+    # ECW_RTFX_BATCH (>1 decodes several utterances per longform launch via
+    # forward_batch — the throughput serving mode)
+    num_beams = int(os.environ.get("ECW_RTFX_BEAMS", "1"))
+    batch_size = int(os.environ.get("ECW_RTFX_BATCH", "1"))
     opts = GenerationOptions(
-        num_beams=1, return_timestamps=True, condition_on_prev_tokens=True,
+        num_beams=num_beams, return_timestamps=True, condition_on_prev_tokens=True,
     )
 
     import jax.numpy as jnp
@@ -157,7 +179,7 @@ def main():
         generation_options=opts,
         prompt_ids_fn=lambda text: [50361] + [100 + (ord(c) % 1000) for c in text][:8],
         decode_fn=lambda toks: " ".join(map(str, toks)),
-        kws_layer_slice=(1, 5),
+        kws_layer_slice=kws_layer_slice,
     )
 
     seconds = 120
@@ -171,13 +193,21 @@ def main():
 
     # warm up every compile path (incl. all prompt-length buckets the
     # growing condition-on-prev context will hit) with the same clip
+    def decode_once():
+        if batch_size > 1:
+            mels = [mel] * batch_size
+            module.forward_batch(mels, [None] * batch_size)
+        else:
+            module.forward(mel)
+
     t0 = time.perf_counter()
-    module.forward(mel)
+    decode_once()
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    module.forward(mel)
+    decode_once()
     wall = time.perf_counter() - t0
+    wall /= batch_size  # per-utterance
 
     baseline = None
     if os.environ.get("ECW_RTFX_CPU_BASELINE", "1") != "0":
@@ -197,6 +227,8 @@ def main():
                 "cpu_baseline_rtfx": round(baseline, 3) if baseline else None,
                 "compile_seconds": round(compile_s, 1),
                 "wall_seconds": round(wall, 2),
+                "num_beams": num_beams,
+                "eval_batch": batch_size,
             }
         )
     )
