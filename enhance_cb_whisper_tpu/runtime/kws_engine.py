@@ -119,15 +119,20 @@ class KWSEngine:
         n = dataset.catalog.num_keywords
         return np.asarray(probs)[:n], np.asarray(logits)[:n]
 
-    def score_utterances(self, variables, dataset, utt_hs_list):
+    def score_utterances(self, variables, dataset, utt_hs_list, defer: bool = False):
         """One launch scoring SEVERAL utterances against the whole catalog
         (vmapped over the utterance axis; utterances must share a frame
-        bucket, which :meth:`_eval_dataset` arranges)."""
+        bucket, which :meth:`_eval_dataset` arranges).  ``defer=True``
+        returns the device arrays without the host fetch so several
+        launches can stay in flight (each fetch through the relay costs a
+        ~30 ms round-trip)."""
         catalog_dev = self._catalog_dev(dataset)
         padded = [self._pad_utt(u) for u in utt_hs_list]
         utt = jnp.asarray(np.stack([p[0] for p in padded]))
         w = jnp.asarray(np.stack([p[1] for p in padded]))
         probs, logits = self._batched_score_fn(variables, catalog_dev, utt, w)
+        if defer:
+            return probs, logits
         n = dataset.catalog.num_keywords
         return np.asarray(probs)[:, :n], np.asarray(logits)[:, :n]
 
@@ -158,9 +163,21 @@ class KWSEngine:
             targets[idx] = labels
             speakers[idx] = item.get("speaker")
 
-        # host-side cache loads overlap with device scoring (prefetch), and
-        # utterances sharing a frame bucket are scored several per launch
+        # host-side cache loads overlap with device scoring (prefetch);
+        # utterances sharing a frame bucket are scored several per launch;
+        # launches stay in flight (deferred fetches, depth 2) so the relay
+        # round-trip overlaps device compute
         pending: Dict[int, list] = {}
+        in_flight: list = []
+        n_kw = dataset.catalog.num_keywords
+
+        def _drain(target_depth: int):
+            while len(in_flight) > target_depth:
+                batch, probs_d, logits_d = in_flight.pop(0)
+                probs_b = np.asarray(probs_d)[:, :n_kw]
+                logits_b = np.asarray(logits_d)[:, :n_kw]
+                for row, (idx, item) in enumerate(batch):
+                    _finish(idx, item, probs_b[row], logits_b[row])
 
         def _flush(bucket):
             batch = pending.pop(bucket)
@@ -169,9 +186,11 @@ class KWSEngine:
             # compiled shape (extra rows discarded)
             while len(utts) < self.eval_batch_size:
                 utts.append(utts[-1])
-            probs_b, logits_b = self.score_utterances(variables, dataset, utts)
-            for row, (idx, item) in enumerate(batch):
-                _finish(idx, item, probs_b[row], logits_b[row])
+            probs_d, logits_d = self.score_utterances(
+                variables, dataset, utts, defer=True
+            )
+            in_flight.append((batch, probs_d, logits_d))
+            _drain(2)
 
         items = prefetch(((i, dataset[i]) for i in range(n_items)), depth=2)
         for idx, item in items:
@@ -181,6 +200,7 @@ class KWSEngine:
                 _flush(bucket)
         for bucket in list(pending):
             _flush(bucket)
+        _drain(0)
 
         return (
             np.concatenate(preds),
