@@ -231,21 +231,9 @@ class EfficientKWSEngine:
         recalls = {k: [] for k in RECALL_KS}
         speakers = []
         cat_cache = {}
-        for item in prefetch((dataset[i] for i in range(len(dataset))), depth=2):
-            utt = item["utt"][None]
-            utt_mask = item["utt_mask"][None]
-            # the whole keyword DB in ONE launch: groups are pre-padded to a
-            # common frame budget, so they concatenate into a single batch
-            # (the reference loops groups of 50, model.py:319-345)
-            if not cat_cache:
-                kwd = np.concatenate([g["kwd"] for g in item["groups"]])
-                km = np.concatenate([g["kwd_mask"] for g in item["groups"]])
-                cat_cache["kwd"] = jnp.asarray(kwd)
-                cat_cache["kwd_mask"] = jnp.asarray(km)
-            p, lg = self._score_group(
-                variables, cat_cache["kwd"], jnp.asarray(utt),
-                cat_cache["kwd_mask"], jnp.asarray(utt_mask),
-            )
+        in_flight = []
+
+        def _finish(item, p, lg):
             probs = np.asarray(p) * np.asarray(item["hotword_mask"])
             logits = np.asarray(lg)
             labels = np.asarray(item["hotword_labels"])
@@ -263,6 +251,31 @@ class EfficientKWSEngine:
                 r = recall_at_k(probs, labels, k)
                 if r >= 0:
                     recalls[k].append(r)
+
+        def _drain(target_depth):
+            while len(in_flight) > target_depth:
+                _finish(*in_flight.pop(0))
+
+        for item in prefetch((dataset[i] for i in range(len(dataset))), depth=2):
+            utt = item["utt"][None]
+            utt_mask = item["utt_mask"][None]
+            # the whole keyword DB in ONE launch: groups are pre-padded to a
+            # common frame budget, so they concatenate into a single batch
+            # (the reference loops groups of 50, model.py:319-345)
+            if not cat_cache:
+                kwd = np.concatenate([g["kwd"] for g in item["groups"]])
+                km = np.concatenate([g["kwd_mask"] for g in item["groups"]])
+                cat_cache["kwd"] = jnp.asarray(kwd)
+                cat_cache["kwd_mask"] = jnp.asarray(km)
+            p, lg = self._score_group(
+                variables, cat_cache["kwd"], jnp.asarray(utt),
+                cat_cache["kwd_mask"], jnp.asarray(utt_mask),
+            )
+            # results drain two launches behind so the host fetch's relay
+            # round-trip overlaps the next utterance's device scoring
+            in_flight.append((item, p, lg))
+            _drain(2)
+        _drain(0)
         return preds, targets, speakers, float(np.mean(losses)), recalls
 
     @staticmethod
