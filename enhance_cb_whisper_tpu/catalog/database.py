@@ -166,15 +166,32 @@ def make_catalog_score_fn(
 
         def chunk_fn(args):
             kwd_hs, kwd_w = args  # [c, L, T_k, D], [c, out_h, T_k]
-            kwd_r = jnp.einsum(
-                "cok,clkd->clod", kwd_w, kwd_hs, precision=precision,
-                preferred_element_type=jnp.float32,
-            )  # [c, L, out_h, D]
-            sim = jnp.einsum(
-                "clod,lpd->copl" if channels_last else "clod,lpd->clop",
-                kwd_r, utt_r, precision=precision,
-                preferred_element_type=jnp.float32,
-            )  # [c, out_h, out_w, L] channels-last, else [c, L, out_h, out_w]
+            # the height resize is linear, so it commutes with the D
+            # contraction: W_h @ (K @ U^T) == (W_h @ K) @ U^T.  Contracting D
+            # at the native keyword length first is cheaper whenever
+            # T_k_max < out_h (keyword clips are short — T_k is typically
+            # 4-100 frames vs out_h=150): the big einsum shrinks from
+            # out_h*out_w*D to T_k*out_w*D MACs per layer.
+            if kwd_hs.shape[2] < out_h:
+                sim_raw = jnp.einsum(
+                    "clkd,lpd->clkp", kwd_hs, utt_r, precision=precision,
+                    preferred_element_type=jnp.float32,
+                )  # [c, L, T_k, out_w]
+                sim = jnp.einsum(
+                    "cok,clkp->copl" if channels_last else "cok,clkp->clop",
+                    kwd_w, sim_raw, precision=precision,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                kwd_r = jnp.einsum(
+                    "cok,clkd->clod", kwd_w, kwd_hs, precision=precision,
+                    preferred_element_type=jnp.float32,
+                )  # [c, L, out_h, D]
+                sim = jnp.einsum(
+                    "clod,lpd->copl" if channels_last else "clod,lpd->clop",
+                    kwd_r, utt_r, precision=precision,
+                    preferred_element_type=jnp.float32,
+                )  # [c, out_h, out_w, L] channels-last, else [c, L, out_h, out_w]
             logits = kws_apply(variables, sim)
             return jax.nn.softmax(logits, axis=-1)[:, 1], logits
 
