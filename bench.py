@@ -83,9 +83,7 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
 
     flops = None
     try:
-        flops = estimate_flops(
-            jax.vmap(score, in_axes=(None, None, 0, 0)), variables, cat_dev, utt_j, w
-        )
+        flops = estimate_flops(batched, variables, cat_dev, utt_j, w)
     except Exception:
         pass
 
@@ -156,8 +154,10 @@ def main():
     except Exception:
         baseline = None
 
-    # v5e peak: ~197 TFLOP/s bf16 per chip (override for other hardware)
-    peak = float(os.environ.get("ECW_PEAK_TFLOPS", "197")) * 1e12
+    from enhance_cb_whisper_tpu.runtime.flops import device_peak_flops
+
+    # v5e peak: ~197 TFLOP/s bf16 per chip (ECW_PEAK_TFLOPS overrides)
+    peak = device_peak_flops(dtype)
     print(
         json.dumps(
             {

@@ -166,16 +166,21 @@ class CBWhisper:
             out.append(list(dict.fromkeys(keywords)))
         return out
 
-    def spot_keywords(self, input_features: np.ndarray) -> List[List[str]]:
-        """Detected keyword strings per segment (argmax class 1, deduped —
-        cb_whisper.py:124-132)."""
-        self._ensure_catalog()
+    def _bucketed_features(self, input_features: np.ndarray):
+        """Zero-pad the segment batch to its power-of-two bucket."""
         n_seg = input_features.shape[0]
         bucket = self._segment_bucket(n_seg)
         feats = np.zeros((bucket, *input_features.shape[1:]), np.float32)
         feats[:n_seg] = input_features
+        return jnp.asarray(feats), n_seg
+
+    def spot_keywords(self, input_features: np.ndarray) -> List[List[str]]:
+        """Detected keyword strings per segment (argmax class 1, deduped —
+        cb_whisper.py:124-132)."""
+        self._ensure_catalog()
+        feats, n_seg = self._bucketed_features(input_features)
         try:
-            stacks = self._kws_stack(jnp.asarray(feats))
+            stacks = self._kws_stack(feats)
             return self._score_to_keywords(stacks, n_seg)
         except Exception as e:  # failed segments yield no keywords, like the
             # reference's try/except around its encoder (cb_whisper.py:99-108)
@@ -189,12 +194,9 @@ class CBWhisper:
         oracle='kws'; a spotting failure returns a ``None`` encoding and the
         generator falls back to its own encoder."""
         self._ensure_catalog()
-        n_seg = input_features.shape[0]
-        bucket = self._segment_bucket(n_seg)
-        feats = np.zeros((bucket, *input_features.shape[1:]), np.float32)
-        feats[:n_seg] = input_features
+        feats, n_seg = self._bucketed_features(input_features)
         try:
-            stacks, enc = self._kws_stack_enc(jnp.asarray(feats))
+            stacks, enc = self._kws_stack_enc(feats)
             keywords = self._score_to_keywords(stacks, n_seg)
         except Exception as e:
             print(f"keyword spotting encoder failed: {e}")

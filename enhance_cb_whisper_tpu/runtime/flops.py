@@ -15,10 +15,8 @@ convention as XLA's "flops" key and the standard MFU definition.
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import jax
-import numpy as np
 
 
 def _dot_general_flops(eqn) -> float:
