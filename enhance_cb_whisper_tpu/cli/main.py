@@ -160,6 +160,7 @@ def _logger_from_config(config, log_dir):
         experiment_name=largs.get("experiment_name", "default"),
         tags=largs.get("tags"),
         tracking_uri=largs.get("tracking_uri"),
+        log_model=bool(largs.get("log_model", False)),
     )
 
 

@@ -469,12 +469,18 @@ class EfficientKWSEngine:
                 val = self.validate(self.variables(params, batch_stats), datamodule,
                                     dump_dir=self.ckpt_dir)
                 self.logger.log_metrics(val, step=global_step, epoch=epoch)
-                manager.step(epoch, val, {"params": params, "batch_stats": batch_stats,
-                                          "epoch": epoch})
+                saved = manager.step(epoch, val, {"params": params, "batch_stats": batch_stats,
+                                                  "epoch": epoch})
+                if self.logger.log_model:
+                    for p in saved:
+                        self.logger.log_artifact(p)
                 if early_stopping is not None and early_stopping.step(val):
                     print(f"early stopping at epoch {epoch}")
                     break
             else:
-                manager.step(epoch, {}, {"params": params, "batch_stats": batch_stats,
-                                         "epoch": epoch})
+                saved = manager.step(epoch, {}, {"params": params, "batch_stats": batch_stats,
+                                                 "epoch": epoch})
+                if self.logger.log_model:
+                    for p in saved:
+                        self.logger.log_artifact(p)
         return params, batch_stats

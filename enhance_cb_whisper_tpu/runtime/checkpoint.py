@@ -75,7 +75,10 @@ class CheckpointManager:
         self.hparams = hparams or {}
         os.makedirs(directory, exist_ok=True)
 
-    def step(self, epoch: int, metrics: Dict[str, float], state: Dict[str, Any]) -> None:
+    def step(self, epoch: int, metrics: Dict[str, float], state: Dict[str, Any]) -> list:
+        """Save improved monitors + 'final'; returns the saved paths (fed to
+        ``MetricsLogger.log_artifact`` when log_model is enabled)."""
+        saved = []
         for name, (key, mode) in self.monitors.items():
             if key not in metrics:
                 continue
@@ -84,16 +87,19 @@ class CheckpointManager:
             improved = best is None or (value > best if mode == "max" else value < best)
             if improved:
                 self.best[name] = value
+                path = os.path.join(self.directory, name)
                 save_checkpoint(
-                    os.path.join(self.directory, name),
-                    state,
+                    path, state,
                     {"epoch": epoch, "monitor": key, "value": value, "hparams": self.hparams},
                 )
+                saved.append(path)
+        final = os.path.join(self.directory, "final")
         save_checkpoint(
-            os.path.join(self.directory, "final"),
-            state,
+            final, state,
             {"epoch": epoch, "metrics": _to_jsonable(metrics), "hparams": self.hparams},
         )
+        saved.append(final)
+        return saved
 
 
 class EarlyStopping:

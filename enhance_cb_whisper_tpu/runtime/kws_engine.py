@@ -345,11 +345,17 @@ class KWSEngine:
                 self._catalog_cache.clear()
                 val_metrics = self.validate(self.variables(state), datamodule)
                 self.logger.log_metrics(val_metrics, step=global_step, epoch=epoch)
-                manager.step(epoch, val_metrics,
+                saved = manager.step(epoch, val_metrics,
                              {"params": params, "batch_stats": stats, "epoch": epoch})
+                if self.logger.log_model:
+                    for p in saved:
+                        self.logger.log_artifact(p)
                 if early_stopping is not None and early_stopping.step(val_metrics):
                     print(f"early stopping at epoch {epoch}")
                     break
             else:
-                manager.step(epoch, {}, {"params": params, "batch_stats": stats, "epoch": epoch})
+                saved = manager.step(epoch, {}, {"params": params, "batch_stats": stats, "epoch": epoch})
+                if self.logger.log_model:
+                    for p in saved:
+                        self.logger.log_artifact(p)
         return state

@@ -23,9 +23,11 @@ class MetricsLogger:
     def __init__(self, directory: Optional[str] = None, run_name: str = "run",
                  experiment_name: str = "default", tags: Optional[dict] = None,
                  verbose: bool = True, tracking_uri: Optional[str] = None,
-                 mlflow_module=None):
+                 mlflow_module=None, log_model: bool = False):
         self.directory = directory
         self.verbose = verbose
+        self.log_model = log_model  # MLFlowLogger(log_model=True) surface:
+        # engines pass newly saved checkpoint dirs to log_artifact
         self._fh = None
         if directory is not None:
             os.makedirs(directory, exist_ok=True)
@@ -87,6 +89,26 @@ class MetricsLogger:
             parts = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
             prefix = f"[epoch {epoch}]" if epoch is not None else ""
             print(f"{prefix} {parts}")
+
+    def log_artifact(self, path: str) -> None:
+        """Record a checkpoint/artifact path (reference
+        ``MLFlowLogger(log_model=true)``, configs/train.yaml:14): appended to
+        ``artifacts.jsonl`` locally and mirrored via ``mlflow.log_artifacts``
+        when the client is live."""
+        if self.directory is not None:
+            try:
+                with open(os.path.join(self.directory, "artifacts.jsonl"), "a") as f:
+                    f.write(json.dumps({"time": time.time(), "path": path}) + "\n")
+            except OSError:
+                pass
+        if self._mlflow is not None:
+            try:
+                if os.path.isdir(path):
+                    self._mlflow.log_artifacts(path, artifact_path=os.path.basename(path))
+                else:
+                    self._mlflow.log_artifact(path)
+            except Exception:
+                pass
 
     def close(self):
         if self._fh is not None:

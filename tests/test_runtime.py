@@ -138,3 +138,47 @@ def test_metrics_logger_unreachable_uri_falls_back(tmp_path):
     logger.log_metrics({"x": 1.0}, step=1)
     logger.close()
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_log_model_artifacts(tmp_path):
+    """MLFlowLogger(log_model=true) surface (configs/train.yaml:14): saved
+    checkpoint dirs are recorded in artifacts.jsonl and mirrored via
+    mlflow.log_artifacts; CheckpointManager.step returns the saved paths."""
+    import json as _json
+
+    from enhance_cb_whisper_tpu.runtime.checkpoint import CheckpointManager
+
+    class StubMLflow:
+        def __init__(self):
+            self.artifacts = []
+
+        def set_tracking_uri(self, uri): pass
+        def set_experiment(self, name): pass
+        def start_run(self, run_name=None, tags=None): pass
+        def log_artifacts(self, path, artifact_path=None):
+            self.artifacts.append((path, artifact_path))
+        def end_run(self): pass
+
+    stub = StubMLflow()
+    logger = MetricsLogger(
+        str(tmp_path / "logs"), tracking_uri="http://x:5000",
+        mlflow_module=stub, verbose=False, log_model=True,
+    )
+    assert logger.log_model
+
+    manager = CheckpointManager(str(tmp_path / "ckpts"), {"best": "f1:max"})
+    saved = manager.step(0, {"f1": 0.5}, {"w": 1})
+    assert [p.split("/")[-1] for p in saved] == ["best", "final"]
+    saved2 = manager.step(1, {"f1": 0.4}, {"w": 2})  # f1 worse: final only
+    assert [p.split("/")[-1] for p in saved2] == ["final"]
+
+    for p in saved:
+        logger.log_artifact(p)
+    logger.close()
+
+    lines = [
+        _json.loads(l)
+        for l in open(tmp_path / "logs" / "artifacts.jsonl").read().splitlines()
+    ]
+    assert [l["path"] for l in lines] == saved
+    assert [a[1] for a in stub.artifacts] == ["best", "final"]
