@@ -51,7 +51,7 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
     from enhance_cb_whisper_tpu.models.kws import KWSModel
     from enhance_cb_whisper_tpu.ops.resize import resize_matrix
 
-    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    compute_dtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
     catalog = KeywordCatalog.from_arrays(
         [f"kw{i}" for i in range(len(stacks))], stacks, group_size=CHUNK
     )
@@ -61,8 +61,34 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
         jax.random.PRNGKey(0), np.zeros((1, N_LAYERS, *OUT), np.float32)
     )
 
-    def kws_apply(v, x):
-        return model.apply(v, x.astype(compute_dtype)).logits
+    if dtype == "int8":
+        # int8 quantized ResNet inference (models/quant.py): sim + resize
+        # einsums stay bf16, the conv stack (~88% of the FLOPs) runs s8xs8
+        # ->s32 on the MXU (~1.8x bf16 conv throughput measured on v5e).
+        # Static activation scales calibrated on real similarity maps of
+        # the first chunk (host-side numpy replica of the scorer's math).
+        from enhance_cb_whisper_tpu.models.quant import (
+            calibrate_act_scales,
+            make_quantized_kws_apply,
+            quantize_resnet_classifier,
+        )
+
+        utt_rs = np.einsum("pu,lud->lpd", resize_matrix(utt.shape[1], OUT[1], antialias=False), utt)
+        calib = []
+        for s in stacks[:CHUNK]:
+            kw_rs = np.einsum("ok,lkd->lod", resize_matrix(s.shape[1], OUT[0], antialias=False), s)
+            calib.append(np.einsum("lod,lpd->lop", kw_rs, utt_rs))
+        qparams = quantize_resnet_classifier(variables, cfg)
+        scales = calibrate_act_scales(cfg, qparams, np.stack(calib).astype(np.float32))[
+            "act_scales"
+        ]
+        # weights on device once; scales baked as compile-time constants —
+        # otherwise every launch re-uploads them through the relay
+        variables = jax.device_put(qparams)
+        kws_apply = make_quantized_kws_apply(cfg, act_scales=scales)
+    else:
+        def kws_apply(v, x):
+            return model.apply(v, x.astype(compute_dtype)).logits
 
     score = make_catalog_score_fn(
         kws_apply, out_size=OUT, chunk=CHUNK,

@@ -83,7 +83,7 @@ def device_peak_flops(dtype: str = "bfloat16") -> float:
     peak_tf = float(os.environ.get("ECW_PEAK_TFLOPS", "0")) or None
     if peak_tf is None:
         # TPU v5e: 394 TOPS int8 / 197 TFLOP/s bf16; fp32 via bf16 passes
-        peak_tf = 197.0 if dtype == "bfloat16" else 49.0
+        peak_tf = {"int8": 394.0, "bfloat16": 197.0}.get(dtype, 49.0)
     return peak_tf * 1e12
 
 

@@ -1,0 +1,162 @@
+"""int8 quantized ResNet inference vs the fp32 model.
+
+The quantized scorer replaces the ResNet classification step of catalog
+scoring (reference hot loop src/model/cb_whisper.py:110-129).  Required
+parity: score ordering / argmax decisions, not bitwise probabilities —
+checked here as probability closeness + argmax agreement on random models
+with perturbed BatchNorm statistics (so the BN folding is actually
+exercised: init-time stats are the trivial mean=0/var=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enhance_cb_whisper_tpu.catalog import (
+    KeywordCatalog,
+    device_put_catalog,
+    make_catalog_score_fn,
+)
+from enhance_cb_whisper_tpu.models import ResNetConfig
+from enhance_cb_whisper_tpu.models.kws import KWSModel
+from enhance_cb_whisper_tpu.models.quant import (
+    calibrate_act_scales,
+    make_quantized_kws_apply,
+    quantize_resnet_classifier,
+    quantized_apply,
+)
+
+N_LAYERS = 3
+OUT = (32, 48)
+
+
+def _randomize_bn(variables, seed=0):
+    """Give BatchNorm non-trivial running stats + affine params so folding
+    is exercised; returns a new variables pytree."""
+    rng = np.random.default_rng(seed)
+
+    def visit(tree, in_stats):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = visit(v, in_stats or k == "normalization")
+            elif in_stats and k == "mean":
+                out[k] = jnp.asarray(rng.normal(0, 0.2, v.shape), jnp.float32)
+            elif in_stats and k == "var":
+                out[k] = jnp.asarray(rng.uniform(0.5, 2.0, v.shape), jnp.float32)
+            elif in_stats and k == "scale":
+                out[k] = jnp.asarray(rng.uniform(0.5, 1.5, v.shape), jnp.float32)
+            elif in_stats and k == "bias":
+                out[k] = jnp.asarray(rng.normal(0, 0.1, v.shape), jnp.float32)
+            else:
+                out[k] = v
+        return out
+
+    return {
+        "params": visit(variables["params"], False),
+        "batch_stats": visit(variables["batch_stats"], True),
+    }
+
+
+def _small_config(layer_type):
+    return ResNetConfig(
+        num_channels=N_LAYERS,
+        embedding_size=8,
+        hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 1, 1),
+        layer_type=layer_type,
+        num_labels=2,
+    )
+
+
+@pytest.mark.parametrize("layer_type", ["bottleneck", "basic"])
+@pytest.mark.parametrize("static", [False, True])
+def test_quantized_matches_fp32(layer_type, static):
+    cfg = _small_config(layer_type)
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((16, N_LAYERS, *OUT)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    variables = _randomize_bn(variables)
+
+    ref = jax.jit(lambda v, x: model.apply(v, x).logits)(variables, x)
+    ref_p = jax.nn.softmax(ref, axis=-1)
+
+    qparams = quantize_resnet_classifier(variables, cfg)
+    if static:
+        # calibrate on a disjoint batch, evaluate on x
+        calib = rng.standard_normal((8, N_LAYERS, *OUT)).astype(np.float32)
+        qparams = calibrate_act_scales(cfg, qparams, calib)
+    q = jax.jit(lambda qp, x: quantized_apply(cfg, qp, x))(qparams, x)
+    q_p = jax.nn.softmax(q, axis=-1)
+
+    # int8 quantization: probabilities must stay close, and the
+    # positive/negative decision must agree except on near-ties (random
+    # nets produce logit margins below the quantization noise floor)
+    ref_p, q_p = np.asarray(ref_p), np.asarray(q_p)
+    assert np.max(np.abs(ref_p - q_p)) < 0.08
+    decided = np.abs(ref_p[:, 1] - ref_p[:, 0]) > 0.02
+    assert decided.sum() >= 8  # the check must actually bite
+    assert np.array_equal(
+        np.argmax(ref_p[decided], -1), np.argmax(q_p[decided], -1)
+    )
+
+
+@pytest.mark.parametrize("static", [False, True])
+def test_quantized_catalog_scoring_ordering(static):
+    """End-to-end: quantized kws_apply inside make_catalog_score_fn keeps
+    the catalog score ordering of the fp32 scorer."""
+    cfg = _small_config("bottleneck")
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(2)
+
+    def norm(a):
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+    stacks = [
+        norm(rng.standard_normal((N_LAYERS, int(rng.integers(2, 9)), 16), dtype=np.float32))
+        for _ in range(8)
+    ]
+    catalog = KeywordCatalog.from_arrays([f"k{i}" for i in range(8)], stacks, group_size=4)
+    utt = norm(rng.standard_normal((N_LAYERS, OUT[1], 16), dtype=np.float32))
+
+    variables = model.init(jax.random.PRNGKey(0), np.zeros((1, N_LAYERS, *OUT), np.float32))
+    variables = _randomize_bn(variables, seed=3)
+
+    from enhance_cb_whisper_tpu.ops.resize import resize_matrix
+
+    cat_dev = device_put_catalog(catalog, out_h=OUT[0], chunk=4)
+    utt_w = jnp.asarray(resize_matrix(utt.shape[1], OUT[1], antialias=False))
+    utt_j = jnp.asarray(utt)
+
+    fp32_apply = lambda v, im: model.apply(v, im).logits
+    score_fp32 = make_catalog_score_fn(fp32_apply, out_size=OUT, chunk=4)
+    p_ref, _ = score_fp32(variables, cat_dev, utt_j, utt_w)
+
+    qparams = quantize_resnet_classifier(variables, cfg)
+    if static:
+        # similarity maps are cosine similarities: calibrate on random
+        # maps in [-1, 1] (the bench/engine integration pattern)
+        calib = rng.uniform(-1, 1, (8, N_LAYERS, *OUT)).astype(np.float32)
+        qparams = calibrate_act_scales(cfg, qparams, calib)
+    score_q = make_catalog_score_fn(
+        make_quantized_kws_apply(cfg), out_size=OUT, chunk=4
+    )
+    p_q, _ = score_q(qparams, cat_dev, utt_j, utt_w)
+
+    p_ref, p_q = np.asarray(p_ref), np.asarray(p_q)
+    assert np.max(np.abs(p_ref - p_q)) < 0.08
+    # ordering: the detected set at the 0.5 threshold must agree
+    assert np.array_equal(p_ref > 0.5, p_q > 0.5)
+
+
+def test_quantized_channels_last():
+    cfg = _small_config("bottleneck")
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((4, N_LAYERS, *OUT)).astype(np.float32)
+    variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x[:1]), seed=5)
+    qparams = quantize_resnet_classifier(variables, cfg)
+    a = quantized_apply(cfg, qparams, x)
+    b = quantized_apply(cfg, qparams, np.transpose(x, (0, 2, 3, 1)), channels_last=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
