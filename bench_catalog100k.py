@@ -1,0 +1,131 @@
+"""Supplementary benchmark: 100k-keyword open-vocab catalog scoring.
+
+The paper-2 "massive open-vocabulary" configuration: an LEF pre-projected
+catalog ([100,352, 3, 75, 64] — raw embeddings would be ~90 GB, projected
+~2.9 GB bf16 resident) scored against one utterance in a single `lax.map`
+launch (efficient_kws/catalog.py).  Knobs:
+
+  ECW_CAT_DTYPE  bfloat16 (default) | int8  — int8 quantizes the ResNet
+                 stack (models/quant.py) with scales calibrated on the
+                 first chunk's real similarity maps
+  ECW_CAT_CHUNK  lax.map chunk size (default 128, the on-chip sweep optimum)
+  ECW_CAT_N      catalog size (default 100352)
+
+Prints ONE JSON line.  Random weights/reps — shapes, program structure and
+arithmetic match the real config (configs/efficient_kws/train-LEF-expanded.yaml).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from enhance_cb_whisper_tpu.efficient_kws import (
+        EfficientKWSConfig,
+        EfficientKWSModel,
+    )
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_projected_score_fn
+    from enhance_cb_whisper_tpu.runtime.flops import device_peak_flops, estimate_flops
+
+    N = int(os.environ.get("ECW_CAT_N", "100352"))
+    chunk = int(os.environ.get("ECW_CAT_CHUNK", "128"))
+    mode = os.environ.get("ECW_CAT_DTYPE", "bfloat16")
+    L, D, U, T_K, T_U = 3, 1024, 64, 75, 1500
+
+    config = EfficientKWSConfig(
+        n_layers=L, embedding_dim=D, learn_features=True, proj_mlp=True,
+        proj_mlp_units=U, frames_conv=True, resnet_version="resnet-50",
+    )
+    model = EfficientKWSModel(config, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    utt = rng.standard_normal((1, L, T_U, D)).astype(np.float32)
+    utt_mask = np.ones((1, L, T_U), np.float32)
+    kwd_small = rng.standard_normal((2, L, 150, D)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), kwd_small, utt,
+        np.ones((2, L, 150), np.float32), utt_mask,
+    )
+
+    # pre-projected LEF reps, straight to device bf16 (2.9 GB at 100k)
+    kwd = rng.standard_normal((N, L, T_K, U)).astype(np.float32)
+    catalog = {
+        "kwd": jnp.asarray(kwd, jnp.bfloat16),
+        "kwd_mask": jnp.asarray(np.ones((N, L, T_K), np.float32), jnp.bfloat16),
+        "mask": jnp.asarray(np.ones((N,), np.float32)),
+        "num_keywords": N,
+        "chunk": chunk,
+    }
+    del kwd
+
+    if mode == "int8":
+        from enhance_cb_whisper_tpu.efficient_kws.model import masked_sims
+        from enhance_cb_whisper_tpu.models.quant import (
+            calibrate_act_scales,
+            quantize_efficient_classifier,
+        )
+
+        qparams = quantize_efficient_classifier(variables, config.resnet_config())
+        utt_p, utt_mask_p = model.apply(
+            variables, jnp.asarray(utt), jnp.asarray(utt_mask),
+            train=False, method=EfficientKWSModel.project,
+        )
+        sims = masked_sims(
+            catalog["kwd"][:chunk].astype(jnp.float32), utt_p,
+            catalog["kwd_mask"][:chunk].astype(jnp.float32), utt_mask_p,
+        )
+        scales = calibrate_act_scales(config.resnet_config(), qparams, sims)["act_scales"]
+        score = make_projected_score_fn(
+            model, chunk=chunk,
+            quantized_params=jax.device_put(qparams), act_scales=scales,
+        )
+    else:
+        score = make_projected_score_fn(model, chunk=chunk)
+
+    utt_j, utt_mask_j = jnp.asarray(utt), jnp.asarray(utt_mask)
+    t0 = time.perf_counter()
+    np.asarray(score(variables, catalog, utt_j, utt_mask_j))
+    compile_s = time.perf_counter() - t0
+
+    iters = 3
+    t0 = time.perf_counter()
+    outs = [score(variables, catalog, utt_j, utt_mask_j) for _ in range(iters)]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / iters
+
+    flops = None
+    try:
+        flops = estimate_flops(score, variables, catalog, utt_j, utt_mask_j)
+    except Exception:
+        pass
+    peak = device_peak_flops("int8" if mode == "int8" else "bfloat16")
+
+    print(
+        json.dumps(
+            {
+                "metric": "open_vocab_catalog_keywords_per_sec",
+                "value": round(N / dt, 2),
+                "unit": "keywords/s",
+                "seconds_per_utterance": round(dt, 2),
+                "dtype": mode,
+                "chunk": chunk,
+                "compile_seconds": round(compile_s, 1),
+                "mfu": round(flops / dt / peak, 4) if flops else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

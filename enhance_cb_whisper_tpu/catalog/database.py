@@ -125,6 +125,36 @@ class KeywordCatalog:
         return w
 
 
+def calibration_sim_maps(
+    catalog: KeywordCatalog,
+    utt_stack: np.ndarray,  # [L, T_u, D] L2-normalized
+    out_size: Tuple[int, int] = (150, 750),
+    n: int = 8,
+) -> np.ndarray:
+    """[n, L, out_h, out_w] real similarity maps of the first ``n`` non-ghost
+    keywords vs one utterance — the representative inputs for int8
+    activation-scale calibration (models/quant.py).  Host-side numpy replica
+    of the scorer's fold-resize-into-matmul math."""
+    out_h, out_w = out_size
+    utt_r = np.einsum(
+        "pu,lud->lpd", resize_matrix(utt_stack.shape[1], out_w, antialias=False), utt_stack
+    )
+    maps = []
+    for i in range(catalog.num_padded):
+        if catalog.mask[i] == 0:
+            continue
+        t = int(catalog.frames[i])
+        kw_r = np.einsum(
+            "ok,lkd->lod", resize_matrix(t, out_h, antialias=False), catalog.hs[i, :, :t]
+        )
+        maps.append(np.einsum("lod,lpd->lop", kw_r, utt_r))
+        if len(maps) == n:
+            break
+    if not maps:
+        raise ValueError("catalog has no non-ghost keywords to calibrate on")
+    return np.stack(maps).astype(np.float32)
+
+
 def make_catalog_score_fn(
     kws_apply: Callable,  # (variables, images [G, L, H, W]) -> logits [G, 2]
     out_size: Tuple[int, int] = (150, 750),

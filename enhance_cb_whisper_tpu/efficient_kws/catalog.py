@@ -74,9 +74,26 @@ def project_catalog(
     }
 
 
-def make_projected_score_fn(model: EfficientKWSModel, chunk: int = 128):
+def make_projected_score_fn(
+    model: EfficientKWSModel,
+    chunk: int = 128,
+    quantized_params=None,
+    act_scales=None,
+):
     """Returns jitted ``score(variables, catalog, utt, utt_mask) ->
-    probs [N_pad]`` (utt: [1, L, T, D] raw features)."""
+    probs [N_pad]`` (utt: [1, L, T, D] raw features).
+
+    ``quantized_params`` (from `models.quant.quantize_efficient_classifier`,
+    `jax.device_put` it once) switches the ResNet+head to int8 inference;
+    pass calibrated ``act_scales`` so they bake in as compile-time
+    constants (see models/quant.py — the projection stack and similarity
+    einsum stay float)."""
+    if quantized_params is not None:
+        from ..models.quant import make_quantized_kws_apply
+
+        q_apply = make_quantized_kws_apply(
+            model.config.resnet_config(), act_scales=act_scales
+        )
 
     def score(variables, catalog, utt, utt_mask):
         utt_p, utt_mask_p = model.apply(
@@ -85,11 +102,17 @@ def make_projected_score_fn(model: EfficientKWSModel, chunk: int = 128):
 
         def chunk_fn(args):
             kwd, kwd_mask = args
-            logits, _ = model.apply(
-                variables, kwd, utt_p,
-                kwd_mask=kwd_mask, utt_mask=utt_mask_p, train=False,
-                method=EfficientKWSModel.classify_projected,
-            )
+            if quantized_params is not None:
+                from .model import masked_sims
+
+                sims = masked_sims(kwd, utt_p, kwd_mask, utt_mask_p)
+                logits = q_apply(quantized_params, sims)
+            else:
+                logits, _ = model.apply(
+                    variables, kwd, utt_p,
+                    kwd_mask=kwd_mask, utt_mask=utt_mask_p, train=False,
+                    method=EfficientKWSModel.classify_projected,
+                )
             return jax.nn.softmax(logits, -1)[:, 1]
 
         n_pad = catalog["kwd"].shape[0]

@@ -109,6 +109,30 @@ def sim_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
+def masked_sims(kwd, utt, kwd_mask=None, utt_mask=None) -> jax.Array:
+    """The similarity-map construction of ``_classify``: per-layer cosine
+    sim stacked into channels [B, L, T_k, T_u], padded frames zeroed
+    (reference model.py:174-191; the [T_u, T_k] bmm output is permuted).
+    A [1, ...] utterance broadcasts against B keywords."""
+    n_keywords = kwd.shape[0]
+    if utt.shape[0] == 1 and n_keywords > 1:
+        utt = jnp.broadcast_to(utt, (n_keywords, *utt.shape[1:]))
+        if utt_mask is not None:
+            utt_mask = jnp.broadcast_to(utt_mask, (n_keywords, *utt_mask.shape[1:]))
+    sims = jnp.einsum(
+        "blud,blkd->blku",
+        _safe_normalize(utt, 1e-6),
+        _safe_normalize(kwd, 1e-6),
+        precision="highest",
+        preferred_element_type=jnp.float32,
+    )
+    if utt_mask is not None:
+        sims = sims * utt_mask[:, :, None, :]
+    if kwd_mask is not None:
+        sims = sims * kwd_mask[:, :, :, None]
+    return sims
+
+
 def _pool_mask(mask: jax.Array) -> jax.Array:
     """Max-pool [B, L, T] masks with (k=3, s=2, p=1), matching the LEF
     frame halving."""
@@ -172,27 +196,7 @@ class EfficientKWSModel(nn.Module):
         return self._classify(kwd, utt, kwd_mask, utt_mask, train)
 
     def _classify(self, kwd, utt, kwd_mask, utt_mask, train: bool):
-        n_keywords = kwd.shape[0]
-        if utt.shape[0] == 1 and n_keywords > 1:
-            utt = jnp.broadcast_to(utt, (n_keywords, *utt.shape[1:]))
-            if utt_mask is not None:
-                utt_mask = jnp.broadcast_to(utt_mask, (n_keywords, *utt_mask.shape[1:]))
-
-        # per-layer sim, stacked into channels: [B, L, T_k, T_u]
-        # (reference permutes the [T_u, T_k] bmm output, model.py:174-184)
-        sims = jnp.einsum(
-            "blud,blkd->blku",
-            _safe_normalize(utt, 1e-6),
-            _safe_normalize(kwd, 1e-6),
-            precision="highest",
-            preferred_element_type=jnp.float32,
-        )
-
-        if utt_mask is not None:
-            sims = sims * utt_mask[:, :, None, :]
-        if kwd_mask is not None:
-            sims = sims * kwd_mask[:, :, :, None]
-
+        sims = masked_sims(kwd, utt, kwd_mask, utt_mask)
         pooled = self.model(sims, train=train)
         logits = self.classifier(pooled)
         return logits, sims

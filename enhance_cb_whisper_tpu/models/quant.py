@@ -63,14 +63,8 @@ def _fold_conv_bn(conv: Dict, bn_params: Dict, bn_stats: Dict) -> Dict[str, np.n
     return {"wq": wq, "s_w": s_w.astype(np.float32), "b": b_eff.astype(np.float32)}
 
 
-def quantize_resnet_classifier(variables: Dict, config: ResNetConfig) -> Dict[str, Any]:
-    """Build the int8 parameter pytree from fp32 `ResNetClassifier`/`KWSModel`
-    variables (``{'params': ..., 'batch_stats': ...}``)."""
-    params = variables["params"]
-    stats = variables["batch_stats"]
-    if "model" in params:  # KWSModel wraps ResNetClassifier as `model`
-        params, stats = params["model"], stats["model"]
-    fx_p, fx_s = params["feature_extractor"], stats["feature_extractor"]
+def _quantize_resnet_tree(fx_p: Dict, fx_s: Dict, config: ResNetConfig) -> Dict[str, Any]:
+    """Fold+quantize a bare `ResNet` param/stats tree (embedder + stages)."""
 
     def fold(module_p, module_s):
         return _fold_conv_bn(
@@ -88,9 +82,36 @@ def quantize_resnet_classifier(variables: Dict, config: ResNetConfig) -> Dict[st
             if "shortcut" in bp:
                 block["shortcut"] = fold(bp["shortcut"], bs["shortcut"])
             q[name] = block
+    return q
+
+
+def quantize_resnet_classifier(variables: Dict, config: ResNetConfig) -> Dict[str, Any]:
+    """Build the int8 parameter pytree from fp32 `ResNetClassifier`/`KWSModel`
+    variables (``{'params': ..., 'batch_stats': ...}``)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    if "model" in params:  # KWSModel wraps ResNetClassifier as `model`
+        params, stats = params["model"], stats["model"]
+    q = _quantize_resnet_tree(
+        params["feature_extractor"], stats["feature_extractor"], config
+    )
     q["classifier"] = {
         "kernel": np.asarray(params["classifier"]["kernel"], np.float32),
         "bias": np.asarray(params["classifier"]["bias"], np.float32),
+    }
+    return q
+
+
+def quantize_efficient_classifier(variables: Dict, config: ResNetConfig) -> Dict[str, Any]:
+    """Same for `EfficientKWSModel` variables: its bare `ResNet` lives at
+    ``params['model']`` with the Dense head as a sibling ``classifier``
+    (efficient_kws/model.py:127-128)."""
+    q = _quantize_resnet_tree(
+        variables["params"]["model"], variables["batch_stats"]["model"], config
+    )
+    q["classifier"] = {
+        "kernel": np.asarray(variables["params"]["classifier"]["kernel"], np.float32),
+        "bias": np.asarray(variables["params"]["classifier"]["bias"], np.float32),
     }
     return q
 

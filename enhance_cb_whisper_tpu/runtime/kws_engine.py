@@ -78,6 +78,35 @@ class KWSEngine:
         self._catalog_cache: Dict[int, Any] = {}
         self.eval_batch_size = 8  # utterances per eval launch (same bucket)
 
+    def enable_int8_scoring(self, variables, dataset, utt_hs: np.ndarray):
+        """Switch the engine's catalog scoring to int8 quantized inference
+        (models/quant.py: BN-fold + per-channel weights + static activation
+        scales — 1.34x over bf16 on v5e, BASELINE.md).  Calibrates on real
+        similarity maps of ``utt_hs`` (one utterance's [L, T, D] stack) vs
+        the catalog's first keywords.  Returns the device-resident
+        quantized pytree — pass it as ``variables`` to every subsequent
+        ``score_*`` / eval call.  Threshold/argmax decision parity with the
+        fp32 scorer is tested (tests/test_quant.py); training/validation
+        paths are unaffected unless handed the quantized pytree."""
+        from ..catalog.database import calibration_sim_maps
+        from ..models.quant import (
+            calibrate_act_scales,
+            make_quantized_kws_apply,
+            quantize_resnet_classifier,
+        )
+
+        qparams = quantize_resnet_classifier(variables, self.resnet_config)
+        maps = calibration_sim_maps(dataset.catalog, utt_hs, self.features_size)
+        scales = calibrate_act_scales(self.resnet_config, qparams, maps)["act_scales"]
+        q_apply = make_quantized_kws_apply(self.resnet_config, act_scales=scales)
+        self._score_fn = make_catalog_score_fn(
+            q_apply, out_size=self.features_size, chunk=8
+        )
+        self._batched_score_fn = jax.jit(
+            jax.vmap(self._score_fn, in_axes=(None, None, 0, 0))
+        )
+        return jax.device_put(qparams)
+
     # ------------------------------------------------------------------ state
 
     def init_state(self, sample_shape=None):

@@ -145,3 +145,27 @@ def test_validate_zh_en_aggregation(datamodule, root):
         metrics["metrics/f1"],
         sum(metrics[f"metrics/f1_{i}"] for i in range(4)) / 4,
     )
+
+
+def test_int8_scoring_matches_fp32_decisions(datamodule):
+    """enable_int8_scoring: quantized catalog scoring preserves the fp32
+    scorer's probabilities/threshold decisions on the engine surface."""
+    datamodule.setup("validate")
+    dataset = list(datamodule.val_dataset.values())[0]
+    engine = KWSEngine(KWSTrainConfig(), resnet_config=TINY, features_size=(32, 48))
+    variables = engine.variables(engine.init_state())
+
+    item = dataset[0]
+    p_ref, _ = engine.score_utterance(variables, dataset, item["utt_hs"])
+
+    qvars = engine.enable_int8_scoring(variables, dataset, item["utt_hs"])
+    p_q, _ = engine.score_utterance(qvars, dataset, item["utt_hs"])
+
+    mask = np.asarray(item["hotword_mask"], np.float32)
+    assert np.max(np.abs(p_ref * mask - p_q * mask)) < 0.08
+    assert np.array_equal((p_ref * mask) > 0.5, (p_q * mask) > 0.5)
+
+    # batched path shares the swapped score fn
+    p_b, _ = engine.score_utterances(qvars, dataset, [item["utt_hs"]] * 2)
+    np.testing.assert_allclose(p_b[0], p_b[1], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(p_b[0], p_q, rtol=1e-4, atol=1e-4)

@@ -150,6 +150,64 @@ def test_quantized_catalog_scoring_ordering(static):
     assert np.array_equal(p_ref > 0.5, p_q > 0.5)
 
 
+def test_quantized_projected_scorer_efficient_kws():
+    """Paper-2 100k-catalog path: the int8 projected scorer must preserve
+    the fp32 scorer's probabilities/decisions (LEF variant)."""
+    from enhance_cb_whisper_tpu.efficient_kws import (
+        EfficientKWSConfig,
+        EfficientKWSModel,
+    )
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import (
+        make_projected_score_fn,
+        project_catalog,
+    )
+    from enhance_cb_whisper_tpu.efficient_kws.model import masked_sims
+    from enhance_cb_whisper_tpu.models.quant import quantize_efficient_classifier
+
+    L, D, U = 2, 16, 8
+    config = EfficientKWSConfig(
+        n_layers=L, embedding_dim=D, learn_features=True, proj_mlp=True,
+        proj_mlp_units=U, frames_conv=True, resnet_version="resnet-18",
+    )
+    model = EfficientKWSModel(config)
+    rng = np.random.default_rng(7)
+    groups = [
+        {
+            "kwd": rng.standard_normal((4, L, 32, D), dtype=np.float32),
+            "kwd_mask": (rng.random((4, L, 32)) > 0.1).astype(np.float32),
+            "mask": np.ones((4,), np.float32),
+        }
+        for _ in range(2)
+    ]
+    utt = rng.standard_normal((1, L, 64, D), dtype=np.float32)
+    utt_mask = np.ones((1, L, 64), np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), groups[0]["kwd"], utt, groups[0]["kwd_mask"], utt_mask
+    )
+    variables = _randomize_bn(variables, seed=8)
+
+    catalog = project_catalog(model, variables, groups, chunk=4)
+    score = make_projected_score_fn(model, chunk=4)
+    p_ref = np.asarray(score(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+
+    # calibrate on the first chunk's real similarity maps
+    qparams = quantize_efficient_classifier(variables, config.resnet_config())
+    utt_p, utt_mask_p = model.apply(
+        variables, utt, utt_mask, train=False, method=EfficientKWSModel.project
+    )
+    sims = masked_sims(
+        catalog["kwd"][:4], utt_p, catalog["kwd_mask"][:4], utt_mask_p
+    )
+    scales = calibrate_act_scales(config.resnet_config(), qparams, sims)["act_scales"]
+    score_q = make_projected_score_fn(
+        model, chunk=4, quantized_params=jax.device_put(qparams), act_scales=scales
+    )
+    p_q = np.asarray(score_q(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+
+    assert np.max(np.abs(p_ref - p_q)) < 0.08
+    assert np.array_equal(p_ref > 0.5, p_q > 0.5)
+
+
 def test_quantized_channels_last():
     cfg = _small_config("bottleneck")
     model = KWSModel(cfg)
