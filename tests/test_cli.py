@@ -79,6 +79,13 @@ def test_cli_fit_then_test(tmp_path, root, tiny_engine_patch):
     results = run_cli(["test", "--config", str(cfg), "--ckpt_path", ckpt])
     assert "F1" in results
 
+    # int8 quantized scoring through the same surface (kws_int8 extension):
+    # F1 on the tiny fixture must agree with the fp32 run
+    results_q = run_cli(
+        ["test", "--config", str(cfg), "--ckpt_path", ckpt, "--model.init_args.kws_int8", "true"]
+    )
+    assert abs(results_q["F1"] - results["F1"]) < 0.05
+
 
 def test_placeholder_detection(tmp_path):
     cfg = tmp_path / "bad.yaml"
