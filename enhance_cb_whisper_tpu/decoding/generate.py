@@ -181,17 +181,20 @@ class WhisperGenerator:
         return self.prompt_buckets[-1]
 
     def _make_ctx(self, cross_kv, prompt_mask: np.ndarray, max_length: int, reps: int):
-        """ctx pytree: cross KV tiled to batch*beams + full-length attention
-        mask.  Only pad positions INSIDE the prompt are masked; every slot at
-        or past the true prompt length stays open — those cache slots are
-        overwritten sequentially by the decode loop and the causal rule
-        protects the not-yet-written ones."""
+        """ctx pytree: cross KV + full-length attention mask.  The
+        (self-attention) mask is tiled to batch*beams; the cross KV is NOT —
+        beams of one batch item share the encoder output, and the decoder's
+        cross attention folds the beam dim into its query axis instead
+        (models/whisper.py:_decoder_layer), saving num_beams× of the
+        dominant per-step HBM read.  Only pad positions INSIDE the prompt
+        are masked; every slot at or past the true prompt length stays open
+        — those cache slots are overwritten sequentially by the decode loop
+        and the causal rule protects the not-yet-written ones."""
         batch, plen = prompt_mask.shape
         attn = np.ones((batch, max_length), dtype=np.int32)
         attn[:, :plen] = prompt_mask
         attn_t = jnp.asarray(np.repeat(attn, reps, axis=0))
-        kv = jax.tree.map(lambda x: jnp.repeat(x, reps, axis=0), cross_kv)
-        return {"cross_kv": kv, "attn_mask": attn_t}
+        return {"cross_kv": cross_kv, "attn_mask": attn_t}
 
     def _processors(self, opts: GenerationOptions) -> LogitsProcessorConfig:
         return LogitsProcessorConfig(

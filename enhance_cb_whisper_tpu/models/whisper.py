@@ -355,7 +355,21 @@ def _decoder_layer(
     # cross attention (precomputed K/V)
     h = _layer_norm(p["encoder_attn_layer_norm"], x)
     q = _split_heads(_linear(p["encoder_attn"]["q_proj"], h), num_heads) * (head_dim**-0.5)
-    attn = _attention(q, cross_kv["k"].astype(q.dtype), cross_kv["v"].astype(q.dtype), cross_mask)
+    k_c = cross_kv["k"].astype(q.dtype)
+    v_c = cross_kv["v"].astype(q.dtype)
+    if q.shape[0] != k_c.shape[0]:
+        # beam search: every beam of a batch item attends the SAME encoder
+        # output, so the K/V stay at batch size and the beam dim folds into
+        # the query-time axis (beam rows are grouped per item,
+        # generate.py:_make_ctx) — cross attention has no positional
+        # structure over queries, so this is exact, and it cuts the
+        # dominant per-step HBM read (the 1500-frame K/V) by num_beams x.
+        reps = q.shape[0] // k_c.shape[0]
+        q_folded = q.reshape(k_c.shape[0], reps * q.shape[1], *q.shape[2:])
+        attn = _attention(q_folded, k_c, v_c, cross_mask)
+        attn = attn.reshape(*q.shape)
+    else:
+        attn = _attention(q, k_c, v_c, cross_mask)
     x = x + _linear(p["encoder_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
 
     # mlp
