@@ -437,8 +437,15 @@ def decoder_forward(
         new_layers.append(new_cache_layer)
 
     x = _layer_norm(p["layer_norm"], x)
+    # vocab projection: read the (tied) embedding in the compute dtype with
+    # f32 accumulation — in bf16 mode XLA hoists the loop-invariant weight
+    # convert out of the decode loop, halving the dominant per-step HBM
+    # read (the [vocab, d_model] matrix); in f32 mode this is unchanged
     logits = jnp.einsum(
-        "btd,vd->btv", x.astype(jnp.float32), p["embed_tokens"]["weight"].astype(jnp.float32)
+        "btd,vd->btv",
+        x,
+        p["embed_tokens"]["weight"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
     )
     new_cache = (
         {"index": offset + t, "layers": new_layers} if cache is not None else None
