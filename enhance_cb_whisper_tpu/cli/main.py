@@ -226,6 +226,11 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
 
     state, _ = load_checkpoint(ckpt_path)
     variables = engine.variables(state["params"], state.get("batch_stats", {}))
+    if model_args.get("kws_int8") and subcommand == "test":
+        # TPU-serving extension (same knob as paper 1): int8 quantized
+        # group scoring calibrated on the first test item
+        datamodule.setup("test")
+        engine.enable_int8_scoring(variables, datamodule.test_dataset[0])
     if subcommand == "validate":
         datamodule.setup("validate")
         metrics = engine.validate(variables, datamodule, dump_dir=ckpt_path)
@@ -352,6 +357,11 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         encoder_config=encoder_config,
         kws_layer_slice=tuple(model_args.get("kws_layer_slice", (10, 22))),
     )
+
+    if model_args.get("kws_int8"):
+        # TPU-serving extension: int8 quantized spotting, calibrated
+        # lazily on the first segment's similarity maps
+        module.enable_int8_spotting()
 
     def mel_fn(item):
         wav = load_audio_16k(item["audio"])

@@ -115,6 +115,54 @@ class EfficientKWSEngine:
 
         self._score_group = _score_group
 
+    def enable_int8_scoring(self, variables, item):
+        """Swap group scoring to int8 quantized ResNet inference
+        (models/quant.py; projection stack + similarity einsum stay float).
+        Calibrates on ``item`` — one eval item's first keyword group vs its
+        utterance (real similarity maps).  The float ``variables`` keep
+        driving the projection, so callers pass them unchanged; only the
+        classifier runs quantized.  Decision parity is tested
+        (tests/test_efficient_kws_pipeline.py)."""
+        import jax.numpy as jnp
+
+        from ..models.quant import (
+            calibrate_act_scales,
+            make_quantized_kws_apply,
+            quantize_efficient_classifier,
+        )
+        from .model import EfficientKWSModel, masked_sims
+
+        rcfg = self.model.config.resnet_config()
+        qparams = quantize_efficient_classifier(variables, rcfg)
+        g = item["groups"][0]
+        kwd_p, kwd_mask_p = self.model.apply(
+            variables, jnp.asarray(g["kwd"]), jnp.asarray(g["kwd_mask"]),
+            train=False, method=EfficientKWSModel.project,
+        )
+        utt_p, utt_mask_p = self.model.apply(
+            variables, jnp.asarray(item["utt"][None]), jnp.asarray(item["utt_mask"][None]),
+            train=False, method=EfficientKWSModel.project,
+        )
+        sims = masked_sims(kwd_p, utt_p, kwd_mask_p, utt_mask_p)
+        scales = calibrate_act_scales(rcfg, qparams, sims)["act_scales"]
+        q_apply = make_quantized_kws_apply(rcfg, act_scales=scales)
+        q_dev = jax.device_put(qparams)
+        model = self.model
+
+        @jax.jit
+        def _score_group_q(variables, kwd, utt, kwd_mask, utt_mask):
+            kwd_p, kwd_mask_p = model.apply(
+                variables, kwd, kwd_mask, train=False, method=EfficientKWSModel.project
+            )
+            utt_p, utt_mask_p = model.apply(
+                variables, utt, utt_mask, train=False, method=EfficientKWSModel.project
+            )
+            sims = masked_sims(kwd_p, utt_p, kwd_mask_p, utt_mask_p)
+            logits = q_apply(q_dev, sims)
+            return jax.nn.softmax(logits, -1)[:, 1], logits
+
+        self._score_group = _score_group_q
+
     # ----------------------------------------------------------------- init
 
     def init_state(self, sample: Dict[str, np.ndarray]):

@@ -152,8 +152,43 @@ class CBWhisper:
                 self.catalog, out_h=self.config.kws_features_size[0], chunk=8
             )
 
+    def enable_int8_spotting(self):
+        """Switch per-segment keyword spotting to int8 quantized ResNet
+        inference (models/quant.py; 1.34x over bf16 on the catalog kernel,
+        BASELINE.md).  Calibration happens lazily on the FIRST scored
+        segment's real similarity maps, so no extra data plumbing is
+        needed; threshold/argmax decision parity vs fp32 is tested
+        (tests/test_cb_whisper.py)."""
+        self._int8_pending = True
+
+    def _calibrate_int8(self, utt_stack: np.ndarray):
+        from ..catalog.database import calibration_sim_maps
+        from ..models.quant import (
+            calibrate_act_scales,
+            make_quantized_kws_apply,
+            quantize_resnet_classifier,
+        )
+
+        rcfg = self.kws_model.config
+        qparams = quantize_resnet_classifier(self.kws_variables, rcfg)
+        maps = calibration_sim_maps(
+            self.catalog, utt_stack, self.config.kws_features_size
+        )
+        scales = calibrate_act_scales(rcfg, qparams, maps)["act_scales"]
+        q_apply = make_quantized_kws_apply(rcfg, act_scales=scales)
+        self._score_fn = make_catalog_score_fn(
+            q_apply, out_size=self.config.kws_features_size, chunk=8
+        )
+        self._batched_score = jax.jit(
+            jax.vmap(self._score_fn, in_axes=(None, None, 0, None))
+        )
+        self.kws_variables = jax.device_put(qparams)
+        self._int8_pending = False
+
     def _score_to_keywords(self, stacks, n_seg: int) -> List[List[str]]:
         """Catalog scoring + argmax-class-1 dedupe (cb_whisper.py:124-132)."""
+        if getattr(self, "_int8_pending", False):
+            self._calibrate_int8(np.asarray(stacks[0]))
         _, logits = self._batched_score(
             self.kws_variables, self._catalog_dev, stacks, self._utt_w
         )

@@ -378,3 +378,23 @@ def test_encode_spot_failure_falls_back_to_generator_encoder(cb):
         cb.config.prompt = old_prompt
     assert out == promptless
     assert isinstance(want, str)
+
+
+def test_int8_spotting_matches_fp32(cb):
+    """enable_int8_spotting (lazy first-segment calibration) must reproduce
+    the fp32 spotter's keyword decisions."""
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((2, 8, 48), dtype=np.float32)
+    ref = cb.spot_keywords(mel)
+    saved = (cb._score_fn, cb._batched_score, cb.kws_variables)
+    try:
+        cb.enable_int8_spotting()
+        assert cb._int8_pending
+        got = cb.spot_keywords(mel)
+        assert not cb._int8_pending  # calibrated on the first call
+        again = cb.spot_keywords(mel)  # swapped scorer stays in place
+    finally:
+        cb._score_fn, cb._batched_score, cb.kws_variables = saved
+        cb._int8_pending = False
+    assert got == ref
+    assert again == ref

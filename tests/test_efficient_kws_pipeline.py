@@ -198,3 +198,50 @@ def test_expanded_catalog_validation(tmp_path):
     metrics = engine.validate(variables, DM())
     assert "metrics/f1_0" in metrics
     assert "metrics/f1_1" not in metrics  # expanded loader skipped
+
+
+def test_engine_int8_scoring_decision_parity(mls_root):
+    """enable_int8_scoring: the quantized group scorer preserves the fp32
+    scorer's probabilities/decisions on real eval items (LE variant)."""
+    import jax.numpy as jnp
+
+    model_config = EfficientKWSConfig(
+        n_layers=2, embedding_dim=8, learn_features=True, proj_mlp=True,
+        proj_mlp_units=4, resnet_version="resnet-18", threshold=0.5,
+    )
+    dm = EfficientKWSDataMod(
+        batch_size=4, sampling="random",
+        train_info=[{"name": "mls", "root": mls_root, "kw_type": "natural"}],
+        val_info=[
+            {"language": lang, "root": mls_root, "kw_type": "natural"}
+            for lang in LANGS
+        ],
+        features_size=FS, n_layers=2, keywords_per_group=2, languages=list(LANGS),
+    )
+    engine = EfficientKWSEngine(model_config, EfficientTrainConfig())
+    dm.setup("validate")
+    dataset = list(dm.val_dataset.values())[0]
+    item = dataset[0]
+    state = engine.init_state(
+        {
+            "kwd_features": item["groups"][0]["kwd"],
+            "utt_features": item["utt"][None],
+            "kwd_mask": item["groups"][0]["kwd_mask"],
+            "utt_mask": item["utt_mask"][None],
+        }
+    )
+    variables = engine.variables(state[0], state[1]) if isinstance(state, tuple) else state
+    kwd = np.concatenate([g["kwd"] for g in item["groups"]])
+    km = np.concatenate([g["kwd_mask"] for g in item["groups"]])
+    p_ref, _ = engine._score_group(
+        variables, jnp.asarray(kwd), jnp.asarray(item["utt"][None]),
+        jnp.asarray(km), jnp.asarray(item["utt_mask"][None]),
+    )
+    engine.enable_int8_scoring(variables, item)
+    p_q, _ = engine._score_group(
+        variables, jnp.asarray(kwd), jnp.asarray(item["utt"][None]),
+        jnp.asarray(km), jnp.asarray(item["utt_mask"][None]),
+    )
+    p_ref, p_q = np.asarray(p_ref), np.asarray(p_q)
+    assert np.max(np.abs(p_ref - p_q)) < 0.08
+    assert np.array_equal(p_ref > 0.5, p_q > 0.5)

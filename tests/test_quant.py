@@ -207,6 +207,19 @@ def test_quantized_projected_scorer_efficient_kws():
     assert np.max(np.abs(p_ref - p_q)) < 0.08
     assert np.array_equal(p_ref > 0.5, p_q > 0.5)
 
+    # the multi-chip 100k serving shape: quantized scorer over a catalog
+    # sharded across the mesh `model` axis must match the single-device run
+    from enhance_cb_whisper_tpu.parallel import make_mesh, shard_catalog
+
+    mesh = make_mesh({"data": 1, "model": 8})
+    with mesh:
+        arrays = {k: v for k, v in catalog.items() if k in ("kwd", "kwd_mask", "mask")}
+        sharded = {**catalog, **shard_catalog(arrays, mesh, axis="model")}
+        p_s = np.asarray(
+            score_q(variables, sharded, jnp.asarray(utt), jnp.asarray(utt_mask))
+        )
+    np.testing.assert_allclose(p_s, p_q, rtol=1e-5, atol=1e-6)
+
 
 def test_quantized_channels_last():
     cfg = _small_config("bottleneck")
