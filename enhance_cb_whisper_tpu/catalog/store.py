@@ -18,12 +18,13 @@ import numpy as np
 
 def load_hidden_states(path: str) -> np.ndarray:
     """Load a [n_layers, T, D] hidden-state stack from ``.npy`` or a
-    reference ``.bin`` (torch pickle)."""
+    reference ``.bin`` (torch pickle).  Always returns float32 (f16-stored
+    caches upcast on load)."""
     if path.endswith(".npy"):
-        return np.load(path)
+        return np.load(path).astype(np.float32, copy=False)
     npy = os.path.splitext(path)[0] + ".npy"
     if os.path.exists(npy):
-        return np.load(npy)
+        return np.load(npy).astype(np.float32, copy=False)
     if os.path.exists(path):
         import torch  # optional, only for reference-format caches
 
@@ -33,10 +34,13 @@ def load_hidden_states(path: str) -> np.ndarray:
     raise FileNotFoundError(path)
 
 
-def save_hidden_states(path: str, hs: np.ndarray) -> None:
+def save_hidden_states(path: str, hs: np.ndarray, dtype=np.float32) -> None:
+    """``dtype=np.float16`` halves cache size + device-fetch bytes; the
+    stacks are L2-normalized so the ~1e-3 relative rounding is far below
+    the similarity scorer's decision margins (loaders upcast to f32)."""
     if not path.endswith(".npy"):
         path = os.path.splitext(path)[0] + ".npy"
-    np.save(path, np.asarray(hs, dtype=np.float32))
+    np.save(path, np.asarray(hs, dtype=dtype))
 
 
 def hidden_states_exist(path: str) -> bool:

@@ -52,12 +52,19 @@ def extract_hidden_states(
     layer_slice=(10, 22),
     batch_size: int = 8,
     n_mels: Optional[int] = None,
+    cache_dtype: str = "float32",
 ):
     """Produce the hidden-state caches every dataset reads (src/utils.py:130-205).
 
     Batched device pipeline: decode+resample B files on host → pad each to
     30 s → one [B, n_mels, 3000] mel+encoder launch → per-file truncation to
     ``ceil(unpadded_mel_frames / 2)`` frames → L2-normalize → save.
+
+    ``cache_dtype="float16"`` converts the stacks ON DEVICE before the
+    host fetch, halving both the device→host bytes and the cache files
+    (loaders upcast; the stacks are L2-normalized so the rounding is ~1e-3
+    relative).  The reference stores f32 (utils.py:198-201) — keep the
+    default for bit-parity caches.
     """
     import jax
     import jax.numpy as jnp
@@ -73,11 +80,17 @@ def extract_hidden_states(
     n_mels = n_mels or config.num_mel_bins
     lo, hi = layer_slice
 
+    out_dtype = jnp.dtype(cache_dtype)
+
     @jax.jit
-    def encode(mel, valid_frames):
-        return encoder_kws_stack(
+    def encode(wavs, valid_frames):
+        # mel INSIDE the jit: one device launch per batch — eager mel was
+        # ~5 separate dispatches, each paying the relay round-trip
+        mel = log_mel_spectrogram(wavs, n_mels=n_mels)
+        stacks = encoder_kws_stack(
             params, mel, config, layer_slice=(lo, hi), valid_frames=valid_frames
         )
+        return stacks.astype(out_dtype)
 
     wanted = None
     if codes is not None:
@@ -91,9 +104,26 @@ def extract_hidden_states(
         if wanted is None or any(c in code for c in wanted)
     ]
 
+    # pipelined producer loop: the host fetch of batch N is deferred until
+    # two more launches are enqueued, so host-side decode/mel of batch N+1
+    # overlaps the device encode of batch N and the relay round-trip is
+    # amortized (same pattern as the eval engines' deferred fetches)
+    in_flight = []
+
+    def _drain(depth: int):
+        while len(in_flight) > depth:
+            codes_done, valid_done, dev = in_flight.pop(0)
+            stacks = np.asarray(dev)  # f16 when cache_dtype says so
+            for j, code in enumerate(codes_done):
+                save_hidden_states(
+                    os.path.join(target, code + ".npy"),
+                    stacks[j, :, : valid_done[j], :],
+                    dtype=stacks.dtype,
+                )
+
     for i in range(0, len(items), batch_size):
         chunk = items[i : i + batch_size]
-        mels, valid, keep = [], [], []
+        wavs, valid, keep = [], [], []
         for code, path in chunk:
             try:
                 wav = load_audio_16k(path)
@@ -106,22 +136,20 @@ def extract_hidden_states(
             valid.append(int(ceil(unpadded_frames / 2.0)))
             padded = np.zeros((N_SAMPLES,), np.float32)
             padded[: wav.shape[0]] = wav
-            mels.append(padded)
+            wavs.append(padded)
             keep.append(code)
-        if not mels:
+        if not wavs:
             continue
         # pad the batch to a fixed size so the encoder never recompiles
-        n_real = len(mels)
-        while len(mels) < batch_size:
-            mels.append(np.zeros((N_SAMPLES,), np.float32))
+        while len(wavs) < batch_size:
+            wavs.append(np.zeros((N_SAMPLES,), np.float32))
             valid.append(1)
-        mel = np.asarray(log_mel_spectrogram(np.stack(mels), n_mels=n_mels))
-        stacks = np.asarray(encode(mel, np.asarray(valid, np.int32)))
-        for j, code in enumerate(keep):
-            save_hidden_states(
-                os.path.join(target, code + ".npy"), stacks[j, :, : valid[j], :]
-            )
+        in_flight.append(
+            (keep, valid, encode(np.stack(wavs), np.asarray(valid, np.int32)))
+        )
+        _drain(2)
         print(f"extracted {min(i + batch_size, len(items))}/{len(items)}")
+    _drain(0)
 
 
 def _write_wav(path: str, data: np.ndarray, rate: int):
@@ -308,6 +336,11 @@ def main(argv: Optional[List[str]] = None):
     parser.add_argument("-l", "--locale", type=str)
     parser.add_argument("-v", "--voice", type=str, default="")
     parser.add_argument("-w", "--whisper", type=str)
+    parser.add_argument(
+        "--cache_dtype", type=str, default="float32",
+        choices=("float32", "float16"),
+        help="float16 halves cache files + device-fetch bytes (loaders upcast)",
+    )
     args = parser.parse_args(argv)
 
     if args.tts:
@@ -321,4 +354,5 @@ def main(argv: Optional[List[str]] = None):
         extract_hidden_states(
             args.audios, args.whisper, args.target,
             codes=args.utterances or None,
+            cache_dtype=args.cache_dtype,
         )

@@ -166,3 +166,32 @@ def test_keyword_tts_gives_up_after_retries(tmp_path):
                 synthesize=synthesize,
                 list_voices=lambda loc: [{"ShortName": "vA", "Name": "A"}])
     assert not (out / "0.mp3").exists()  # skipped, resumable next run
+
+
+def test_extract_hidden_states_f16_cache(tmp_path, tiny_ckpt):
+    """cache_dtype='float16' stores half-size caches; loaders upcast to f32
+    and the values round-trip within f16 precision of the f32 caches."""
+    from enhance_cb_whisper_tpu.catalog.store import load_hidden_states
+
+    ckpt_dir, _ = tiny_ckpt
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(1)
+    _write_wav(audio_dir / "u.wav", (rng.standard_normal(16000) * 0.1).astype(np.float32))
+
+    extract_hidden_states(
+        str(audio_dir), ckpt_dir, str(tmp_path / "f32"), layer_slice=(1, 4), batch_size=2
+    )
+    extract_hidden_states(
+        str(audio_dir), ckpt_dir, str(tmp_path / "f16"), layer_slice=(1, 4),
+        batch_size=2, cache_dtype="float16",
+    )
+    raw16 = np.load(tmp_path / "f16" / "u.npy")
+    assert raw16.dtype == np.float16
+    a = load_hidden_states(str(tmp_path / "f32" / "u.npy"))
+    b = load_hidden_states(str(tmp_path / "f16" / "u.npy"))
+    assert b.dtype == np.float32  # loader upcasts
+    assert os.path.getsize(tmp_path / "f16" / "u.npy") < 0.6 * os.path.getsize(
+        tmp_path / "f32" / "u.npy"
+    )
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)
