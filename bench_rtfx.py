@@ -170,6 +170,9 @@ def main():
     )
     module = CBWhisper(
         dtype=dtype,
+        # ECW_RTFX_VOCAB=int8: weight-only int8 vocab projection (serving
+        # mode; halves the decode loop's dominant HBM read)
+        vocab_int8=os.environ.get("ECW_RTFX_VOCAB", "") == "int8",
         config=CBWhisperConfig(),
         whisper_config=config,
         whisper_params=params,

@@ -43,15 +43,24 @@ DecodeFn = Callable[[jax.Array, Any, Any], Tuple[jax.Array, Any]]
 
 
 def _gather_beams(tree: Any, beam_idx: jax.Array, batch: int, beams: int) -> Any:
-    """Gather along the flattened batch*beam leading dim; beam_idx [B, K]."""
+    """Gather the KV cache's flattened batch*beam dim; beam_idx [B, K].
+
+    Cache K/V leaves are [B·K, T, H, Dh] in the unrolled-layer layout and
+    [L, B·K, T, H, Dh] in the stacked (scan-over-layers) layout — either
+    way the batch·beam axis sits at ``ndim - 4``.  Scalars (the cache
+    ``index``) pass through."""
 
     def gather(x):
-        if not isinstance(x, jnp.ndarray) or x.ndim == 0:
+        if not isinstance(x, jnp.ndarray) or x.ndim < 4:
             return x
-        shaped = x.reshape(batch, beams, *x.shape[1:])
-        return jnp.take_along_axis(
-            shaped, beam_idx.reshape(batch, beams, *([1] * (x.ndim - 1))), axis=1
-        ).reshape(batch * beams, *x.shape[1:])
+        axis = x.ndim - 4
+        lead = x.shape[:axis]
+        shaped = x.reshape(*lead, batch, beams, *x.shape[axis + 1:])
+        idx = beam_idx.reshape(
+            *([1] * axis), batch, beams, *([1] * (x.ndim - axis - 1))
+        )
+        picked = jnp.take_along_axis(shaped, idx, axis=axis + 1)
+        return picked.reshape(*lead, batch * beams, *x.shape[axis + 1:])
 
     return jax.tree.map(gather, tree)
 

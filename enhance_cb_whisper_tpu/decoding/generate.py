@@ -30,6 +30,8 @@ from ..models.whisper import (
     encoder_forward,
     init_cache,
     precompute_cross_kv,
+    quantize_vocab_projection,
+    stack_whisper_params,
 )
 from .beam import beam_search, greedy_search
 from .logits_process import LogitsProcessorConfig
@@ -77,14 +79,19 @@ class GenerationOptions:
         return toks
 
 
-def _compression_ratio(tokens: Sequence[int]) -> float:
-    """zlib compression ratio over token bytes (HF
-    ``_retrieve_compression_ratio``; high ratio == repetitive junk)."""
+def _compression_ratio(tokens: Sequence[int], vocab_size: int) -> float:
+    """zlib compression ratio over token bytes (high ratio == repetitive
+    junk).  Byte width comes from the VOCAB SIZE, not the per-sequence max
+    token — HF ``_retrieve_compression_ratio`` uses
+    ``int(log2(vocab_size)/8)+1`` (verified vs transformers 4.57.6), so for
+    real Whisper (vocab 51865 → width 2) a segment whose tokens all happen
+    to be < 256 still gets 2-byte encoding.  A per-sequence width would
+    change the ratio and flip temperature-fallback decisions
+    (pba_whisper.py:425-442)."""
     if len(tokens) == 0:
         return 0.0
-    arr = np.asarray(tokens, dtype=np.int32)
-    length = int(np.ceil(np.log2(max(arr.max(), 1) + 1) / 8)) or 1
-    raw = arr.astype(f"<i{max(length, 1)}").tobytes() if length in (1, 2, 4, 8) else arr.tobytes()
+    length = int(np.log2(vocab_size) / 8) + 1
+    raw = b"".join(int(t).to_bytes(length, "little") for t in tokens)
     return len(raw) / len(zlib.compress(raw))
 
 
@@ -98,13 +105,28 @@ class WhisperGenerator:
         dtype: Any = jnp.float32,
         prompt_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 448),
         matmul_precision: str = "default",
+        scan_layers: bool = True,
+        vocab_int8: bool = False,
     ):
         """``matmul_precision``: 'default' lets the TPU MXU round matmul
         operands to bfloat16 — comparable to the TF32 regime the reference
         runs under on Ampere GPUs; 'highest' forces full f32 passes for
-        strict cross-backend token parity at ~3-6x matmul cost."""
+        strict cross-backend token parity at ~3-6x matmul cost.
+
+        ``scan_layers`` (default) stacks the per-layer params and rolls the
+        encoder/decoder layer loops into ``lax.scan`` — the traced HLO
+        shrinks ~n_layers×, which is what lets whisper-medium-scale programs
+        compile (the unrolled 24-layer program is dropped by the
+        remote-compile relay; see models/whisper.py)."""
         self.config = config
+        if vocab_int8:
+            # serving mode: weight-only int8 vocab projection — halves the
+            # decode loop's dominant HBM read (models/whisper.py)
+            params = quantize_vocab_projection(params)
         self.params = jax.tree.map(jnp.asarray, params)
+        if scan_layers:
+            self.params = stack_whisper_params(self.params)
+        self.scan_layers = scan_layers
         params = self.params
         self.dtype = dtype
         # input_stride(2) * max_source_positions mel frames per 30s segment
@@ -147,7 +169,8 @@ class WhisperGenerator:
             slot with identical K/V) and yields the logits for position
             ``prompt_len`` — this keeps the loop body uniform."""
             batch = prompt_padded.shape[0]
-            cache = init_cache(cfg, batch, max_length, dtype=dtype)
+            cache = init_cache(cfg, batch, max_length, dtype=dtype,
+                               stacked=scan_layers)
             with jax.default_matmul_precision(matmul_precision):
                 logits, cache = decoder_forward(
                     params,
@@ -486,7 +509,8 @@ class WhisperGenerator:
                     avg_lp = float(scores[row]) / max(len(gen) + 1, 1)
                 fallback, skip = False, False
                 if opts.compression_ratio_threshold is not None:
-                    if _compression_ratio(gen) > opts.compression_ratio_threshold:
+                    ratio = _compression_ratio(gen, self.config.vocab_size)
+                    if ratio > opts.compression_ratio_threshold:
                         fallback = True
                 if opts.logprob_threshold is not None:
                     if avg_lp < opts.logprob_threshold:

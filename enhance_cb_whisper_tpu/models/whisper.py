@@ -209,6 +209,76 @@ def init_whisper_params(rng: np.random.Generator, config: WhisperConfig) -> Dict
 
 
 # ---------------------------------------------------------------------------
+# layer stacking (scan-over-layers)
+#
+# Whisper's encoder/decoder layers are homogeneous, so the per-layer param
+# dicts can be stacked leaf-wise into arrays with a leading [n_layers] axis
+# and the layer loop rolled into ``lax.scan``.  This shrinks the traced HLO
+# ~n_layers× (the layer body appears once instead of 24×) — the difference
+# between whisper-medium compiling and the remote-compile relay dropping the
+# program (CLAUDE.md).  Numerics are unchanged: the scan body is the exact
+# same per-layer computation.  Layout is detected structurally everywhere:
+# ``params[...]["layers"]`` is a *list* of per-layer dicts (unrolled) or a
+# *dict* of stacked arrays (scan).
+
+
+def _is_stacked(layers: Any) -> bool:
+    return isinstance(layers, dict)
+
+
+def stack_layer_params(layers: list) -> Dict[str, Any]:
+    """List of per-layer param dicts → one dict of [n_layers, ...] arrays."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layers)
+
+
+def unstack_layer_params(layers: Dict[str, Any], n_layers: int) -> list:
+    """Inverse of :func:`stack_layer_params` (checkpoint export, tests)."""
+    return [jax.tree.map(lambda x: x[i], layers) for i in range(n_layers)]
+
+
+def stack_whisper_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Return params with encoder+decoder layer lists stacked for scan
+    forwards.  No-op (same objects) if already stacked."""
+    out = dict(params)
+    for side in ("encoder", "decoder"):
+        if side in out and not _is_stacked(out[side]["layers"]):
+            out[side] = dict(out[side])
+            out[side]["layers"] = stack_layer_params(out[side]["layers"])
+    return out
+
+
+def num_layers(side_params: Dict[str, Any]) -> int:
+    layers = side_params["layers"]
+    if _is_stacked(layers):
+        return jax.tree.leaves(layers)[0].shape[0]
+    return len(layers)
+
+
+def quantize_vocab_projection(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only int8 for the tied vocab projection (serving decode mode).
+
+    The decode-loop profile (BASELINE.md round-2 continuation) shows the
+    [vocab, d_model] tied-embedding read is ~half the per-step device time
+    and HBM-bound; per-row int8 weights halve that read vs bf16 (XLA fuses
+    the int8→compute-dtype convert into the matmul's operand load, so only
+    int8 bytes leave HBM).  Row scales are applied as an f32 epilogue on
+    the logits.  The fp32 table stays for the input-token gather (a few
+    rows/step) and remains the parity default — this is opt-in
+    (``WhisperGenerator(vocab_int8=True)`` / ``ECW_RTFX_VOCAB=int8``)."""
+    w = np.asarray(params["decoder"]["embed_tokens"]["weight"], dtype=np.float32)
+    scale = np.abs(w).max(axis=1, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    out = dict(params)
+    out["decoder"] = dict(params["decoder"])
+    out["decoder"]["embed_tokens_q"] = {
+        "qweight": q,
+        "scale": scale[:, 0].astype(np.float32),
+    }
+    return out
+
+
+# ---------------------------------------------------------------------------
 # encoder
 
 
@@ -239,6 +309,24 @@ def encoder_forward(
     x = jax.nn.gelu(_conv1d(p["conv1"], x, stride=1), approximate=False)
     x = jax.nn.gelu(_conv1d(p["conv2"], x, stride=2), approximate=False)
     x = x + p["embed_positions"]["weight"].astype(dtype)
+
+    if _is_stacked(p["layers"]):
+        # scan-over-layers: the layer body is traced ONCE (HLO ~n_layers×
+        # smaller — what lets whisper-medium compile through the relay)
+        def body(h, layer_p):
+            y = encoder_layer(layer_p, h, config.encoder_attention_heads)
+            return y, (y if output_hidden_states else None)
+
+        x0 = x
+        x, ys = jax.lax.scan(body, x, p["layers"])
+        last = _layer_norm(p["layer_norm"], x)
+        if output_hidden_states:
+            # HF's tuple: index 0 = post-conv+pos input, then each layer's
+            # output, with the final entry replaced by the post-LayerNorm
+            # output
+            states_arr = jnp.concatenate([x0[None], ys[:-1], last[None]], axis=0)
+            return last, states_arr
+        return last, None
 
     states = [x] if output_hidden_states else None
     for i in range(config.encoder_layers):
@@ -293,27 +381,48 @@ def encoder_kws_stack(
 
 
 def init_cache(
-    config: WhisperConfig, batch: int, max_len: int, dtype: Any = jnp.float32
+    config: WhisperConfig, batch: int, max_len: int, dtype: Any = jnp.float32,
+    stacked: bool = False,
 ) -> Dict[str, Any]:
     head_dim = config.d_model // config.decoder_attention_heads
     shape = (batch, max_len, config.decoder_attention_heads, head_dim)
-    return {
-        "index": jnp.zeros((), dtype=jnp.int32),
-        "layers": [
+    if stacked:
+        lshape = (config.decoder_layers,) + shape
+        layers = {"k": jnp.zeros(lshape, dtype), "v": jnp.zeros(lshape, dtype)}
+    else:
+        layers = [
             {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(config.decoder_layers)
-        ],
-    }
+        ]
+    return {"index": jnp.zeros((), dtype=jnp.int32), "layers": layers}
 
 
 def precompute_cross_kv(
     params: Dict[str, Any], encoder_out: jax.Array, config: WhisperConfig
-) -> list:
+):
     """Cross-attention K/V depend only on the encoder output; compute once
-    per segment instead of per decode step."""
-    out = []
+    per segment instead of per decode step.
+
+    Stacked params: all layers' K (and V) projections are ONE einsum over a
+    [L, D, D] weight — a single (B·T, D)×(D, L·D) matmul that fills the MXU
+    far better than 24 small ones.  Returns a stacked {"k","v"} dict with a
+    leading layer axis (list of per-layer dicts in unrolled layout).
+    """
     h = config.decoder_attention_heads
-    for layer in params["decoder"]["layers"]:
+    layers = params["decoder"]["layers"]
+    if _is_stacked(layers):
+        p = layers["encoder_attn"]
+        dt = encoder_out.dtype
+        k = jnp.einsum("btd,ldo->lbto", encoder_out, p["k_proj"]["weight"].astype(dt))
+        v = jnp.einsum("btd,ldo->lbto", encoder_out, p["v_proj"]["weight"].astype(dt))
+        v = v + p["v_proj"]["bias"].astype(dt)[:, None, None, :]
+        l, b, t, d = k.shape
+        return {
+            "k": k.reshape(l, b, t, h, d // h),
+            "v": v.reshape(l, b, t, h, d // h),
+        }
+    out = []
+    for layer in layers:
         p = layer["encoder_attn"]
         out.append(
             {
@@ -409,7 +518,10 @@ def decoder_forward(
     x = tok + positions[None]
 
     if cache is not None:
-        max_len = cache["layers"][0]["k"].shape[1]
+        if _is_stacked(cache["layers"]):
+            max_len = cache["layers"]["k"].shape[2]
+        else:
+            max_len = cache["layers"][0]["k"].shape[1]
         key_pos = jnp.arange(max_len)
         query_pos = offset + jnp.arange(t)
         mask = key_pos[None, :] <= query_pos[:, None]  # causal over cache
@@ -422,31 +534,73 @@ def decoder_forward(
         if attention_mask is not None:
             mask = jnp.logical_and(mask, attention_mask[:, None, None, :].astype(bool))
 
-    new_layers = []
-    for i in range(config.decoder_layers):
-        x, new_cache_layer = _decoder_layer(
-            p["layers"][i],
-            x,
-            cross_kv[i],
-            config.decoder_attention_heads,
-            mask,
-            cache["layers"][i] if cache is not None else None,
-            offset if cache is not None else None,
-            cross_mask,
-        )
-        new_layers.append(new_cache_layer)
+    if _is_stacked(p["layers"]):
+        # scan-over-layers: per-layer params, cross-KV, and cache slabs all
+        # carry a leading [n_layers] axis and ride the scan's xs; the
+        # updated cache comes back as the scan's ys (same stacked layout)
+        heads = config.decoder_attention_heads
+
+        if cache is not None:
+            def body(h, xs):
+                layer_p, ckv, cl = xs
+                h, new_cl = _decoder_layer(
+                    layer_p, h, ckv, heads, mask, cl, offset, cross_mask
+                )
+                return h, new_cl
+
+            x, new_layers = jax.lax.scan(
+                body, x, (p["layers"], cross_kv, cache["layers"])
+            )
+        else:
+            def body(h, xs):
+                layer_p, ckv = xs
+                h, _ = _decoder_layer(
+                    layer_p, h, ckv, heads, mask, None, None, cross_mask
+                )
+                return h, None
+
+            x, new_layers = jax.lax.scan(body, x, (p["layers"], cross_kv))
+    else:
+        new_layers = []
+        for i in range(config.decoder_layers):
+            x, new_cache_layer = _decoder_layer(
+                p["layers"][i],
+                x,
+                cross_kv[i],
+                config.decoder_attention_heads,
+                mask,
+                cache["layers"][i] if cache is not None else None,
+                offset if cache is not None else None,
+                cross_mask,
+            )
+            new_layers.append(new_cache_layer)
 
     x = _layer_norm(p["layer_norm"], x)
-    # vocab projection: read the (tied) embedding in the compute dtype with
-    # f32 accumulation — in bf16 mode XLA hoists the loop-invariant weight
-    # convert out of the decode loop, halving the dominant per-step HBM
-    # read (the [vocab, d_model] matrix); in f32 mode this is unchanged
-    logits = jnp.einsum(
-        "btd,vd->btv",
-        x,
-        p["embed_tokens"]["weight"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    if "embed_tokens_q" in p:
+        # weight-only int8 vocab projection (serving mode): the int8→compute
+        # convert fuses into the matmul operand load, so the dominant
+        # per-step HBM read halves vs bf16; f32 row-scale epilogue
+        # (quantize_vocab_projection)
+        q = p["embed_tokens_q"]
+        logits = jnp.einsum(
+            "btd,vd->btv",
+            x,
+            q["qweight"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * q["scale"].astype(jnp.float32)
+    else:
+        # vocab projection: read the (tied) embedding in the compute dtype
+        # with f32 accumulation — in bf16 mode XLA hoists the loop-invariant
+        # weight convert out of the decode loop, halving the dominant
+        # per-step HBM read (the [vocab, d_model] matrix); in f32 mode this
+        # is unchanged
+        logits = jnp.einsum(
+            "btd,vd->btv",
+            x,
+            p["embed_tokens"]["weight"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
     new_cache = (
         {"index": offset + t, "layers": new_layers} if cache is not None else None
     )

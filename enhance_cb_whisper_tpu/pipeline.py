@@ -69,14 +69,16 @@ def extract_hidden_states(
     import jax
     import jax.numpy as jnp
 
-    from .models.whisper import encoder_kws_stack
+    from .models.whisper import encoder_kws_stack, stack_whisper_params
     from .models.whisper_loader import load_whisper_from_pretrained
 
     assert os.path.isdir(audios), f"audio directory not found: {audios}"
     os.makedirs(target, exist_ok=True)
 
     config, params = load_whisper_from_pretrained(whisper_ckpt)
-    params = jax.tree.map(jnp.asarray, params)
+    # scan-over-layers layout: keeps the whisper-medium encoder HLO small
+    # enough for the remote-compile relay (models/whisper.py)
+    params = stack_whisper_params(jax.tree.map(jnp.asarray, params))
     n_mels = n_mels or config.num_mel_bins
     lo, hi = layer_slice
 

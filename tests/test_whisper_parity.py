@@ -155,3 +155,151 @@ def test_sinusoid_positions_match_hf_buffer(tiny):
     want = hf.encoder.embed_positions.weight.detach().numpy()
     got = sinusoid_positions(config.max_source_positions, config.d_model)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# scan-over-layers (stacked params) vs unrolled layer loop
+#
+# The stacked layout rolls the homogeneous layer loop into lax.scan so the
+# traced HLO is ~n_layers x smaller (what lets whisper-medium compile through
+# the remote-compile relay).  The computation per layer is identical; these
+# tests pin that the two layouts agree to float roundoff on every surface
+# (encoder, hidden-state stack, teacher-forcing decode, incremental decode).
+
+
+def test_scan_encoder_matches_unrolled(tiny):
+    from enhance_cb_whisper_tpu.models.whisper import stack_whisper_params
+
+    _, config, params = tiny
+    mel = _mel(config)
+    sparams = stack_whisper_params(params)
+
+    last_u, states_u = encoder_forward(params, mel, config, output_hidden_states=True)
+    last_s, states_s = encoder_forward(sparams, mel, config, output_hidden_states=True)
+    np.testing.assert_allclose(np.asarray(last_s), np.asarray(last_u), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(states_s), np.asarray(states_u), rtol=1e-6, atol=1e-6)
+
+    # and without hidden states
+    last_u2, _ = encoder_forward(params, mel, config)
+    last_s2, _ = encoder_forward(sparams, mel, config)
+    np.testing.assert_allclose(np.asarray(last_s2), np.asarray(last_u2), rtol=1e-6, atol=1e-6)
+
+
+def test_scan_decoder_matches_unrolled(tiny):
+    from enhance_cb_whisper_tpu.models.whisper import stack_whisper_params
+
+    _, config, params = tiny
+    sparams = stack_whisper_params(params)
+    mel = _mel(config, batch=1)
+    ids = np.asarray([[3, 5, 7, 11, 13, 17, 19, 23]], dtype=np.int32)
+
+    enc_u, _ = encoder_forward(params, mel, config)
+    ckv_u = precompute_cross_kv(params, enc_u, config)
+    logits_u, _ = decoder_forward(params, ids, ckv_u, config)
+
+    enc_s, _ = encoder_forward(sparams, mel, config)
+    ckv_s = precompute_cross_kv(sparams, enc_s, config)
+    assert isinstance(ckv_s, dict) and ckv_s["k"].shape[0] == config.decoder_layers
+    logits_s, _ = decoder_forward(sparams, ids, ckv_s, config)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_u), rtol=1e-5, atol=1e-5)
+
+
+def test_scan_incremental_decode_matches_unrolled(tiny):
+    from enhance_cb_whisper_tpu.models.whisper import stack_whisper_params
+
+    _, config, params = tiny
+    sparams = stack_whisper_params(params)
+    mel = _mel(config, batch=1)
+    ids = np.asarray([[3, 5, 7, 11, 13, 17, 19, 23]], dtype=np.int32)
+
+    enc_s, _ = encoder_forward(sparams, mel, config)
+    ckv_s = precompute_cross_kv(sparams, enc_s, config)
+    full_logits, _ = decoder_forward(sparams, ids, ckv_s, config)
+
+    cache = init_cache(config, batch=1, max_len=8, stacked=True)
+    step_logits = []
+    for t in range(ids.shape[1]):
+        logits, cache = decoder_forward(
+            sparams, ids[:, t : t + 1], ckv_s, config, cache=cache
+        )
+        step_logits.append(np.asarray(logits[:, 0]))
+    np.testing.assert_allclose(
+        np.stack(step_logits, axis=1), np.asarray(full_logits), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_vocab_int8_projection_accuracy(tiny):
+    """Weight-only int8 vocab projection (serving mode): logits within int8
+    rounding of the fp32 projection, and greedy decisions preserved on the
+    teacher-forcing surface."""
+    from enhance_cb_whisper_tpu.models.whisper import (
+        quantize_vocab_projection,
+        stack_whisper_params,
+    )
+
+    _, config, params = tiny
+    qparams = stack_whisper_params(quantize_vocab_projection(params))
+    sparams = stack_whisper_params(params)
+    mel = _mel(config, batch=1)
+    ids = np.asarray([[3, 5, 7, 11, 13, 17, 19, 23]], dtype=np.int32)
+
+    enc, _ = encoder_forward(sparams, mel, config)
+    ckv = precompute_cross_kv(sparams, enc, config)
+    ref, _ = decoder_forward(sparams, ids, ckv, config)
+    got, _ = decoder_forward(qparams, ids, ckv, config)
+
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    # int8 weight rounding: relative error bounded by ~1/127 of the row range
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.02 * scale
+    # greedy decisions preserved on this fixture
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_vocab_int8_generator_greedy_close():
+    """End-to-end: WhisperGenerator(vocab_int8=True) greedy longform decode
+    runs and stays CLOSE to the fp32-projection generator on a tiny model.
+
+    int8 weight rounding is lossy by design (a serving mode, not the parity
+    default) — on a RANDOM model the logit gaps are near-tied, so exact
+    token parity is not a sound expectation (one flipped near-tie at step k
+    changes every later token).  The deterministic quantization math and
+    its error bound are pinned by test_vocab_int8_projection_accuracy; here
+    we assert the decode surface works end to end and the first flip (if
+    any) happens deep into the sequence rather than immediately."""
+    import torch
+    from enhance_cb_whisper_tpu.decoding import GenerationOptions, WhisperGenerator
+    from enhance_cb_whisper_tpu.models.whisper import WhisperConfig as WC
+
+    hf_config = transformers.WhisperConfig(
+        vocab_size=96, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(3)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WC.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    opts = GenerationOptions(
+        decoder_start_token_id=3, language_token_id=None, task_token_id=None,
+        no_timestamps_token_id=70, prev_sot_token_id=None, eos_token_id=2,
+        pad_token_id=0, suppress_tokens=(), begin_suppress_tokens=(),
+        max_initial_timestamp_index=10, num_beams=1, return_timestamps=True,
+        condition_on_prev_tokens=True, max_target_positions=32,
+    )
+    mel = np.random.default_rng(3).standard_normal((1, 8, 150), dtype=np.float32)
+    ref = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32)).generate(mel, opts)
+    got = WhisperGenerator(
+        config, params, prompt_buckets=(8, 16, 32), vocab_int8=True
+    ).generate(mel, opts)
+    r, g = ref[0].tolist(), got[0].tolist()
+    prefix = next((i for i in range(min(len(r), len(g))) if r[i] != g[i]),
+                  min(len(r), len(g)))
+    # identical for a long prefix: near-tie flips on a random model are
+    # tolerated but must not corrupt the decode from the start
+    assert prefix >= 24, (prefix, r, g)
