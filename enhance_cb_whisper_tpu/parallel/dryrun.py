@@ -17,11 +17,129 @@ Stages (mirroring the reference's parallelism story, SURVEY.md §2.7):
      replacement for the host group loop (reference cb_whisper.py:110-129).
   3. Tensor-parallel Whisper encoder forward (megatron-style param sharding)
      — the optional TP axis for large encoders.
+  4. THE FLAGSHIP: batched longform biased decode (per-segment keyword
+     spotting → prompt injection → beam search → timestamp-driven seek,
+     reference pba_whisper.py:365-465) with the utterance batch sharded over
+     ``data`` and the keyword catalog over ``model`` — token-identical to
+     the single-device run (also asserted by tests/test_parallel.py).
 """
 
 import sys
 
 import numpy as np
+
+
+def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5):
+    """Mesh-parallel batched longform CB-Whisper decode.
+
+    Builds a tiny random Whisper + ResNet KWS + keyword catalog, runs the
+    FULL longform loop (spotting → `<|startofprev|>` prompt → beam search →
+    seek) twice — single-device, then with segments sharded over ``data``
+    and the catalog over ``model`` — and returns both token outputs.  The
+    caller asserts they are identical (GSPMD partitioning must not change
+    the decode)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from enhance_cb_whisper_tpu.catalog import KeywordCatalog
+    from enhance_cb_whisper_tpu.decoding.generate import (
+        GenerationOptions,
+        WhisperGenerator,
+    )
+    from enhance_cb_whisper_tpu.models import ResNetConfig
+    from enhance_cb_whisper_tpu.models.cb_whisper import CBWhisper, CBWhisperConfig
+    from enhance_cb_whisper_tpu.models.kws import KWSModel
+    from enhance_cb_whisper_tpu.models.whisper import (
+        WhisperConfig,
+        init_whisper_params,
+    )
+    from enhance_cb_whisper_tpu.parallel import shard_catalog
+
+    nprng = np.random.default_rng(seed)
+    wcfg = WhisperConfig(
+        vocab_size=64, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=16, max_target_positions=24,
+        decoder_start_token_id=3, eos_token_id=2, pad_token_id=0,
+    )
+    wparams = init_whisper_params(nprng, wcfg)
+    opts = GenerationOptions(
+        decoder_start_token_id=3, language_token_id=None, task_token_id=None,
+        no_timestamps_token_id=50, prev_sot_token_id=49,
+        eos_token_id=2, pad_token_id=0,
+        suppress_tokens=(), begin_suppress_tokens=(),
+        max_initial_timestamp_index=8, num_beams=num_beams,
+        return_timestamps=True, condition_on_prev_tokens=True,
+        max_target_positions=24,
+    )
+
+    tiny = ResNetConfig(
+        num_channels=2, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
+        depths=(1, 1, 1, 1), num_labels=2,
+    )
+    kws_model = KWSModel(tiny)
+    kws_variables = kws_model.init(
+        jax.random.PRNGKey(1), np.zeros((1, 2, 32, 48), np.float32)
+    )
+    n_kw = 8 * max(mesh.shape.get("model", 1), 1)
+    stacks = [
+        nprng.standard_normal((2, int(nprng.integers(2, 6)), 32)).astype(np.float32)
+        for _ in range(n_kw)
+    ]
+    stacks = [s / np.linalg.norm(s, axis=-1, keepdims=True) for s in stacks]
+    catalog = KeywordCatalog.from_arrays(
+        [f"kw{i}" for i in range(n_kw)], stacks, group_size=8
+    )
+
+    def prompt_ids_fn(text):
+        return [49] + [20 + (ord(c) % 28) for c in text][:6]
+
+    batch = max(2, mesh.shape.get("data", 2))
+    total = wcfg.max_source_positions * 2 * 2 + 20  # ~2.3 segments longform
+    mels = nprng.standard_normal((batch, 8, total), dtype=np.float32)
+
+    def build():
+        return CBWhisper(
+            config=CBWhisperConfig(
+                kws_features_size=(32, 48), keywords_per_group=8,
+            ),
+            whisper_config=wcfg,
+            whisper_params=wparams,
+            kws_model=kws_model,
+            kws_variables=kws_variables,
+            catalog=catalog,
+            generation_options=opts,
+            prompt_ids_fn=prompt_ids_fn,
+            decode_fn=lambda toks: " ".join(map(str, toks)),
+            kws_layer_slice=(0, 2),
+        )
+
+    def run(cb):
+        return cb.generator.generate(
+            mels, opts, keyword_spotting=cb.keyword_spotting,
+            return_segments=True, encode_spot=cb._encode_spot_hook(),
+        )
+
+    # single-device reference
+    ref = run(build())
+
+    # mesh-parallel: utterances over `data`, catalog over `model`
+    with mesh:
+        cb = build()
+        cb._ensure_catalog()
+        cb._catalog_dev = shard_catalog(cb._catalog_dev, mesh, axis="model")
+        data_sh = NamedSharding(mesh, P("data"))
+        gen = cb.generator
+        orig_encode = gen._encode
+        gen._encode = lambda mel: orig_encode(jax.device_put(mel, data_sh))
+        orig_stack_enc = cb._kws_stack_enc
+        cb._kws_stack_enc = lambda mel: orig_stack_enc(jax.device_put(mel, data_sh))
+        got = run(cb)
+
+    return ref, got
 
 
 def main(n_devices: int) -> None:
@@ -133,6 +251,16 @@ def main(n_devices: int) -> None:
         enc, _ = jax.jit(lambda p, m: encoder_forward(p, m, wcfg))(wparams_tp, mel)
         np.asarray(enc)  # host fetch = the only reliable completion barrier here
         print("tp encoder ok:", enc.shape)
+
+    # ---- 4. flagship: mesh-parallel batched longform biased decode
+    ref, got = flagship_longform_stage(mesh)
+    ref_seq = [s.tolist() for s in ref["sequences"]]
+    got_seq = [s.tolist() for s in got["sequences"]]
+    assert got_seq == ref_seq, (
+        f"mesh-parallel longform decode diverged:\nref: {ref_seq}\ngot: {got_seq}"
+    )
+    print("mesh longform decode ok:",
+          [len(s["segments"] if isinstance(s, dict) else s) for s in ref["segments"]])
 
     print(f"dryrun_multichip({n_devices}) passed")
 

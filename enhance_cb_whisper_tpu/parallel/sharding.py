@@ -25,18 +25,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_sharded_train_step(step_fn: Callable, mesh: Mesh) -> Callable:
-    """Wrap a ``step(params, stats, opt_state, batch, rng, beta, supp)``:
-    batch arrives sharded over ``data``; states replicated; outputs keep
-    those placements so the loop never resharded anything."""
+    """Jit a ``step(params, stats, opt_state, batch, rng, beta, supp)`` with
+    the batch sharded over ``data`` and every state replicated.
+
+    Placement is jit-managed via ``in_shardings`` — NOT per-call
+    ``device_put`` of the param pytree (the "relay pytree rule": re-uploading
+    replicated params every step costs a host→device transfer per leaf per
+    step through the relay).  The first call places host arrays once;
+    outputs come back with the same shardings, so feeding step N's outputs
+    to step N+1 moves zero parameter bytes (asserted by
+    tests/test_parallel.py::test_dp_train_step_reuses_placements)."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-
-    def wrapped(params, stats, opt_state, batch, rng, beta, suppression):
-        batch = jax.tree.map(lambda x: jax.device_put(x, data), batch)
-        params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
-        return step_fn(params, stats, opt_state, batch, rng, beta, suppression)
-
-    return wrapped
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, data, repl, repl, repl),
+    )
 
 
 def shard_catalog(catalog_dev: Dict[str, Any], mesh: Mesh, axis: str = "model"):
@@ -73,19 +77,30 @@ def whisper_param_sharding(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]
             specs["encoder_attn_layer_norm"] = {"weight": P(), "bias": P()}
         return specs
 
+    def layers_specs(layers, is_decoder: bool):
+        if isinstance(layers, dict):
+            # stacked (scan) layout: every leaf carries a leading [n_layers]
+            # axis that stays unsharded — prepend None to each spec
+            return jax.tree.map(
+                lambda spec: P(None, *spec),
+                layer_specs(is_decoder),
+                is_leaf=lambda x: isinstance(x, P),
+            )
+        return [layer_specs(is_decoder) for _ in layers]
+
     spec_tree = {
         "encoder": {
             "conv1": {"weight": P(), "bias": P()},
             "conv2": {"weight": P(), "bias": P()},
             "embed_positions": {"weight": P()},
             "layer_norm": {"weight": P(), "bias": P()},
-            "layers": [layer_specs(False) for _ in params["encoder"]["layers"]],
+            "layers": layers_specs(params["encoder"]["layers"], False),
         },
         "decoder": {
             "embed_tokens": {"weight": P()},
             "embed_positions": {"weight": P()},
             "layer_norm": {"weight": P(), "bias": P()},
-            "layers": [layer_specs(True) for _ in params["decoder"]["layers"]],
+            "layers": layers_specs(params["decoder"]["layers"], True),
         },
     }
     return jax.tree.map(
