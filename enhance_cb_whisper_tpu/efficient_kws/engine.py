@@ -115,14 +115,15 @@ class EfficientKWSEngine:
 
         self._score_group = _score_group
 
-    def enable_int8_scoring(self, variables, item):
+    def enable_int8_scoring(self, variables, item=None, items=None):
         """Swap group scoring to int8 quantized ResNet inference
         (models/quant.py; projection stack + similarity einsum stay float).
-        Calibrates on ``item`` — one eval item's first keyword group vs its
-        utterance (real similarity maps).  The float ``variables`` keep
-        driving the projection, so callers pass them unchanged; only the
-        classifier runs quantized.  Decision parity is tested
-        (tests/test_efficient_kws_pipeline.py)."""
+        Calibrates on real similarity maps — each item's first keyword
+        group vs its utterance — over ``items`` (several eval items; the
+        one-sample-clipping guard, docs/PERF.md) or a single ``item``.
+        The float ``variables`` keep driving the projection, so callers
+        pass them unchanged; only the classifier runs quantized.  Decision
+        parity is tested (tests/test_efficient_kws_pipeline.py)."""
         import jax.numpy as jnp
 
         from ..models.quant import (
@@ -132,18 +133,25 @@ class EfficientKWSEngine:
         )
         from .model import EfficientKWSModel, masked_sims
 
+        calib_items = list(items) if items is not None else [item]
+        assert calib_items and calib_items[0] is not None
+
         rcfg = self.model.config.resnet_config()
         qparams = quantize_efficient_classifier(variables, rcfg)
-        g = item["groups"][0]
-        kwd_p, kwd_mask_p = self.model.apply(
-            variables, jnp.asarray(g["kwd"]), jnp.asarray(g["kwd_mask"]),
-            train=False, method=EfficientKWSModel.project,
-        )
-        utt_p, utt_mask_p = self.model.apply(
-            variables, jnp.asarray(item["utt"][None]), jnp.asarray(item["utt_mask"][None]),
-            train=False, method=EfficientKWSModel.project,
-        )
-        sims = masked_sims(kwd_p, utt_p, kwd_mask_p, utt_mask_p)
+
+        def item_sims(it):
+            g = it["groups"][0]
+            kwd_p, kwd_mask_p = self.model.apply(
+                variables, jnp.asarray(g["kwd"]), jnp.asarray(g["kwd_mask"]),
+                train=False, method=EfficientKWSModel.project,
+            )
+            utt_p, utt_mask_p = self.model.apply(
+                variables, jnp.asarray(it["utt"][None]), jnp.asarray(it["utt_mask"][None]),
+                train=False, method=EfficientKWSModel.project,
+            )
+            return masked_sims(kwd_p, utt_p, kwd_mask_p, utt_mask_p)
+
+        sims = jnp.concatenate([item_sims(it) for it in calib_items])
         scales = calibrate_act_scales(rcfg, qparams, sims)["act_scales"]
         q_apply = make_quantized_kws_apply(rcfg, act_scales=scales)
         q_dev = jax.device_put(qparams)

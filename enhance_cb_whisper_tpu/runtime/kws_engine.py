@@ -78,25 +78,36 @@ class KWSEngine:
         self._catalog_cache: Dict[int, Any] = {}
         self.eval_batch_size = 8  # utterances per eval launch (same bucket)
 
-    def enable_int8_scoring(self, variables, dataset, utt_hs: np.ndarray):
+    def enable_int8_scoring(self, variables, dataset, utt_hs: np.ndarray = None,
+                            calibration_batches: int = 4):
         """Switch the engine's catalog scoring to int8 quantized inference
         (models/quant.py: BN-fold + per-channel weights + static activation
         scales — 1.34x over bf16 on v5e, BASELINE.md).  Calibrates on real
-        similarity maps of ``utt_hs`` (one utterance's [L, T, D] stack) vs
-        the catalog's first keywords.  Returns the device-resident
-        quantized pytree — pass it as ``variables`` to every subsequent
-        ``score_*`` / eval call.  Threshold/argmax decision parity with the
-        fp32 scorer is tested (tests/test_quant.py); training/validation
-        paths are unaffected unless handed the quantized pytree."""
-        from ..catalog.database import calibration_sim_maps
+        similarity maps of ``calibration_batches`` test utterances vs the
+        catalog's first keywords (scales are maxes, so more utterances only
+        widen them — the one-sample-clipping guard, docs/PERF.md flip-rate
+        study); an explicit ``utt_hs`` ([L, T, D] stack) calibrates on that
+        single utterance instead.  Returns the device-resident quantized
+        pytree — pass it as ``variables`` to every subsequent ``score_*`` /
+        eval call.  Threshold/argmax decision parity with the fp32 scorer
+        is tested (tests/test_quant.py); training/validation paths are
+        unaffected unless handed the quantized pytree."""
+        from ..catalog.database import calibration_sim_maps_multi
         from ..models.quant import (
             calibrate_act_scales,
             make_quantized_kws_apply,
             quantize_resnet_classifier,
         )
 
+        if utt_hs is not None:
+            utts = [np.asarray(utt_hs)]
+        else:
+            utts = [
+                np.asarray(dataset[i]["utt_hs"])
+                for i in range(min(calibration_batches, len(dataset)))
+            ]
         qparams = quantize_resnet_classifier(variables, self.resnet_config)
-        maps = calibration_sim_maps(dataset.catalog, utt_hs, self.features_size)
+        maps = calibration_sim_maps_multi(dataset.catalog, utts, self.features_size)
         scales = calibrate_act_scales(self.resnet_config, qparams, maps)["act_scales"]
         q_apply = make_quantized_kws_apply(self.resnet_config, act_scales=scales)
         self._score_fn = make_catalog_score_fn(

@@ -68,6 +68,10 @@ class KWSTrainConfig:
     # with float32 params, optimizer state and BatchNorm statistics —
     # measured ~2x step throughput on v5e at the reference's full config
     compute_dtype: str = "float32"
+    # TPU extension: feed similarity maps as NHWC ([B, H, W, L]) so the conv
+    # stack runs in the TPU-native layout without a leading transpose; the
+    # collator emits either layout (docs/PERF.md train-step sweep)
+    channels_last: bool = False
 
     def suppression(self, epoch: int) -> float:
         """2/(1+exp(-decay*epoch)) - 1 (model.py:99)."""
@@ -112,7 +116,11 @@ def _label_tree(params):
 
 
 def build_models(config: KWSTrainConfig, resnet_config: ResNetConfig):
-    kws = KWSModel(resnet_config, dtype=jnp.dtype(config.compute_dtype))
+    kws = KWSModel(
+        resnet_config,
+        dtype=jnp.dtype(config.compute_dtype),
+        channels_last=config.channels_last,
+    )
     disc = (
         Discriminator(num_labels=config.num_domains, large=config.large_heads)
         if config.adversarial_training

@@ -381,20 +381,44 @@ def test_encode_spot_failure_falls_back_to_generator_encoder(cb):
 
 
 def test_int8_spotting_matches_fp32(cb):
-    """enable_int8_spotting (lazy first-segment calibration) must reproduce
+    """enable_int8_spotting (lazy accumulate-then-calibrate) must reproduce
     the fp32 spotter's keyword decisions."""
     rng = np.random.default_rng(9)
     mel = rng.standard_normal((2, 8, 48), dtype=np.float32)
     ref = cb.spot_keywords(mel)
     saved = (cb._score_fn, cb._batched_score, cb.kws_variables)
     try:
-        cb.enable_int8_spotting()
+        cb.enable_int8_spotting(calibration_batches=2)
         assert cb._int8_pending
         got = cb.spot_keywords(mel)
-        assert not cb._int8_pending  # calibrated on the first call
+        assert not cb._int8_pending  # 2 segments filled the calibration set
         again = cb.spot_keywords(mel)  # swapped scorer stays in place
     finally:
         cb._score_fn, cb._batched_score, cb.kws_variables = saved
         cb._int8_pending = False
     assert got == ref
     assert again == ref
+
+
+def test_int8_spotting_accumulates_calibration_batches(cb):
+    """With calibration_batches > first batch, early segments score fp32
+    while calibration stacks accumulate; the quantized scorer takes over
+    once the set is full — decisions stay identical throughout."""
+    rng = np.random.default_rng(10)
+    mel_a = rng.standard_normal((2, 8, 48), dtype=np.float32)
+    mel_b = rng.standard_normal((2, 8, 48), dtype=np.float32)
+    ref_a, ref_b = cb.spot_keywords(mel_a), cb.spot_keywords(mel_b)
+    saved = (cb._score_fn, cb._batched_score, cb.kws_variables)
+    try:
+        cb.enable_int8_spotting(calibration_batches=4)
+        got_a = cb.spot_keywords(mel_a)
+        assert cb._int8_pending  # only 2 of 4 segments seen: still fp32
+        got_b = cb.spot_keywords(mel_b)
+        assert not cb._int8_pending  # set full: calibrated over 4 segments
+        again_b = cb.spot_keywords(mel_b)
+    finally:
+        cb._score_fn, cb._batched_score, cb.kws_variables = saved
+        cb._int8_pending = False
+    assert got_a == ref_a
+    assert got_b == ref_b
+    assert again_b == ref_b
