@@ -14,11 +14,49 @@ from typing import Any, Dict, List, Optional
 import yaml
 
 _PLACEHOLDER = re.compile(r"^\[.*\]$")
+# `[NAME]` or `[NAME(annotation/of/choices)]` — the reference's required-input
+# markers (README.md:79,97,143)
+_PLACEHOLDER_TOKEN = re.compile(r"\[([A-Za-z0-9_]+)(\([^\[\]]*\))?\]")
 
 
-def load_config(path: str) -> Dict[str, Any]:
+def _scalar_to_yaml(value: Any) -> str:
+    text = yaml.safe_dump(value, default_flow_style=True).strip()
+    if text.endswith("\n..."):
+        text = text[: -len("\n...")].strip()
+    return text
+
+
+def fill_placeholders_text(raw: str, values: Dict[str, Any]) -> str:
+    """Textual ``[PLACEHOLDER]`` substitution on a raw YAML document.
+
+    The reference marks required user inputs as ``[LIKE_THIS]`` and
+    sometimes annotates them with text that is not valid YAML (e.g.
+    ``num_domains: [NUM_DOMAINS] where :=2 if ...``,
+    reference src/configs/train.yaml:141 — the file does not even parse
+    until the user fills it in).  Filling BEFORE parsing is therefore the
+    reference's own usage contract (README.md:79,97,143); this helper
+    automates it so the reference's verbatim config files run through
+    ``run_cli`` (``--set NAME=value`` on the command line).  Annotation
+    tails (`` -- where ...`` / `` where :=...``) are stripped."""
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name in values:
+            return _scalar_to_yaml(values[name])
+        return m.group(0)
+
+    out = _PLACEHOLDER_TOKEN.sub(sub, raw)
+    out = re.sub(r"[ \t]+--[ \t]+where[ \t].*$", "", out, flags=re.M)
+    out = re.sub(r"[ \t]+where[ \t]+:=.*$", "", out, flags=re.M)
+    return out
+
+
+def load_config(path: str, placeholders: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     with open(path) as f:
-        return yaml.safe_load(f)
+        raw = f.read()
+    if placeholders:
+        raw = fill_placeholders_text(raw, placeholders)
+    return yaml.safe_load(raw)
 
 
 def _parse_value(text: str) -> Any:

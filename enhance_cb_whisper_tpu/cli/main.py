@@ -21,6 +21,7 @@ import sys
 from typing import Any, Dict, List, Optional
 
 import numpy as np
+import yaml
 
 from .config import apply_overrides, check_placeholders, filter_kwargs, get, load_config
 
@@ -142,12 +143,16 @@ def _run_paper1(subcommand: str, config: Dict[str, Any]):
         return metrics
     if model_args.get("kws_int8"):
         # TPU-serving extension (not in the reference schema): int8
-        # quantized catalog scoring, calibrated on the first test
-        # utterance's real similarity maps — 1.34x over bf16 with
-        # threshold-decision parity (models/quant.py, BASELINE.md)
+        # quantized catalog scoring calibrated on the first
+        # `kws_int8_calibration_batches` test utterances' real similarity
+        # maps — 1.34x over bf16 with threshold-decision parity
+        # (models/quant.py, BASELINE.md, docs/PERF.md flip-rate study)
         datamodule.setup("test")
         dataset = datamodule.test_dataset
-        variables = engine.enable_int8_scoring(variables, dataset, dataset[0]["utt_hs"])
+        variables = engine.enable_int8_scoring(
+            variables, dataset,
+            calibration_batches=int(model_args.get("kws_int8_calibration_batches", 4)),
+        )
     return engine.test(variables, datamodule)
 
 
@@ -228,9 +233,13 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
     variables = engine.variables(state["params"], state.get("batch_stats", {}))
     if model_args.get("kws_int8") and subcommand == "test":
         # TPU-serving extension (same knob as paper 1): int8 quantized
-        # group scoring calibrated on the first test item
+        # group scoring calibrated over the first N test items
         datamodule.setup("test")
-        engine.enable_int8_scoring(variables, datamodule.test_dataset[0])
+        n_calib = int(model_args.get("kws_int8_calibration_batches", 4))
+        ds = datamodule.test_dataset
+        engine.enable_int8_scoring(
+            variables, items=[ds[i] for i in range(min(n_calib, len(ds)))]
+        )
     if subcommand == "validate":
         datamodule.setup("validate")
         metrics = engine.validate(variables, datamodule, dump_dir=ckpt_path)
@@ -255,7 +264,9 @@ def _cbwhisper_kws_resnet(model_args):
 def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None):
     from ..decoding.generate import GenerationOptions
 
-    language = model_args.get("language", "english")
+    # the reference configs use capitalized names (`language: English`,
+    # cb-whisper-acl.yaml:85); the token lookup is case-insensitive
+    language = str(model_args.get("language", "english")).lower()
     lang_code = {"english": "en", "chinese": "zh", "mandarin": "zh"}.get(language, language)
     lang_token = tokenizer.convert_tokens_to_ids(f"<|{lang_code}|>")
     task_token = tokenizer.convert_tokens_to_ids("<|transcribe|>")
@@ -360,8 +371,10 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
 
     if model_args.get("kws_int8"):
         # TPU-serving extension: int8 quantized spotting, calibrated
-        # lazily on the first segment's similarity maps
-        module.enable_int8_spotting()
+        # lazily over the first N scored segments' similarity maps
+        module.enable_int8_spotting(
+            calibration_batches=int(model_args.get("kws_int8_calibration_batches", 4))
+        )
 
     def mel_fn(item):
         wav = load_audio_16k(item["audio"])
@@ -384,12 +397,28 @@ def run_cli(argv: Optional[List[str]] = None):
     enable_persistent_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     assert argv and argv[0] in ("fit", "test", "validate"), (
-        f"usage: <entry> {{fit,test,validate}} --config CONFIG [--dotted.key value ...]"
+        f"usage: <entry> {{fit,test,validate}} --config CONFIG "
+        f"[--set NAME=value ...] [--dotted.key value ...]"
     )
     subcommand = argv[0]
     assert argv[1] == "--config", "--config CONFIG is required"
-    config = load_config(argv[2])
-    config = apply_overrides(config, argv[3:])
+    # `--set NAME=value` fills the reference's [NAME] placeholder markers
+    # textually before the YAML parse (some reference configs only become
+    # valid YAML once filled — cli/config.py:fill_placeholders_text)
+    rest = argv[3:]
+    placeholders: Dict[str, Any] = {}
+    overrides: List[str] = []
+    i = 0
+    while i < len(rest):
+        if rest[i] == "--set":
+            name, _, value = rest[i + 1].partition("=")
+            placeholders[name] = yaml.safe_load(value) if value else value
+            i += 2
+        else:
+            overrides.append(rest[i])
+            i += 1
+    config = load_config(argv[2], placeholders=placeholders or None)
+    config = apply_overrides(config, overrides)
 
     leftover = check_placeholders(config)
     if leftover:
