@@ -27,6 +27,22 @@ from typing import Dict, Iterator, List
 
 import numpy as np
 
+# Rejection-sampling guard: the reference's loops (sampler.py:58-77) spin
+# forever when the corpus cannot satisfy the request (e.g. fewer distinct
+# non-positive keywords than negatives asked for).  We bound the retries and
+# raise with a diagnosis instead of hanging the fit loop (deviation:
+# PARITY.md — unreachable for any feasible corpus/config combination).
+_MAX_REJECTION_TRIES = 10_000
+
+
+def _bounded(tries: int, what: str, detail: str):
+    if tries >= _MAX_REJECTION_TRIES:
+        raise ValueError(
+            f"KWSSampler: could not draw {what} after {_MAX_REJECTION_TRIES} "
+            f"rejection-sampling attempts ({detail}); the corpus is too small "
+            "for the configured negative_examples/negative_diversity"
+        )
+
 
 class KWSSampler:
     def __init__(
@@ -115,7 +131,10 @@ class KWSSampler:
             avoid = {lo + p[1] for p in positives}
 
             if n_rand > 0:
-                while True:
+                for tries in range(_MAX_REJECTION_TRIES + 1):
+                    _bounded(tries, "random negatives",
+                             f"{n_rand} needed, {self.n_keywords} keywords, "
+                             f"{len(avoid)} excluded")
                     cand = (base + rng.integers(0, self.n_keywords, size=n_rand)).tolist()
                     if len(set(cand) - avoid) == n_rand:
                         break
@@ -125,7 +144,9 @@ class KWSSampler:
             if n_lex > 0:
                 half = n_lex // 2
                 # forward lexicographic neighbourhood
-                while True:
+                for tries in range(_MAX_REJECTION_TRIES + 1):
+                    _bounded(tries, "forward lexicographic negatives",
+                             f"{half} needed in [{lo},{hi}), {len(avoid)} excluded")
                     cand = (
                         positive_idx
                         + np.round(rng.standard_normal(half) * self.negative_diversity).astype(int)
@@ -136,7 +157,9 @@ class KWSSampler:
                 avoid |= set(cand)
                 # reverse lexicographic neighbourhood
                 n_lang = hi - lo
-                while True:
+                for tries in range(_MAX_REJECTION_TRIES + 1):
+                    _bounded(tries, "reverse lexicographic negatives",
+                             f"{half} needed, {n_lang} keywords, {len(avoid)} excluded")
                     offs = np.round(
                         positive[2] + rng.standard_normal(half) * self.negative_diversity
                     ).astype(int)

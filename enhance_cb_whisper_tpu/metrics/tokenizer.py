@@ -106,8 +106,16 @@ class PriberamTokenizer:
                     open_sentence = False
             pos = match.end()
 
-        if pos < len(text):  # trailing unmatched span
-            emit(pos, len(text), text[pos:], "UNK")
+        if pos < len(text):
+            # trailing unmatched span → UNK; the reference's end-of-text UNK
+            # branch (priberam_tokenizer.py:137-151) opens a new sentence if
+            # needed but does NOT reset the running index — the token keeps
+            # the document-wide count (found by the differential fuzz,
+            # tests/test_tokenizer_differential.py)
+            if not open_sentence:
+                sentences.append([])
+            index += 1
+            sentences[-1].append(Token(index, pos, len(text), text[pos:], "UNK"))
 
         return sentences
 
