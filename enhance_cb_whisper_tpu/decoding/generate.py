@@ -136,21 +136,29 @@ class WhisperGenerator:
         cfg = config
         self.matmul_precision = matmul_precision
 
+        # Params are EXPLICIT jit arguments (threaded through ``ctx`` for
+        # the decode loops), never closure captures: a closed-over device
+        # array lowers as an HLO literal, and at whisper-medium scale the
+        # embedded weights blow the program up to ~2.5 GB of HLO — which the
+        # remote-compile relay drops (measured round 3; explicit args lower
+        # to ~28 KB).  Passing the device-resident pytree per launch moves
+        # zero bytes, and programs stop being keyed on weight VALUES, so
+        # the persistent compile cache now hits across checkpoints.
         @jax.jit
-        def _encode(mel):
+        def _encode(p, mel):
             with jax.default_matmul_precision(matmul_precision):
-                enc, _ = encoder_forward(params, mel, cfg, dtype=dtype)
+                enc, _ = encoder_forward(p, mel, cfg, dtype=dtype)
                 return enc
 
         @jax.jit
-        def _cross_kv(enc):
+        def _cross_kv(p, enc):
             with jax.default_matmul_precision(matmul_precision):
-                return precompute_cross_kv(params, enc, cfg)
+                return precompute_cross_kv(p, enc, cfg)
 
         def _decode_step(tokens, cache, ctx):
             with jax.default_matmul_precision(matmul_precision):
                 logits, new_cache = decoder_forward(
-                    params,
+                    ctx["params"],
                     tokens,
                     ctx["cross_kv"],
                     cfg,
@@ -173,7 +181,7 @@ class WhisperGenerator:
                                stacked=scan_layers)
             with jax.default_matmul_precision(matmul_precision):
                 logits, cache = decoder_forward(
-                    params,
+                    ctx["params"],
                     prompt_padded,
                     ctx["cross_kv"],
                     cfg,
@@ -190,8 +198,8 @@ class WhisperGenerator:
             )[:, 0]
             return cache, first_logits
 
-        self._encode = _encode
-        self._cross_kv_fn = _cross_kv
+        self._encode = lambda mel: _encode(self.params, mel)
+        self._cross_kv_fn = lambda enc: _cross_kv(self.params, enc)
         self._decode_step = _decode_step
         self._prefill = _prefill
 
@@ -217,7 +225,10 @@ class WhisperGenerator:
         attn = np.ones((batch, max_length), dtype=np.int32)
         attn[:, :plen] = prompt_mask
         attn_t = jnp.asarray(np.repeat(attn, reps, axis=0))
-        return {"cross_kv": cross_kv, "attn_mask": attn_t}
+        # params ride the ctx pytree into the prefill/decode-loop programs
+        # as traced arguments (see __init__: closure capture would embed
+        # them as HLO literals)
+        return {"cross_kv": cross_kv, "attn_mask": attn_t, "params": self.params}
 
     def _processors(self, opts: GenerationOptions) -> LogitsProcessorConfig:
         return LogitsProcessorConfig(

@@ -81,6 +81,7 @@ class EfficientKWSEngine:
         # jitted train step, one fused batch — exactly the cache-producing
         # math of pipeline.extract_hidden_states (utils.py:186-195)
         self._embed_utterances = None
+        self._whisper_params = None
         if whisper is not None:
             import jax.numpy as jnp
 
@@ -93,10 +94,13 @@ class EfficientKWSEngine:
             n_layers = model_config.n_layers
             budget = min(utt_frames_budget, wcfg.max_source_positions)
 
-            def embed(audio, frames):  # [B, S], [B] -> utt [B,n_layers,T,D], mask
+            # encoder params as an explicit arg (closure capture would
+            # embed them as HLO literals — fatal at large-v2 scale through
+            # the remote-compile relay; decoding/generate.py)
+            def embed(wp, audio, frames):  # [B, S], [B] -> utt, mask
                 mel = log_mel_spectrogram(audio, n_mels=wcfg.num_mel_bins)
                 stack = encoder_kws_stack(
-                    wparams, mel, wcfg, layer_slice=(lo, hi), valid_frames=frames
+                    wp, mel, wcfg, layer_slice=(lo, hi), valid_frames=frames
                 )
                 # layer slice [-n_layers:] + frame budget (dataset.py:543-573)
                 utt = jax.lax.stop_gradient(stack[:, -n_layers:, :budget, :])
@@ -104,7 +108,12 @@ class EfficientKWSEngine:
                 m = (t[None, :] < jnp.minimum(frames, budget)[:, None]).astype(jnp.float32)
                 return utt, jnp.broadcast_to(m[:, None, :], utt.shape[:3])
 
-            self._embed_utterances = jax.jit(embed)
+            embed_jit = jax.jit(embed)
+            self._whisper_params = wparams
+            self._embed_utterances = lambda audio, frames: embed_jit(
+                self._whisper_params, audio, frames
+            )
+            self._embed_raw = embed  # un-jitted: inlined into the train step
 
         @jax.jit
         def _score_group(variables, kwd, utt, kwd_mask, utt_mask):
@@ -255,10 +264,13 @@ class EfficientKWSEngine:
             loss = cross_entropy(logits, batch["labels"])
             return loss, updated["batch_stats"]
 
-        embed = self._embed_utterances
+        embed_raw = getattr(self, "_embed_raw", None)
 
         @jax.jit
-        def step(params, batch_stats, opt_state, batch, rng):
+        def step(params, batch_stats, opt_state, batch, rng, wp=None):
+            # ``wp`` = frozen whisper-encoder params for audio mode, passed
+            # explicitly (closure capture would bake them into the program
+            # as HLO literals — decoding/generate.py)
             if config.kw_type == "all":
                 half = batch["labels"].shape[0] // 2
                 pick = jax.random.bernoulli(rng, 1.0 - config.kw_p, (half,)).astype(jnp.int32)
@@ -267,7 +279,7 @@ class EfficientKWSEngine:
             if "utt_audio" in batch:
                 # audio mode: fused mel + frozen encoder inside the step
                 batch = dict(batch)
-                utt, utt_mask = embed(batch.pop("utt_audio"), batch.pop("utt_frames"))
+                utt, utt_mask = embed_raw(wp, batch.pop("utt_audio"), batch.pop("utt_frames"))
                 batch["utt_features"], batch["utt_mask"] = utt, utt_mask
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_stats, batch
@@ -276,7 +288,11 @@ class EfficientKWSEngine:
             params = optax.apply_updates(params, updates)
             return params, new_stats, opt_state, {"loss": loss}
 
-        return step
+        def run_step(params, batch_stats, opt_state, batch, rng):
+            wp = self._whisper_params if "utt_audio" in batch else None
+            return step(params, batch_stats, opt_state, batch, rng, wp)
+
+        return run_step
 
     # ------------------------------------------------------------------ eval
 

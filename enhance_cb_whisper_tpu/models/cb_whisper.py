@@ -95,13 +95,16 @@ class CBWhisper:
         enc_cfg = self.encoder_config
         lo, hi = kws_layer_slice
 
+        # params are explicit jit args — a closed-over device pytree lowers
+        # as HLO literals (~2.5 GB of program text at whisper-medium, which
+        # the remote-compile relay drops; decoding/generate.py)
         @jax.jit
-        def _kws_stack(mel):
+        def _kws_stack(p, mel):
             return encoder_kws_stack(
-                self.encoder_params, mel, enc_cfg, layer_slice=(lo, hi), dtype=dtype
+                p, mel, enc_cfg, layer_slice=(lo, hi), dtype=dtype
             )
 
-        self._kws_stack = _kws_stack
+        self._kws_stack = lambda mel: _kws_stack(self.encoder_params, mel)
 
         # single-encode fusion: when the KWS encoder IS the ASR encoder
         # (no separate encoder_ckpt), one forward per segment yields both the
@@ -114,14 +117,14 @@ class CBWhisper:
         prec = self.generator.matmul_precision
 
         @jax.jit
-        def _kws_stack_enc(mel):
+        def _kws_stack_enc(p, mel):
             with jax.default_matmul_precision(prec):
                 return encoder_kws_stack(
-                    self.generator.params, mel, whisper_config,
+                    p, mel, whisper_config,
                     layer_slice=(lo, hi), dtype=dtype, return_encoding=True,
                 )
 
-        self._kws_stack_enc = _kws_stack_enc
+        self._kws_stack_enc = lambda mel: _kws_stack_enc(self.generator.params, mel)
 
         def kws_apply(variables, images):
             return self.kws_model.apply(variables, images).logits

@@ -84,15 +84,21 @@ def extract_hidden_states(
 
     out_dtype = jnp.dtype(cache_dtype)
 
+    # params as an explicit jit arg — closure capture embeds the encoder
+    # weights as HLO literals (GBs of program text at whisper-medium; the
+    # remote-compile relay drops it — decoding/generate.py)
     @jax.jit
-    def encode(wavs, valid_frames):
+    def _encode_batch(p, wavs, valid_frames):
         # mel INSIDE the jit: one device launch per batch — eager mel was
         # ~5 separate dispatches, each paying the relay round-trip
         mel = log_mel_spectrogram(wavs, n_mels=n_mels)
         stacks = encoder_kws_stack(
-            params, mel, config, layer_slice=(lo, hi), valid_frames=valid_frames
+            p, mel, config, layer_slice=(lo, hi), valid_frames=valid_frames
         )
         return stacks.astype(out_dtype)
+
+    def encode(wavs, valid_frames):
+        return _encode_batch(params, wavs, valid_frames)
 
     wanted = None
     if codes is not None:
