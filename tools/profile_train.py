@@ -1,0 +1,80 @@
+"""Round-3 train-step MFU sweep (VERDICT task 5): batch size x layout x
+dtype on the reference full config (12-ch ResNet-50, 150x750 maps).
+
+Measures pipelined steps/s (no per-step host fetch — the fit-loop pattern),
+prints ex/s + TFLOP/s + MFU per config, then a per-op profile of the best.
+"""
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+
+from enhance_cb_whisper_tpu.models import ResNetConfig
+from enhance_cb_whisper_tpu.train.kws_train import (
+    KWSTrainConfig, init_train_state, make_train_step,
+)
+from enhance_cb_whisper_tpu.runtime.flops import estimate_flops
+
+PEAK_BF16 = 197e12  # v5e
+
+SWEEP = [
+    # (batch, channels_last, steps)
+    (20, False, 10),
+    (20, True, 10),
+    (32, False, 10),
+    (32, True, 10),
+    (64, False, 6),
+    (64, True, 6),
+]
+
+which = os.environ.get("TRAIN_SWEEP", "")  # e.g. "32,True"
+results = {}
+for batch_size, cl, n_steps in SWEEP:
+    if which and which != f"{batch_size},{cl}":
+        continue
+    cfg = KWSTrainConfig(compute_dtype="bfloat16", channels_last=cl)
+    rcfg = ResNetConfig(num_channels=12, num_labels=2)
+    shape = (150, 750, 12) if cl else (12, 150, 750)
+    rng = jax.random.PRNGKey(0)
+    state, (kws, disc, tx) = init_train_state(rng, cfg, rcfg, shape)
+    step = make_train_step(cfg, kws, disc, tx)
+
+    nprng = np.random.default_rng(0)
+    batch = {
+        "features": jnp.asarray(
+            nprng.standard_normal((batch_size, *shape)).astype(np.float32)
+        ),
+        "labels": jnp.asarray(nprng.integers(0, 2, (batch_size,)).astype(np.int32)),
+        "domain": jnp.asarray(nprng.integers(0, 2, (batch_size,)).astype(np.int32)),
+    }
+
+    args = (state.params, state.batch_stats, state.opt_state, batch,
+            jax.random.PRNGKey(1), 0.0, 0.0)
+    t0 = time.perf_counter()
+    p, s, o, m = step(*args)
+    np.asarray(m["class_loss"])
+    compile_s = time.perf_counter() - t0
+
+    # pipelined: feed outputs back, fetch only at the end
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        p, s, o, m = step(p, s, o, batch, jax.random.fold_in(rng, i), 0.0, 0.0)
+    np.asarray(m["class_loss"])
+    wall = (time.perf_counter() - t0) / n_steps
+
+    flops = estimate_flops(step, *args)
+    tflops = flops / wall / 1e12
+    exps = batch_size / wall
+    mfu = tflops * 1e12 / PEAK_BF16
+    key = f"b{batch_size}_{'nhwc' if cl else 'nchw'}"
+    results[key] = (exps, tflops, mfu)
+    print(f"{key}: {exps:8.1f} ex/s  {wall*1e3:7.1f} ms/step  "
+          f"{tflops:6.1f} TFLOP/s  MFU {mfu*100:5.1f}%  (compile {compile_s:.0f}s)",
+          flush=True)
+
+print({k: (round(v[0], 1), round(v[2], 3)) for k, v in results.items()})
