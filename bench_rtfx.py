@@ -118,7 +118,19 @@ def main():
     # 'medium' (24-layer d=1024 — the reference's KWS encoder scale,
     # aishell/build.sh:74-112; random weights, real shapes/program)
     model_size = os.environ.get("ECW_RTFX_MODEL", "tiny")
-    if model_size == "medium":
+    if model_size == "large":
+        # whisper-large-v2 dims — the reference's flagship ASR checkpoint
+        # (src/data/data_module.py:31, configs/cb-whisper-acl.yaml)
+        config = WhisperConfig(
+            vocab_size=51865, num_mel_bins=80, d_model=1280,
+            encoder_layers=32, encoder_attention_heads=20,
+            decoder_layers=32, decoder_attention_heads=20,
+            encoder_ffn_dim=5120, decoder_ffn_dim=5120,
+            max_source_positions=1500, max_target_positions=448,
+        )
+        n_slabs = 12
+        kws_layer_slice = (10, 22)
+    elif model_size == "medium":
         config = WhisperConfig(
             vocab_size=51865, num_mel_bins=80, d_model=1024,
             encoder_layers=24, encoder_attention_heads=16,
