@@ -5,7 +5,10 @@ Measures pipelined steps/s (no per-step host fetch — the fit-loop pattern),
 prints ex/s + TFLOP/s + MFU per config, then a per-op profile of the best.
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
