@@ -232,7 +232,24 @@ def beam_search(
             new_tokens, sel_token[:, :, None].astype(jnp.int32), cur_len, axis=2
         )
 
-        new_cache = _gather_beams(new_cache, sel_beam, batch, K)
+        if isinstance(new_cache, dict) and "anc" in new_cache:
+            # gather-free beam cache: the K/V rows stay put; only the tiny
+            # [B, K, T] ancestry map is re-parented with the beam selection.
+            # Slots < cur_len (including the K/V appended by THIS step's
+            # decode_fn at cur_len-1) inherit the parent's history; slots at
+            # or past cur_len stay identity so future appends self-reference
+            # (models/whisper.py:_ancestry_attention).
+            anc = new_cache["anc"]
+            parent = jnp.take_along_axis(anc, sel_beam[:, :, None], axis=1)
+            ident = jnp.broadcast_to(
+                jnp.arange(K, dtype=anc.dtype)[None, :, None], anc.shape
+            )
+            slot = jnp.arange(anc.shape[-1], dtype=jnp.int32)[None, None, :]
+            new_cache = {
+                **new_cache, "anc": jnp.where(slot < cur_len, parent, ident)
+            }
+        else:
+            new_cache = _gather_beams(new_cache, sel_beam, batch, K)
 
         # frozen batches keep their previous state
         keep = done[:, None]

@@ -277,6 +277,23 @@ class WhisperGenerator:
         ctx = self._make_ctx(cross_kv, pmask, max_length, reps)
         prompt_padded = jnp.asarray(np.repeat(padded, reps, axis=0))
         cache, first_logits = self._prefill(prompt_padded, plen, ctx, max_length)
+        if K > 1:
+            # gather-free beam cache: identity ancestry map (all beam rows
+            # hold the identical prompt prefill); the beam loop re-parents
+            # it per step instead of reordering the K/V slabs — at
+            # whisper-large-v2 dims that removes ~2/3 of the beam step's
+            # HBM traffic (models/whisper.py:_ancestry_attention)
+            cache = dict(
+                cache,
+                anc=jnp.asarray(
+                    np.ascontiguousarray(
+                        np.broadcast_to(
+                            np.arange(K, dtype=np.int32)[None, :, None],
+                            (batch, K, max_length),
+                        )
+                    )
+                ),
+            )
         # fetch the no-speech probability only when a threshold will read it:
         # every host fetch is a full device round-trip, and the flagship
         # config (no_speech_threshold=None) never looks at it

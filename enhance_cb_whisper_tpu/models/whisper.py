@@ -433,6 +433,50 @@ def precompute_cross_kv(
     return out
 
 
+def _ancestry_attention(
+    q: jax.Array,  # [B·K, 1, H, Dh] (already scaled)
+    k: jax.Array,  # [B·K, T, H, Dh] cache (rows UNPERMUTED across steps)
+    v: jax.Array,  # [B·K, T, H, Dh]
+    beam_onehot: jax.Array,  # [B, K, K', T] — 1 where slot t of logical
+    #                          beam k lives in physical row k' of the item
+    mask: jax.Array,  # [B·K or 1, 1, 1, T], True=keep
+) -> jax.Array:
+    """Beam-search self-attention WITHOUT per-step KV-cache reordering.
+
+    Standard beam search gathers the whole self-attention cache with the
+    beam permutation every step (HF reorder_cache) — at whisper-large-v2
+    beam-5 that is ~3 GB/step of pure HBM reorder traffic, 2x the
+    attention read itself.  Here the cache rows stay put (each logical
+    beam row appends its own K/V in place) and a per-slot ancestry map
+    selects the right physical row INSIDE the attention contraction:
+
+        scores[b,k,t] = sum_{k'} (q[b,k] . K[b,k',t]) * onehot[b,k,k',t]
+
+    The k' contraction is exactly-one-hot, so the selected dot product is
+    bit-identical to attending a gathered cache; the extra K'x score/value
+    FLOPs are MXU noise next to the eliminated HBM reorder (measured
+    section in BASELINE.md).  Decode-step (Tq==1) only."""
+    Bi, Kb, Kp, T = beam_onehot.shape
+    H, Dh = q.shape[2], q.shape[3]
+    qb = q.reshape(Bi, Kb, H, Dh)
+    kb = k.reshape(Bi, Kp, T, H, Dh)
+    vb = v.reshape(Bi, Kp, T, H, Dh)
+    scores = jnp.einsum(
+        "bkhd,bpthd->bhkpt", qb, kb, preferred_element_type=jnp.float32
+    )
+    sel = beam_onehot.astype(jnp.float32)
+    scores = jnp.einsum("bhkpt,bkpt->bhkt", scores, sel)
+    if mask.shape[0] == 1:
+        m = mask[:, :, 0, :][:, :, None, :]  # [1, 1, 1, T]
+    else:
+        m = mask.reshape(Bi, Kb, 1, T).transpose(0, 2, 1, 3)  # [Bi, 1, Kb, T]
+    scores = jnp.where(m, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)  # [Bi, H, Kb, T]
+    w2 = jnp.einsum("bhkt,bkpt->bhkpt", probs, beam_onehot.astype(v.dtype))
+    attn = jnp.einsum("bhkpt,bpthd->bkhd", w2, vb)
+    return attn.reshape(Bi * Kb, 1, H, Dh)
+
+
 def _decoder_layer(
     p: Dict[str, Any],
     x: jax.Array,
@@ -442,6 +486,7 @@ def _decoder_layer(
     cache_layer: Optional[Dict[str, jax.Array]],
     cache_index: Optional[jax.Array],
     cross_mask: Optional[jax.Array] = None,
+    beam_onehot: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     head_dim = x.shape[-1] // num_heads
 
@@ -458,7 +503,12 @@ def _decoder_layer(
         new_cache_layer = {"k": k, "v": v}
     else:
         new_cache_layer = None
-    attn = _attention(q, k.astype(q.dtype), v.astype(q.dtype), self_mask)
+    if beam_onehot is not None:
+        attn = _ancestry_attention(
+            q, k.astype(q.dtype), v.astype(q.dtype), beam_onehot, self_mask
+        )
+    else:
+        attn = _attention(q, k.astype(q.dtype), v.astype(q.dtype), self_mask)
     x = x + _linear(p["self_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
 
     # cross attention (precomputed K/V)
@@ -534,6 +584,19 @@ def decoder_forward(
         if attention_mask is not None:
             mask = jnp.logical_and(mask, attention_mask[:, None, None, :].astype(bool))
 
+    # beam-search ancestry mode (gather-free beam KV cache): the cache
+    # carries ``anc`` [B_items, K, T] mapping each logical beam's history
+    # slot to the physical row that holds it; the one-hot selector is
+    # layer-independent, built once here and closed over by every layer
+    beam_onehot = None
+    if cache is not None and "anc" in cache:
+        if t != 1:
+            raise ValueError("ancestry beam cache requires single-token decode steps")
+        anc = cache["anc"]
+        beam_onehot = (
+            anc[:, :, None, :] == jnp.arange(anc.shape[1], dtype=anc.dtype)[None, None, :, None]
+        )
+
     if _is_stacked(p["layers"]):
         # scan-over-layers: per-layer params, cross-KV, and cache slabs all
         # carry a leading [n_layers] axis and ride the scan's xs; the
@@ -544,7 +607,8 @@ def decoder_forward(
             def body(h, xs):
                 layer_p, ckv, cl = xs
                 h, new_cl = _decoder_layer(
-                    layer_p, h, ckv, heads, mask, cl, offset, cross_mask
+                    layer_p, h, ckv, heads, mask, cl, offset, cross_mask,
+                    beam_onehot,
                 )
                 return h, new_cl
 
@@ -572,6 +636,7 @@ def decoder_forward(
                 cache["layers"][i] if cache is not None else None,
                 offset if cache is not None else None,
                 cross_mask,
+                beam_onehot,
             )
             new_layers.append(new_cache_layer)
 
@@ -601,7 +666,10 @@ def decoder_forward(
             p["embed_tokens"]["weight"].astype(x.dtype),
             preferred_element_type=jnp.float32,
         )
-    new_cache = (
-        {"index": offset + t, "layers": new_layers} if cache is not None else None
-    )
+    if cache is not None:
+        new_cache = {"index": offset + t, "layers": new_layers}
+        if "anc" in cache:
+            new_cache["anc"] = cache["anc"]  # updated by the beam loop, not here
+    else:
+        new_cache = None
     return logits, new_cache
