@@ -16,6 +16,7 @@ segment and returns per-batch keyword token-id lists.
 from __future__ import annotations
 
 import dataclasses
+import os
 import zlib
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
@@ -277,12 +278,14 @@ class WhisperGenerator:
         ctx = self._make_ctx(cross_kv, pmask, max_length, reps)
         prompt_padded = jnp.asarray(np.repeat(padded, reps, axis=0))
         cache, first_logits = self._prefill(prompt_padded, plen, ctx, max_length)
-        if K > 1:
+        if K > 1 and os.environ.get("ECW_BEAM_CACHE", "ancestry") != "gather":
             # gather-free beam cache: identity ancestry map (all beam rows
             # hold the identical prompt prefill); the beam loop re-parents
             # it per step instead of reordering the K/V slabs — at
             # whisper-large-v2 dims that removes ~2/3 of the beam step's
-            # HBM traffic (models/whisper.py:_ancestry_attention)
+            # HBM traffic (models/whisper.py:_ancestry_attention).
+            # ECW_BEAM_CACHE=gather forces the legacy reorder path (A/B
+            # benchmarking and regression tests only)
             cache = dict(
                 cache,
                 anc=jnp.asarray(
