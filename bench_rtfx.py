@@ -185,6 +185,9 @@ def main():
         # ECW_RTFX_VOCAB=int8: weight-only int8 vocab projection (serving
         # mode; halves the decode loop's dominant HBM read)
         vocab_int8=os.environ.get("ECW_RTFX_VOCAB", "") == "int8",
+        # ECW_RTFX_DECODER=int8: weight-only int8 for every decoder-layer
+        # linear in the decode loop (halves the per-step layer-weight read)
+        decoder_int8=os.environ.get("ECW_RTFX_DECODER", "") == "int8",
         config=CBWhisperConfig(),
         whisper_config=config,
         whisper_params=params,

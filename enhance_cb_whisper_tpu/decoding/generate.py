@@ -31,6 +31,7 @@ from ..models.whisper import (
     encoder_forward,
     init_cache,
     precompute_cross_kv,
+    quantize_decoder_layers,
     quantize_vocab_projection,
     stack_whisper_params,
 )
@@ -108,6 +109,7 @@ class WhisperGenerator:
         matmul_precision: str = "default",
         scan_layers: bool = True,
         vocab_int8: bool = False,
+        decoder_int8: bool = False,
     ):
         """``matmul_precision``: 'default' lets the TPU MXU round matmul
         operands to bfloat16 — comparable to the TF32 regime the reference
@@ -124,6 +126,12 @@ class WhisperGenerator:
             # serving mode: weight-only int8 vocab projection — halves the
             # decode loop's dominant HBM read (models/whisper.py)
             params = quantize_vocab_projection(params)
+        if decoder_int8:
+            # serving mode: weight-only int8 for every decoder-layer linear
+            # in the decode loop — halves the remaining per-step weight read
+            # (quantized on host BEFORE device upload: int8 also cuts the
+            # one-time relay transfer 4x; models/whisper.py)
+            params = quantize_decoder_layers(params)
         self.params = jax.tree.map(jnp.asarray, params)
         if scan_layers:
             self.params = stack_whisper_params(self.params)

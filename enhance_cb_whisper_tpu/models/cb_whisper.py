@@ -70,6 +70,7 @@ class CBWhisper:
         kws_layer_slice: Tuple[int, int] = (10, 22),
         dtype: Any = jnp.float32,
         vocab_int8: bool = False,
+        decoder_int8: bool = False,
     ):
         self.config = config
         self.whisper_config = whisper_config
@@ -83,7 +84,8 @@ class CBWhisper:
         self.oracle_buffer: List[str] = []
 
         self.generator = WhisperGenerator(
-            whisper_config, whisper_params, dtype=dtype, vocab_int8=vocab_int8
+            whisper_config, whisper_params, dtype=dtype, vocab_int8=vocab_int8,
+            decoder_int8=decoder_int8,
         )
         self.encoder_params = (
             stack_whisper_params(jax.tree.map(jnp.asarray, encoder_params))

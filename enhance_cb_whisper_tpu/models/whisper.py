@@ -87,6 +87,21 @@ def _layer_norm(p: Dict[str, Any], x: jax.Array, eps: float = 1e-5) -> jax.Array
 
 
 def _linear(p: Dict[str, Any], x: jax.Array) -> jax.Array:
+    if "qweight" in p:
+        # weight-only int8 (quantize_decoder_layers): XLA fuses the
+        # int8→compute-dtype convert into the matmul operand load, so only
+        # int8 bytes leave HBM; per-output-channel scales are an f32
+        # epilogue (int8 magnitudes are exactly representable in bf16)
+        y = jnp.einsum(
+            "...i,io->...o",
+            x,
+            p["qweight"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = y * p["scale"]
+        if "bias" in p:
+            y = y + p["bias"]
+        return y.astype(x.dtype)
     y = jnp.einsum("...i,io->...o", x, p["weight"].astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -275,6 +290,60 @@ def quantize_vocab_projection(params: Dict[str, Any]) -> Dict[str, Any]:
         "qweight": q,
         "scale": scale[:, 0].astype(np.float32),
     }
+    return out
+
+
+def _quantize_linear_params(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-output-channel weight-only int8 for one [.., in, out] linear."""
+    w = np.asarray(p["weight"], dtype=np.float32)
+    scale = np.abs(w).max(axis=-2, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    out = {"qweight": q, "scale": np.squeeze(scale, axis=-2).astype(np.float32)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+# linears that run INSIDE the per-token decode loop.  encoder_attn k/v are
+# deliberately absent: they only run once per segment (precompute_cross_kv)
+_DECODE_LOOP_LINEARS = (
+    ("self_attn", "q_proj"), ("self_attn", "k_proj"),
+    ("self_attn", "v_proj"), ("self_attn", "out_proj"),
+    ("encoder_attn", "q_proj"), ("encoder_attn", "out_proj"),
+    ("fc1",), ("fc2",),
+)
+
+
+def quantize_decoder_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only int8 for every decoder-layer linear in the decode loop.
+
+    The decode loop is HBM-bound on the per-step weight read (BASELINE.md:
+    ~5.4 ms/step at whisper-medium b1 — bf16 weights gave +52% over f32);
+    int8 weights halve the remaining layer-weight read.  Per-output-channel
+    scales, f32 accumulate, f32 scale/bias epilogue — the standard
+    near-lossless weight-only recipe (no activation quantization).  Serving
+    mode, opt-in (``WhisperGenerator(decoder_int8=True)`` /
+    ``ECW_RTFX_DECODER=int8``); fp32 weights stay the parity default.
+    Handles stacked ([n_layers, in, out]) and unrolled layer lists."""
+
+    def quantize_layer(layer: Dict[str, Any]) -> Dict[str, Any]:
+        out = dict(layer)
+        for path in _DECODE_LOOP_LINEARS:
+            parent = out
+            for key in path[:-1]:
+                parent[key] = dict(parent[key])
+                parent = parent[key]
+            parent[path[-1]] = _quantize_linear_params(parent[path[-1]])
+        return out
+
+    out = dict(params)
+    out["decoder"] = dict(params["decoder"])
+    layers = out["decoder"]["layers"]
+    if _is_stacked(layers):
+        out["decoder"]["layers"] = quantize_layer(dict(layers))
+    else:
+        out["decoder"]["layers"] = [quantize_layer(dict(l)) for l in layers]
     return out
 
 

@@ -303,3 +303,104 @@ def test_vocab_int8_generator_greedy_close():
     # identical for a long prefix: near-tie flips on a random model are
     # tolerated but must not corrupt the decode from the start
     assert prefix >= 24, (prefix, r, g)
+
+
+def test_decoder_int8_accuracy(tiny):
+    """Weight-only int8 on every decode-loop decoder linear
+    (quantize_decoder_layers, serving mode): per-output-channel scales keep
+    the teacher-forcing logits within the standard weight-only error bound
+    and preserve greedy decisions on this fixture; stacked and unrolled
+    layouts quantize identically."""
+    import jax
+
+    from enhance_cb_whisper_tpu.models.whisper import (
+        quantize_decoder_layers,
+        stack_whisper_params,
+    )
+
+    _, config, params = tiny
+    sparams = stack_whisper_params(params)
+    q_unrolled = stack_whisper_params(quantize_decoder_layers(params))
+    q_stacked = quantize_decoder_layers(sparams)
+
+    for a, b in zip(jax.tree.leaves(q_unrolled), jax.tree.leaves(q_stacked)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mel = _mel(config, batch=1)
+    ids = np.asarray([[3, 5, 7, 11, 13, 17, 19, 23]], dtype=np.int32)
+    enc, _ = encoder_forward(sparams, mel, config)
+    ckv = precompute_cross_kv(sparams, enc, config)
+    ref, _ = decoder_forward(sparams, ids, ckv, config)
+    got, _ = decoder_forward(q_stacked, ids, ckv, config)
+
+    ref, got = np.asarray(ref), np.asarray(got)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.05 * scale
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_decoder_int8_generator_greedy_close():
+    """End-to-end: WhisperGenerator(decoder_int8=True, vocab_int8=True)
+    longform greedy decode runs and stays close to fp32 on a tiny random
+    model (same tolerance rationale as test_vocab_int8_generator_greedy_close
+    — near-tie argmax flips on random weights are tolerated, early
+    corruption is not)."""
+    import torch
+    from enhance_cb_whisper_tpu.decoding import GenerationOptions, WhisperGenerator
+    from enhance_cb_whisper_tpu.models.whisper import WhisperConfig as WC
+
+    hf_config = transformers.WhisperConfig(
+        vocab_size=96, num_mel_bins=8, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(3)
+    hf = transformers.WhisperForConditionalGeneration(hf_config).eval()
+    config = WC.from_hf(hf_config)
+    params = load_hf_whisper(hf.state_dict(), config)
+    opts = GenerationOptions(
+        decoder_start_token_id=3, language_token_id=None, task_token_id=None,
+        no_timestamps_token_id=70, prev_sot_token_id=None, eos_token_id=2,
+        pad_token_id=0, suppress_tokens=(), begin_suppress_tokens=(),
+        max_initial_timestamp_index=10, num_beams=1, return_timestamps=True,
+        condition_on_prev_tokens=True, max_target_positions=32,
+    )
+    mel = np.random.default_rng(3).standard_normal((1, 8, 150), dtype=np.float32)
+    ref = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32)).generate(mel, opts)
+    got = WhisperGenerator(
+        config, params, prompt_buckets=(8, 16, 32),
+        vocab_int8=True, decoder_int8=True,
+    ).generate(mel, opts)
+    r, g = ref[0].tolist(), got[0].tolist()
+    prefix = next((i for i in range(min(len(r), len(g))) if r[i] != g[i]),
+                  min(len(r), len(g)))
+    assert prefix >= 20, (prefix, r, g)
+
+
+def test_decoder_int8_beam_runs(tiny):
+    """decoder_int8 composes with the ancestry beam cache: beam-5 decode
+    executes and returns well-formed sequences."""
+    from enhance_cb_whisper_tpu.decoding import GenerationOptions, WhisperGenerator
+
+    hf, config, params = tiny
+    gen = WhisperGenerator(
+        config, params, prompt_buckets=(8,), decoder_int8=True
+    )
+    opts = GenerationOptions(
+        decoder_start_token_id=3, language_token_id=None, task_token_id=None,
+        no_timestamps_token_id=50, prev_sot_token_id=None, eos_token_id=2,
+        pad_token_id=0, suppress_tokens=(), begin_suppress_tokens=(),
+        max_target_positions=24, num_beams=5,
+    )
+    mel = _mel(config, batch=2)
+    ckv = gen._cross_kv_fn(gen._encode(mel))
+    seqs, scores, _ = gen._decode_prompted(
+        ckv, np.full((2, 1), 3, np.int64), None, opts, return_timestamps=False
+    )
+    seqs = np.asarray(seqs)
+    assert seqs.shape == (2, 24)
+    assert np.isfinite(np.asarray(scores)).all()
