@@ -293,6 +293,12 @@ def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None)
     )
 
 
+def _compute_dtype(model_args):
+    import jax.numpy as jnp
+
+    return jnp.dtype(model_args.get("compute_dtype", "float32"))
+
+
 def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
     assert subcommand == "test", "CBWhisper supports the test subcommand (cb-whisper.py)"
     import dataclasses
@@ -367,6 +373,13 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         encoder_params=encoder_params,
         encoder_config=encoder_config,
         kws_layer_slice=tuple(model_args.get("kws_layer_slice", (10, 22))),
+        # TPU-serving extensions (fp32 stays the parity default):
+        # compute_dtype: bfloat16 decode (+52% at whisper-medium);
+        # vocab_int8 / decoder_int8: weight-only int8 on the decode loop's
+        # HBM-bound weight reads (models/whisper.py, docs/PERF.md)
+        dtype=_compute_dtype(model_args),
+        vocab_int8=bool(model_args.get("vocab_int8", False)),
+        decoder_int8=bool(model_args.get("decoder_int8", False)),
     )
 
     if model_args.get("kws_int8"):

@@ -127,3 +127,78 @@ def test_cbwhisper_cli_end_to_end(tmp_path, monkeypatch, whisper_ckpt, acl_root,
     results = run_cli(["test", "--config", str(cfg_path)])
     assert 0.0 <= results["Entity Recall"] <= 1.0
     assert results["Entity Recall LB"] <= results["Entity Recall UB"]
+
+
+def test_cbwhisper_cli_serving_knobs(tmp_path, monkeypatch, whisper_ckpt, acl_root, kws_ckpt):
+    """TPU-serving knobs on the cb-whisper CLI surface: compute_dtype
+    bfloat16 + weight-only int8 vocab projection + int8 decoder layers all
+    plumb through config parsing into CBWhisper/WhisperGenerator and the
+    flagship eval still produces a well-formed entity-recall result."""
+    gc = types.SimpleNamespace(
+        decoder_start_token_id=3, no_timestamps_token_id=100, eos_token_id=2,
+        pad_token_id=0, suppress_tokens=None, begin_suppress_tokens=None,
+        max_initial_timestamp_index=10, prev_sot_token_id=99,
+    )
+    monkeypatch.setattr(
+        transformers.WhisperTokenizer, "from_pretrained", classmethod(lambda cls, p: FakeTokenizer())
+    )
+    monkeypatch.setattr(
+        transformers.GenerationConfig, "from_pretrained", classmethod(lambda cls, p: gc)
+    )
+    monkeypatch.setattr(
+        cli_main, "_cbwhisper_kws_resnet",
+        lambda model_args: ResNetConfig(
+            num_channels=KW_LAYERS, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
+            depths=(1, 1, 1, 1), num_labels=2,
+        ),
+    )
+
+    built = {}
+    from enhance_cb_whisper_tpu.models import cb_whisper as cbw_mod
+
+    orig_init = cbw_mod.CBWhisper.__init__
+
+    def spy_init(self, *args, **kwargs):
+        built.update(
+            dtype=kwargs.get("dtype"),
+            vocab_int8=kwargs.get("vocab_int8"),
+            decoder_int8=kwargs.get("decoder_int8"),
+        )
+        return orig_init(self, *args, **kwargs)
+
+    monkeypatch.setattr(cbw_mod.CBWhisper, "__init__", spy_init)
+
+    config = {
+        "model": {
+            "class_path": "model.cb_whisper.CBWhisper",
+            "init_args": {
+                "dataset": "acl",
+                "split": "test",
+                "root": acl_root,
+                "kw_type": "tts",
+                "encoder_ckpt": whisper_ckpt,
+                "whisper_ckpt": whisper_ckpt,
+                "kws_ckpt": kws_ckpt,
+                "language": "english",
+                "prompt": True,
+                "oracle": "kws",
+                "kws_features_size": [32, 48],
+                "keywords_per_group": 2,
+                "kws_layer_slice": [1, 3],
+                "num_bootstraps": 20,
+                "compute_dtype": "bfloat16",
+                "vocab_int8": True,
+                "decoder_int8": True,
+            },
+        },
+    }
+    cfg_path = tmp_path / "cb-serving.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    results = run_cli(["test", "--config", str(cfg_path)])
+    assert 0.0 <= results["Entity Recall"] <= 1.0
+    import jax.numpy as jnp
+
+    assert built["dtype"] == jnp.bfloat16
+    assert built["vocab_int8"] is True and built["decoder_int8"] is True
