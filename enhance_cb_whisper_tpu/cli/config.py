@@ -69,6 +69,7 @@ def apply_overrides(config: Dict[str, Any], overrides: List[str]) -> Dict[str, A
     while i < len(overrides):
         key = overrides[i]
         assert key.startswith("--"), f"expected --dotted.key, got {key}"
+        assert i + 1 < len(overrides), f"override {key} is missing its value"
         key = key[2:]
         value = _parse_value(overrides[i + 1])
         node = config
@@ -87,6 +88,15 @@ def check_placeholders(config: Any, path: str = "") -> List[str]:
         for k, v in config.items():
             found += check_placeholders(v, f"{path}.{k}" if path else k)
     elif isinstance(config, list):
+        # an UNFILLED `key: [NAME]` marker parses as the YAML list ["NAME"]
+        # once fill_placeholders_text strips its annotation tail — flag
+        # single-element all-caps-identifier lists as leftover placeholders
+        if (
+            len(config) == 1
+            and isinstance(config[0], str)
+            and re.fullmatch(r"[A-Z][A-Z0-9_]*", config[0])
+        ):
+            found.append(f"{path} = [{config[0]}]")
         for i, v in enumerate(config):
             found += check_placeholders(v, f"{path}[{i}]")
     elif isinstance(config, str) and _PLACEHOLDER.match(config.strip()):

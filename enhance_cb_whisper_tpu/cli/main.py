@@ -424,6 +424,7 @@ def run_cli(argv: Optional[List[str]] = None):
     i = 0
     while i < len(rest):
         if rest[i] == "--set":
+            assert i + 1 < len(rest), "--set requires NAME=value"
             name, _, value = rest[i + 1].partition("=")
             placeholders[name] = yaml.safe_load(value) if value else value
             i += 2

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .logits_process import NEG_INF, LogitsProcessorConfig, apply_logits_processors
+from .topk import exact_top_k
 
 # decode_fn(tokens_chunk [N, 1], cache, ctx) -> (logits [N, vocab], new_cache)
 # ``ctx`` carries per-segment operands (cross-attention K/V, masks) through
@@ -76,6 +77,7 @@ def _gather_beams(tree: Any, beam_idx: jax.Array, batch: int, beams: int) -> Any
         "pad_token_id",
         "eos_token_id",
         "do_sample",
+        "topk_impl",
     ),
 )
 def beam_search(
@@ -95,6 +97,8 @@ def beam_search(
     do_sample: bool = False,
     temperature=1.0,  # TRACED: the fallback ladder revisits several values
     rng: Optional[jax.Array] = None,
+    topk_impl: str = "iterative",  # "iterative" (sort-free, decoding/topk.py)
+    #                                or "sort" (lax.top_k) — bit-identical
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (sequences [B, max_length] right-padded, scores [B]).
 
@@ -177,10 +181,12 @@ def beam_search(
             perturbed = total + gumbel  # sampling order = gumbel-top-k
         else:
             perturbed = total
-        # top_k on a 2-D [B*K, V] operand: XLA lowers multi-leading-dim
-        # top_k to a full O(V log V) sort (profiled 1.7 ms/step at B=4),
-        # but keeps the fast partial-reduce custom call for 2-D
-        per_perturbed, per_token = jax.lax.top_k(
+        # Even on a 2-D [B*K, V] operand the per-beam top-2K lowers to a
+        # full O(V log V) variadic sort — profiled at 59% of beam-decode
+        # device time (docs/PERF.md).  The sort-free exact_top_k does 2K
+        # max+mask passes instead (bit-identical incl. tie order).
+        _top_k = exact_top_k if topk_impl == "iterative" else jax.lax.top_k
+        per_perturbed, per_token = _top_k(
             perturbed.reshape(batch * K, V), 2 * K
         )  # [B*K, 2K]
         pool_perturbed = per_perturbed.reshape(batch, K * 2 * K)

@@ -348,6 +348,10 @@ class WhisperGenerator:
                 do_sample=use_sampling,
                 temperature=float(temperature) if use_sampling else 1.0,
                 rng=rng,
+                # sort-free exact top-k is the default (the [B·K, V] sort
+                # was 59% of beam-decode device time); ECW_BEAM_TOPK=sort
+                # keeps lax.top_k for A/B attribution — bit-identical
+                topk_impl=os.environ.get("ECW_BEAM_TOPK", "iterative"),
             )
         return np.asarray(seqs), np.asarray(scores), no_speech_probs
 

@@ -202,9 +202,13 @@ class CBWhisper:
         """Catalog scoring + argmax-class-1 dedupe (cb_whisper.py:124-132)."""
         if getattr(self, "_int8_pending", False):
             # accumulate real segment stacks; fp32 scores them until the
-            # calibration set is full, then the quantized scorer takes over
-            stacks_np = np.asarray(stacks)
-            self._int8_calib_stacks.extend(stacks_np[i] for i in range(n_seg))
+            # calibration set is full, then the quantized scorer takes over.
+            # Fetch ONLY the real segments still needed — the padded bucket
+            # tail is zeros, and device→host through the relay is ~18 MB/s.
+            needed = self._int8_calibration_batches - len(self._int8_calib_stacks)
+            take = min(n_seg, needed)
+            stacks_np = np.asarray(stacks[:take])
+            self._int8_calib_stacks.extend(stacks_np[i] for i in range(take))
             if len(self._int8_calib_stacks) >= self._int8_calibration_batches:
                 self._calibrate_int8(self._int8_calib_stacks)
                 self._int8_calib_stacks = []

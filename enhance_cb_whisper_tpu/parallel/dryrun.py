@@ -132,11 +132,22 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5):
         cb._ensure_catalog()
         cb._catalog_dev = shard_catalog(cb._catalog_dev, mesh, axis="model")
         data_sh = NamedSharding(mesh, P("data"))
+        n_data = mesh.shape["data"]
+
+        def put(mel):
+            # The longform driver re-buckets the batch to the ACTIVE
+            # utterances; once stragglers shrink a bucket below the data
+            # axis it no longer divides evenly, so tail buckets stay
+            # replicated (what a serving system does with remainders).
+            if mel.shape[0] % n_data == 0:
+                return jax.device_put(mel, data_sh)
+            return mel
+
         gen = cb.generator
         orig_encode = gen._encode
-        gen._encode = lambda mel: orig_encode(jax.device_put(mel, data_sh))
+        gen._encode = lambda mel: orig_encode(put(mel))
         orig_stack_enc = cb._kws_stack_enc
-        cb._kws_stack_enc = lambda mel: orig_stack_enc(jax.device_put(mel, data_sh))
+        cb._kws_stack_enc = lambda mel: orig_stack_enc(put(mel))
         got = run(cb)
 
     return ref, got

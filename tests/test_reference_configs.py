@@ -314,7 +314,7 @@ EFF_TINY_OVERRIDES = [
 
 
 @pytest.fixture(scope="module")
-def eff_ckpts(tmp_path_factory, mls_root):
+def eff_ckpts(tmp_path_factory, mls_root, aishell_root):
     """Fit each reference train-{L,LE,LEF}.yaml verbatim; return ckpts."""
     out = {}
     for variant in ("L", "LE", "LEF"):
@@ -323,6 +323,10 @@ def eff_ckpts(tmp_path_factory, mls_root):
             "RUN_NAME": "r", "URL": "null", "MAX_EPOCHS": 1,
             "EVERY_N_EPOCHS": 1, "PATIENCE": 1,
             "MLS_ROOT": mls_root, "DEFAULT_ROOT_DIR": run_dir,
+            # the train configs carry a test_info block whose [AISHELL_ROOT]
+            # is unused during fit, but run_cli (like the reference's usage
+            # contract) requires EVERY placeholder filled before dispatch
+            "AISHELL_ROOT": aishell_root,
         }
         run_cli(["fit", "--config", os.path.join(REF_EFF, f"train-{variant}.yaml")]
                 + _sets(sets) + EFF_TINY_OVERRIDES)

@@ -29,13 +29,20 @@ RETRY_SLEEP = 300  # between health probes while the relay is down
 DEADLINE_S = float(os.environ.get("ECW_SWEEP_DEADLINE_S", 10 * 3600))
 
 DEFAULT_PLAN = [
+    # flagship beam-5 with the sort-free top-k (the [B*K, V] sort was 59%
+    # of beam-decode device time) — the headline round-3 beam number
+    {"tag": "med_beam5_b4_iter",
+     "env": {"ECW_RTFX_MODEL": "medium", "ECW_RTFX_DTYPE": "bfloat16",
+             "ECW_RTFX_BATCH": "4", "ECW_RTFX_BEAMS": "5"}},
+    # A/B attribution: same config, legacy lax.top_k sort
+    {"tag": "med_beam5_b4_sorttopk",
+     "env": {"ECW_RTFX_MODEL": "medium", "ECW_RTFX_DTYPE": "bfloat16",
+             "ECW_RTFX_BATCH": "4", "ECW_RTFX_BEAMS": "5",
+             "ECW_BEAM_TOPK": "sort"}},
     {"tag": "med_greedy_b4_int8",
      "env": {"ECW_RTFX_MODEL": "medium", "ECW_RTFX_DTYPE": "bfloat16",
              "ECW_RTFX_BATCH": "4", "ECW_RTFX_VOCAB": "int8",
              "ECW_RTFX_DECODER": "int8"}},
-    {"tag": "med_beam5_b4_ancestry",
-     "env": {"ECW_RTFX_MODEL": "medium", "ECW_RTFX_DTYPE": "bfloat16",
-             "ECW_RTFX_BATCH": "4", "ECW_RTFX_BEAMS": "5"}},
     {"tag": "med_beam5_b4_int8",
      "env": {"ECW_RTFX_MODEL": "medium", "ECW_RTFX_DTYPE": "bfloat16",
              "ECW_RTFX_BATCH": "4", "ECW_RTFX_BEAMS": "5",
@@ -44,9 +51,13 @@ DEFAULT_PLAN = [
      "env": {"ECW_RTFX_MODEL": "large", "ECW_RTFX_DTYPE": "bfloat16",
              "ECW_RTFX_BATCH": "4", "ECW_RTFX_VOCAB": "int8",
              "ECW_RTFX_DECODER": "int8"}},
-    {"tag": "large_beam5_b4_ancestry",
+    {"tag": "large_beam5_b4_iter",
      "env": {"ECW_RTFX_MODEL": "large", "ECW_RTFX_DTYPE": "bfloat16",
              "ECW_RTFX_BATCH": "4", "ECW_RTFX_BEAMS": "5"}},
+    # the reference's --extract_hs hot loop at whisper-medium dims
+    {"tag": "extract_medium",
+     "cmd": ["python", "tools/bench_extract_medium.py"],
+     "env": {"EXT_BATCH": "8", "EXT_FILES": "32"}},
 ]
 
 PROBE_SRC = (
@@ -92,11 +103,15 @@ def run_stage(stage: dict) -> bool:
     dur = time.time() - t0
     json_lines = [ln for ln in out.stdout.splitlines()
                   if ln.startswith("{") and ln.rstrip().endswith("}")]
-    if out.returncode == 0 and json_lines:
+    if out.returncode == 0:
+        # record JSON result lines when the bench prints them, otherwise
+        # the last non-empty stdout line (e.g. bench_extract_medium)
+        recorded = json_lines or [ln for ln in out.stdout.splitlines() if ln.strip()][-1:]
         with open(RESULTS, "a") as f:
-            for ln in json_lines:
-                f.write(json.dumps({"tag": tag, "result": json.loads(ln)}) + "\n")
-        log(f"=== {tag} OK ({dur:.0f}s): {json_lines[-1]} ===")
+            for ln in recorded:
+                payload = json.loads(ln) if ln in json_lines else ln
+                f.write(json.dumps({"tag": tag, "result": payload}) + "\n")
+        log(f"=== {tag} OK ({dur:.0f}s): {recorded[-1] if recorded else ''} ===")
         return True
     tail = (out.stdout + "\n" + out.stderr).strip().splitlines()[-3:]
     log(f"=== {tag} FAILED rc={out.returncode} ({dur:.0f}s): {tail} ===")
@@ -110,20 +125,27 @@ def main() -> None:
             plan = json.load(f)
     t_start = time.time()
     pending = list(plan)
+    max_attempts = int(os.environ.get("ECW_SWEEP_MAX_ATTEMPTS", 4))
     while pending and time.time() - t_start < DEADLINE_S:
         if not tpu_healthy():
             log(f"relay down; sleeping {RETRY_SLEEP}s "
                 f"({len(pending)} stages pending)")
             time.sleep(RETRY_SLEEP)
             continue
-        stage = pending[0]
+        stage = pending.pop(0)
         if run_stage(stage):
-            pending.pop(0)
+            continue
+        # Failure with a healthy relay right before it usually means the
+        # relay died mid-stage (long compiles) — but it can also be a
+        # deterministic stage bug, so rotate to the BACK of the queue and
+        # cap attempts: one broken stage must not starve the rest.
+        stage["attempts"] = stage.get("attempts", 0) + 1
+        if stage["attempts"] >= max_attempts:
+            log(f"DROPPING {stage['tag']} after {max_attempts} attempts")
         else:
-            # Failure with a healthy relay right before it usually means the
-            # relay died mid-stage (long compiles) — probe-and-retry.
-            log(f"retrying {stage['tag']} after health re-probe")
-            time.sleep(60)
+            log(f"requeueing {stage['tag']} (attempt {stage['attempts']})")
+            pending.append(stage)
+        time.sleep(60)
     if pending:
         log(f"DEADLINE with {len(pending)} stages pending: "
             f"{[s['tag'] for s in pending]}")
