@@ -306,7 +306,7 @@ def beam_search(
     jax.jit,
     static_argnames=(
         "decode_fn", "max_length", "processors", "pad_token_id", "eos_token_id",
-        "temperature",
+        "do_sample",
     ),
 )
 def greedy_search(
@@ -319,19 +319,24 @@ def greedy_search(
     max_length: int = 448,
     pad_token_id: int = 50257,
     eos_token_id: int = 50257,
-    temperature: float = 0.0,
+    do_sample: bool = False,
+    temperature=1.0,  # TRACED: the fallback ladder revisits several values
+    #                   without recompiling the decode loop per rung
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Greedy decode (``temperature == 0``) or multinomial sampling at the
-    given temperature (HF's fallback-ladder retries set do_sample=True,
-    generation_whisper.generate_with_fallback); returns
+    """Greedy decode (``do_sample=False``) or multinomial sampling at the
+    given temperature (HF's fallback-ladder retries set do_sample=True with
+    num_beams=1, generation_whisper.generate_with_fallback); returns
     (sequences [B, max_length], sum logprobs [B]).
 
-    Also accumulates per-sequence mean-logprob ingredients for the longform
-    quality thresholds (logprob_threshold, src/model/pba_whisper.py:425-442).
-    """
+    The logprob sum follows HF ``_retrieve_avg_logprobs``: log-softmax of
+    the PROCESSED scores (suppress/timestamp masks applied) WITHOUT the
+    temperature rescale, summed over generated tokens incl. eos — the
+    longform quality threshold consumes it
+    (logprob_threshold, src/model/pba_whisper.py:425-442)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    temperature = jnp.asarray(temperature, jnp.float32)
     batch, bucket = prompt.shape
     V = processors.vocab_size
     prompt_len = jnp.asarray(prompt_len, jnp.int32)
@@ -358,13 +363,15 @@ def greedy_search(
         processed = apply_logits_processors(
             processors, logits.astype(jnp.float32), tokens, cur_len, prompt_len
         )
-        if temperature > 0.0:
+        if do_sample:
             next_tok = jax.random.categorical(
                 jax.random.fold_in(rng, cur_len), processed / temperature, axis=-1
             )
         else:
             next_tok = jnp.argmax(processed, axis=-1)
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # HF _retrieve_avg_logprobs: log-softmax of the PROCESSED scores
+        # with the temperature warper undone (scores * temperature)
+        logprobs = jax.nn.log_softmax(processed, axis=-1)
         tok_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
 
         next_tok = jnp.where(finished, pad_token_id, next_tok)

@@ -277,9 +277,10 @@ class WhisperGenerator:
         opts_ts = dataclasses.replace(opts, return_timestamps=return_timestamps)
         processors = self._processors(opts_ts)
 
-        # temperature>0 rungs of the fallback ladder sample; with num_beams>1
-        # that is HF's beam-sample (generate_with_fallback keeps num_beams
-        # when it flips do_sample=True, pba_whisper.py:425-442)
+        # temperature>0 samples; callers follow HF generate_with_fallback,
+        # which forces num_beams=1 on sampled rungs (docs/PARITY.md #13) —
+        # num_beams>1 with temperature>0 here is the DIRECT generate API's
+        # beam-sample (HF _beam_search(do_sample=True)), kept for parity
         use_sampling = temperature > 0.0
         K = opts.num_beams
         reps = K if K > 1 else 1
@@ -305,17 +306,18 @@ class WhisperGenerator:
                     )
                 ),
             )
-        # fetch the no-speech probability only when a threshold will read it:
-        # every host fetch is a full device round-trip, and the flagship
-        # config (no_speech_threshold=None) never looks at it
-        no_speech_dev = jax.nn.softmax(first_logits.astype(jnp.float32), -1)[
-            ::reps, opts.no_speech_token_id
-        ]
-        no_speech_probs = (
-            np.asarray(no_speech_dev)
-            if opts.no_speech_threshold is not None
-            else np.zeros((batch,), np.float32)
-        )
+        # compute AND fetch the no-speech probability only when a threshold
+        # will read it: the softmax itself is an eager relay dispatch per
+        # segment, and the flagship config (no_speech_threshold=None) never
+        # looks at it
+        if opts.no_speech_threshold is not None:
+            no_speech_probs = np.asarray(
+                jax.nn.softmax(first_logits.astype(jnp.float32), -1)[
+                    ::reps, opts.no_speech_token_id
+                ]
+            )
+        else:
+            no_speech_probs = np.zeros((batch,), np.float32)
 
         prompt_dev = jnp.asarray(padded)
         if K == 1:
@@ -329,7 +331,8 @@ class WhisperGenerator:
                 max_length=max_length,
                 pad_token_id=opts.pad_token_id,
                 eos_token_id=opts.eos_token_id,
-                temperature=float(temperature),
+                do_sample=use_sampling,
+                temperature=float(temperature) if use_sampling else 1.0,
                 rng=rng,
             )
         else:
@@ -434,7 +437,9 @@ class WhisperGenerator:
         current_segments: List[List[dict]] = [[] for _ in range(batch)]
         condition_flags = [opts.condition_on_prev_tokens for _ in range(batch)]
 
+        segment_idx = 0
         while (seek < max_frames).any():
+            segment_idx += 1
             active = [i for i in range(batch) if seek[i] < max_frames[i]]
             time_offset = seek * TIME_PRECISION / INPUT_STRIDE
             seek_num_frames = np.minimum(max_frames - seek, self.n_segment_frames)
@@ -490,7 +495,8 @@ class WhisperGenerator:
             cross_kv = self._cross_kv_fn(enc)
 
             seqs, scores, should_skip = self._generate_with_fallback(
-                cross_kv, decoder_ids, attn, opts, condition_flags, active
+                cross_kv, decoder_ids, attn, opts, condition_flags, active,
+                segment_idx=segment_idx,
             )
 
             plen = decoder_ids.shape[1]
@@ -520,68 +526,146 @@ class WhisperGenerator:
             return {"sequences": sequences, "segments": current_segments}
         return sequences
 
-    def _generate_with_fallback(self, cross_kv, decoder_ids, attn, opts, condition_flags, active):
+    @staticmethod
+    def _take_rows(tree, rows: List[int]):
+        """Slice the batch axis of a cross-KV/attn pytree: K/V leaves are
+        [B, T, H, Dh] (unrolled) or [L, B, T, H, Dh] (stacked) — the batch
+        axis sits at ndim-4 either way; 2-D leaves (prompt/attn masks) slice
+        their leading axis."""
+        idx = np.asarray(rows)
+
+        def take(x):
+            if hasattr(x, "ndim") and x.ndim >= 4:
+                return jnp.take(x, jnp.asarray(idx), axis=x.ndim - 4)
+            if hasattr(x, "ndim") and x.ndim == 2:
+                return x[idx]
+            return x
+
+        return jax.tree.map(take, tree)
+
+    def _need_fallback(self, gen_with_eos, score, no_speech_prob, opts,
+                       num_beams_used: int):
+        """HF ``_need_fallback`` on one row (generation_whisper.py; the
+        reference inherits it verbatim from transformers 4.37.2).
+
+        ``gen_with_eos`` keeps the trailing eos: both the zlib compression
+        ratio and the avg-logprob denominator count it (HF strips eos only
+        AFTER this check).  Beam scores are sequences_scores (already
+        length-normalized); greedy/sampled scores are the logprob sum over
+        generated tokens incl. eos."""
+        avg_lp = (
+            float(score)
+            if num_beams_used > 1
+            else float(score) / max(len(gen_with_eos), 1)
+        )
+        fallback, skip = False, False
+        if opts.compression_ratio_threshold is not None:
+            ratio = _compression_ratio(gen_with_eos, self.config.vocab_size)
+            if ratio > opts.compression_ratio_threshold:
+                fallback = True
+        if opts.logprob_threshold is not None and avg_lp < opts.logprob_threshold:
+            fallback = True
+        if opts.no_speech_threshold is not None:
+            if float(no_speech_prob) > opts.no_speech_threshold and (
+                opts.logprob_threshold is None or avg_lp < opts.logprob_threshold
+            ):
+                fallback = False
+                skip = True
+        return fallback, skip
+
+    def _generate_with_fallback(self, cross_kv, decoder_ids, attn, opts,
+                                condition_flags, active, segment_idx: int = 0):
         """Temperature fallback ladder (pba_whisper.py:425-442 → HF
         ``generate_with_fallback``): retry with increasing sampling
         temperature while the output is repetitive (zlib compression ratio)
         or low-confidence (mean logprob); a segment whose no-speech
         probability exceeds the threshold with low logprob is SKIPPED.  With
         the reference's flagship settings (temperature=0, no thresholds)
-        this is a single deterministic pass."""
-        seqs = scores = no_speech = None
-        plen = decoder_ids.shape[1]
-        should_skip = [False] * len(active)
+        this is a single deterministic pass.
+
+        HF semantics (verified against the installed transformers and the
+        reference's pinned 4.37.2 behavior):
+        * only rows that still need fallback are re-decoded
+          (``fallback_index_map``) — passing rows keep their earlier result;
+        * sampled rungs (temperature>0) force ``num_beams=1`` multinomial
+          sampling (docs/PARITY.md #13 — NOT beam-sample);
+        * per row, conditioning for the NEXT segment follows the rung that
+          produced the kept result: ``condition_on_prev and temperature <
+          0.5`` (re-evaluated every segment, re-enabling included);
+        * the last rung's result is kept even if it still fails.
+        ``should_skip`` is tracked per ORIGINAL row (HF's in-place
+        ``should_skip[i]`` indexes the shrunken retry batch — a known
+        upstream misalignment; docs/PARITY.md #14)."""
+        B, plen = decoder_ids.shape
+        kept_seqs: List[Optional[np.ndarray]] = [None] * B
+        kept_scores = np.zeros((B,), np.float32)
+        should_skip = [False] * B
+        fallback_map = list(range(B))  # original row of each current row
+        cur_cross_kv, cur_ids, cur_attn = cross_kv, decoder_ids, attn
         for ti, temperature in enumerate(opts.temperature):
+            do_sample = temperature is not None and float(temperature) > 0.0
+            # HF forces num_beams=1 on sampled rungs (OpenAI whisper
+            # semantics: beam search only at temperature 0)
+            opts_rung = (
+                dataclasses.replace(opts, num_beams=1) if do_sample else opts
+            )
             seqs, scores, no_speech = self._decode_prompted(
-                cross_kv, decoder_ids, attn, opts,
+                cur_cross_kv, cur_ids, cur_attn, opts_rung,
                 return_timestamps=opts.return_timestamps,
                 temperature=float(temperature or 0.0),
-                rng=jax.random.PRNGKey(ti),
+                # decorrelate retries across segments — a fixed per-rung key
+                # would replay the same noise at every segment
+                rng=jax.random.fold_in(jax.random.PRNGKey(ti), segment_idx),
             )
-            needs_fallback = []
-            should_skip = []
+            new_map: List[int] = []
+            new_rows: List[int] = []
             for row in range(seqs.shape[0]):
-                gen = self._trim_generated(seqs[row, plen:], opts)
-                # num_beams>1: beam_search scores ARE HF's sequences_scores
-                # (sum logprob / gen_len**penalty), which _need_fallback uses
-                # directly; num_beams==1: average over generated tokens incl.
-                # eos (HF _retrieve_avg_logprobs)
-                if opts.num_beams > 1:
-                    avg_lp = float(scores[row])
-                else:
-                    avg_lp = float(scores[row]) / max(len(gen) + 1, 1)
-                fallback, skip = False, False
-                if opts.compression_ratio_threshold is not None:
-                    ratio = _compression_ratio(gen, self.config.vocab_size)
-                    if ratio > opts.compression_ratio_threshold:
-                        fallback = True
-                if opts.logprob_threshold is not None:
-                    if avg_lp < opts.logprob_threshold:
-                        fallback = True
-                if opts.no_speech_threshold is not None:
-                    if float(no_speech[row]) > opts.no_speech_threshold and (
-                        opts.logprob_threshold is None or avg_lp < opts.logprob_threshold
-                    ):
-                        fallback = False
-                        skip = True
-                needs_fallback.append(fallback)
-                should_skip.append(skip)
-                if fallback and ti == len(opts.temperature) - 1:
-                    # exhausted the ladder: keep result, disable conditioning
-                    condition_flags[active[row]] = False
-            if not any(needs_fallback):
+                orig = fallback_map[row]
+                gen_eos = self._trim_generated(seqs[row, plen:], opts,
+                                               keep_eos=True)
+                fallback, skip = self._need_fallback(
+                    gen_eos, scores[row], no_speech[row], opts,
+                    opts_rung.num_beams,
+                )
+                kept_seqs[orig] = seqs[row]
+                kept_scores[orig] = float(scores[row])
+                should_skip[orig] = skip
+                # conditioning rule follows the rung that produced the KEPT
+                # result (HF: condition_on_prev and is_low_temperature)
+                condition_flags[active[orig]] = bool(
+                    opts.condition_on_prev_tokens
+                    and (temperature is None or float(temperature) < 0.5)
+                )
+                if fallback:
+                    new_map.append(orig)
+                    new_rows.append(row)
+            fallback_map = new_map
+            if not fallback_map or ti == len(opts.temperature) - 1:
                 break
-        return seqs, scores, should_skip
+            # re-decode ONLY the rows that still need fallback
+            cur_ids = cur_ids[new_rows]
+            cur_attn = cur_attn[new_rows] if cur_attn is not None else None
+            cur_cross_kv = self._take_rows(cur_cross_kv, new_rows)
+        return np.stack(kept_seqs), kept_scores, should_skip
 
     @staticmethod
-    def _trim_generated(tokens: np.ndarray, opts: GenerationOptions) -> List[int]:
-        """Cut at the first eos/pad (HF trims seek sequences this way)."""
-        out = []
-        for t in tokens.tolist():
-            if t == opts.eos_token_id or t == opts.pad_token_id:
-                break
-            out.append(int(t))
-        return out
+    def _trim_generated(tokens: np.ndarray, opts: GenerationOptions,
+                        keep_eos: bool = False) -> List[int]:
+        """Strip TRAILING padding, then the final eos unless ``keep_eos``
+        (HF generate_with_fallback: padding removed with eos kept for the
+        fallback metrics, eos stripped afterwards for segmentation).  A pad
+        token emitted MID-sequence is kept, like HF."""
+        out = tokens.tolist()
+        n_trail = 0
+        while n_trail < len(out) and out[-1 - n_trail] == opts.pad_token_id:
+            n_trail += 1
+        if opts.pad_token_id == opts.eos_token_id and n_trail > 0:
+            n_trail -= 1  # the final "pad" is the eos itself — keep it here
+        if n_trail:
+            out = out[:-n_trail]
+        if not keep_eos and out and out[-1] == opts.eos_token_id:
+            out.pop()
+        return [int(t) for t in out]
 
     @staticmethod
     def _retrieve_segment(
