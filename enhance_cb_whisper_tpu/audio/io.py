@@ -92,7 +92,13 @@ def _ffmpeg_decode(path: str, target_sr: int) -> np.ndarray:
 
 def load_audio_16k(path: str) -> np.ndarray:
     if path.lower().endswith(".wav"):
-        wav, sr = read_wav(path)
+        try:
+            wav, sr = read_wav(path)
+        except Exception:
+            # stdlib `wave` only reads integer PCM ("unknown format: 3" for
+            # IEEE-float32 WAVs, a common sox/soundfile output) — fall back
+            # to ffmpeg like the non-WAV formats
+            return _ffmpeg_decode(path, SAMPLE_RATE)
         return resample(wav, sr, SAMPLE_RATE)
     return _ffmpeg_decode(path, SAMPLE_RATE)
 

@@ -41,9 +41,16 @@ class PrefetchIterator(Iterator[T]):
         return self
 
     def __next__(self) -> T:
+        # the 'done'/'error' sentinel is consumed exactly once — remember
+        # exhaustion so later __next__ calls (a second for-loop, zip,
+        # itertools.chain) raise StopIteration instead of blocking forever
+        # on the empty queue
+        if getattr(self, "_exhausted", False):
+            raise StopIteration
         kind, payload = self._queue.get()
         if kind == "item":
             return payload
+        self._exhausted = True
         if kind == "error":
             raise payload
         raise StopIteration

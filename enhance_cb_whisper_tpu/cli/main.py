@@ -265,10 +265,19 @@ def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None)
     from ..decoding.generate import GenerationOptions
 
     # the reference configs use capitalized names (`language: English`,
-    # cb-whisper-acl.yaml:85); the token lookup is case-insensitive
+    # cb-whisper-acl.yaml:85); HF's TO_LANGUAGE_CODE maps every name the
+    # whisper tokenizer knows — a silent unk token here would force
+    # <|endoftext|> as the language and decode garbage without an error
+    from transformers.models.whisper.tokenization_whisper import (
+        TO_LANGUAGE_CODE,
+    )
+
     language = str(model_args.get("language", "english")).lower()
-    lang_code = {"english": "en", "chinese": "zh", "mandarin": "zh"}.get(language, language)
+    lang_code = TO_LANGUAGE_CODE.get(language, language)
     lang_token = tokenizer.convert_tokens_to_ids(f"<|{lang_code}|>")
+    assert lang_token != tokenizer.convert_tokens_to_ids("<|__unk__|>"), (
+        f"language {language!r} does not resolve to a whisper language token"
+    )
     task_token = tokenizer.convert_tokens_to_ids("<|transcribe|>")
     return GenerationOptions(
         # budget math + decode length derive from the MODEL's positional
@@ -287,7 +296,11 @@ def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None)
         pad_token_id=hf_gc.pad_token_id,
         suppress_tokens=tuple(hf_gc.suppress_tokens or ()),
         begin_suppress_tokens=tuple(hf_gc.begin_suppress_tokens or ()),
-        max_initial_timestamp_index=getattr(hf_gc, "max_initial_timestamp_index", 50) or 50,
+        max_initial_timestamp_index=(
+            hf_gc.max_initial_timestamp_index
+            if getattr(hf_gc, "max_initial_timestamp_index", None) is not None
+            else 50  # 0 is a valid setting — `or 50` would override it
+        ),
         num_beams=5,
         condition_on_prev_tokens=False,  # set per-call by forward
     )
@@ -414,7 +427,7 @@ def run_cli(argv: Optional[List[str]] = None):
         f"[--set NAME=value ...] [--dotted.key value ...]"
     )
     subcommand = argv[0]
-    assert argv[1] == "--config", "--config CONFIG is required"
+    assert len(argv) >= 3 and argv[1] == "--config", "--config CONFIG is required"
     # `--set NAME=value` fills the reference's [NAME] placeholder markers
     # textually before the YAML parse (some reference configs only become
     # valid YAML once filled — cli/config.py:fill_placeholders_text)

@@ -172,7 +172,15 @@ class KWSDataMod:
                 resample_every_epoch=self.resample_every_epoch,
             )
 
-        if stage in ("test", None) and self.test_info is not None:
+        if (
+            stage in ("test", None)
+            and self.test_info is not None
+            and getattr(self, "test_dataset", None) is None
+        ):
+            # idempotent: the int8-calibration CLI path calls setup("test")
+            # before engine.test() does — rebuilding would reload the whole
+            # keyword-hs catalog from disk and defeat the engine's
+            # device-catalog cache
             info = self.test_info
             if info.name == "aishell":
                 self.test_dataset = AishellHotwordDataset(

@@ -359,7 +359,6 @@ class EfficientACL6060KeywordDataset(_EvalForkMixin, ACL6060KeywordDataset):
             self, root, split=split, size=None, keywords_per_group=keywords_per_group,
             kw_type=kw_type, load_audio=load_audio,
         )
-        hf_split = "dev" if split == "dev" else "eval"
         self._efficient_init(
             os.path.join(self.split_folder, "keywords-hs", kw_type),
             size, keywords_per_group, n_layers, pad_long_before_resize,
@@ -478,6 +477,12 @@ class EfficientKWSDataMod:
             for raw in self.val_info:
                 info = raw if isinstance(raw, dict) else dataclasses.asdict(_as_info(raw))
                 key = f"{info.get('language', info.get('name'))}/{info['kw_type']}"
+                # the expanded (100k-catalog) configs list a plain AND an
+                # expanded entry per (language, kw_type) — disambiguate so
+                # neither silently overwrites the other (the engine consumes
+                # .values() in config order, like Lightning's loader list)
+                if key in self.val_dataset:
+                    key = f"{key}#{sum(k.split('#')[0] == key for k in self.val_dataset)}"
                 self.val_dataset[key] = MLSEvaluationDataset(
                     root=info["root"],
                     language=info["language"],
@@ -489,7 +494,13 @@ class EfficientKWSDataMod:
                     root_audios_transcripts=info.get("root_audios_transcripts", ""),
                 )
 
-        if stage in ("test", None) and self.test_info is not None:
+        if (
+            stage in ("test", None)
+            and self.test_info is not None
+            and getattr(self, "test_dataset", None) is None
+        ):
+            # idempotent (see data/datamodule.py): the int8-calibration CLI
+            # path calls setup("test") before engine.test() does
             info = self.test_info if isinstance(self.test_info, dict) else dataclasses.asdict(
                 _as_info(self.test_info)
             )

@@ -185,8 +185,16 @@ class EfficientKWSEngine:
     def init_state(self, sample: Dict[str, np.ndarray]):
         rng = jax.random.PRNGKey(self.seed)
         if "utt_features" not in sample:
-            utt, utt_mask = self._embed_utterances(
-                sample["utt_audio"][:1], sample["utt_frames"][:1]
+            # only the SHAPES matter for model.init — eval_shape traces the
+            # embed without compiling it (the batch-1 mel+encoder program is
+            # multi-minute through the remote-compile relay and would be
+            # compiled purely to be thrown away)
+            structs = jax.eval_shape(
+                self._embed_raw, self._whisper_params,
+                sample["utt_audio"][:1], sample["utt_frames"][:1],
+            )
+            utt, utt_mask = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), structs
             )
         else:
             utt, utt_mask = sample["utt_features"][:1], sample["utt_mask"][:1]
@@ -403,6 +411,10 @@ class EfficientKWSEngine:
 
             div = n_loaders // 2 if is_expanded else n_loaders
             div = 1 if n_loaders == 1 else div
+            # NOTE: non-expanded lang_div=4 although only 2 loaders
+            # contribute per language — the reference divides by 4 here
+            # (model.py:625-632), halving its own per-language numbers;
+            # reproduced faithfully, do not "fix"
             lang_div = 2 if is_expanded else 4
             lang_div = 1 if n_loaders == 1 else lang_div
             l_idx = (i // 2 // 2) if is_expanded else (i // 2)
@@ -526,6 +538,7 @@ class EfficientKWSEngine:
         global_step = 0
         for epoch in range(max_epochs):
             opt_state = self.update_epoch_lr(opt_state, epoch)
+            metrics = None
             for b_idx, batch in enumerate(datamodule.train_dataloader()):
                 if limit_train_batches is not None and b_idx >= limit_train_batches:
                     break
@@ -535,8 +548,9 @@ class EfficientKWSEngine:
                     jax.random.fold_in(rng, global_step),
                 )
                 global_step += 1
-            self.logger.log_metrics({"train/loss": float(metrics["loss"])},
-                                    step=global_step, epoch=epoch)
+            if metrics is not None:  # an epoch can train zero batches
+                self.logger.log_metrics({"train/loss": float(metrics["loss"])},
+                                        step=global_step, epoch=epoch)
             if getattr(datamodule, "val_dataset", None):
                 val = self.validate(self.variables(params, batch_stats), datamodule,
                                     dump_dir=self.ckpt_dir)

@@ -103,7 +103,16 @@ def extract_hidden_states(
     wanted = None
     if codes is not None:
         with open(codes) as f:
-            wanted = [line.split("\t")[0].strip().split(" ")[0].strip() for line in f]
+            parsed = [line.split("\t")[0].strip().split(" ")[0].strip() for line in f]
+        # substring matching is the reference's semantics (utils.py:175),
+        # but a blank line would substring-match EVERY file and silently
+        # extract the whole corpus — drop empties (an all-blank file still
+        # means "no filter", like the reference)
+        wanted = [c for c in parsed if c]
+        if len(wanted) != len(parsed):
+            print(f"ignoring {len(parsed) - len(wanted)} blank lines in {codes}")
+        if not wanted:
+            wanted = None
 
     files = find_audio_files(audios)
     items = [
@@ -141,7 +150,13 @@ def extract_hidden_states(
             wav = wav[:N_SAMPLES]
             # t_len = ceil(unpadded_mel_frames / 2) (utils.py:187)
             unpadded_frames = wav.shape[0] // HOP_LENGTH
-            valid.append(int(ceil(unpadded_frames / 2.0)))
+            t_len = int(ceil(unpadded_frames / 2.0))
+            if t_len == 0:
+                # sub-hop audio would save a zero-frame cache that crashes
+                # catalog construction later — skip like undecodable files
+                print(f"{path}: audio shorter than one frame, skipped")
+                continue
+            valid.append(t_len)
             padded = np.zeros((N_SAMPLES,), np.float32)
             padded[: wav.shape[0]] = wav
             wavs.append(padded)
@@ -290,37 +305,57 @@ def keyword_tts(
     zfill = len(str(len(keywords) - 1))
     todo = [k for k in keywords if k["idx"] not in done]
 
+    def _find_voice(voices, short_name):
+        for x in voices:
+            if x["ShortName"] == short_name:
+                return x
+        raise ValueError(
+            f"voice {short_name!r} is not available for locale {locale!r} "
+            f"(have: {[x['ShortName'] for x in voices][:10]}...)"
+        )
+
     l_voices = list_voices(locale)
     rng = rng or random
     for item in todo:
         if item["voice"] is None:
-            if voice is None:
-                v = rng.choice(l_voices)
-            else:
-                v = l_voices[[x["ShortName"] == voice for x in l_voices].index(True)]
+            v = rng.choice(l_voices) if voice is None else _find_voice(l_voices, voice)
         else:
-            v = l_voices[[x["ShortName"] == item["voice"] for x in l_voices].index(True)]
-        item["voice"] = v["ShortName"]
+            v = _find_voice(l_voices, item["voice"])
         out = os.path.join(tts_folder, str(item["idx"]).zfill(zfill) + ".mp3")
         for attempt in range(max_retries):
             try:
                 synthesize(item["keyword"], v.get("Name", v["ShortName"]), out)
+                # record the voice only for keywords actually synthesized
+                item["voice"] = v["ShortName"]
                 break
             except Exception as e:
                 print(f"{item['keyword']}: {e}")
         else:
             print(f"{item['keyword']}: giving up after {max_retries} attempts")
 
-    # dump keyword->voice metadata (utils.py:78-80)
+    # dump keyword->voice metadata (utils.py:78-80).  The reference rewrites
+    # the dump with only THIS run's rows, losing earlier assignments on
+    # resumed runs (docs/PARITY.md #17) — merge with the existing file,
+    # keeping keyword-file order.
     dump = (
         keyword_file
         if "voice" in os.path.basename(keyword_file)
         else os.path.splitext(keyword_file)[0] + "_voice.txt"
     )
+    known = {}
+    if os.path.exists(dump) and dump != keyword_file:
+        with open(dump) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) == 2 and parts[1]:
+                    known[parts[0]] = parts[1]
+    known.update({k["keyword"]: k["voice"] for k in todo if k["voice"]})
     with open(dump, "w") as f:
         f.write(
             "\n".join(
-                "\t".join([k["keyword"], k["voice"]]) for k in todo if k["voice"]
+                "\t".join([k["keyword"], known[k["keyword"]]])
+                for k in keywords
+                if k["keyword"] in known
             )
         )
 

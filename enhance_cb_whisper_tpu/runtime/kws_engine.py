@@ -121,7 +121,14 @@ class KWSEngine:
     # ------------------------------------------------------------------ state
 
     def init_state(self, sample_shape=None):
-        shape = sample_shape or (self.resnet_config.num_channels, *self.features_size)
+        # the training models honor config.channels_last (NHWC inputs);
+        # the collators always emit NCHW, so fit() transposes per batch
+        default = (
+            (*self.features_size, self.resnet_config.num_channels)
+            if self.config.channels_last
+            else (self.resnet_config.num_channels, *self.features_size)
+        )
+        shape = sample_shape or default
         rng = jax.random.PRNGKey(self.seed)
         state, (kws, disc, tx) = init_train_state(rng, self.config, self.resnet_config, shape)
         self._models = (kws, disc, tx)
@@ -133,12 +140,17 @@ class KWSEngine:
     # ------------------------------------------------------------------- eval
 
     def _catalog_dev(self, dataset):
+        # keyed by id() BUT holding the dataset alongside: a bare-id key can
+        # be reused by CPython after the dataset is GC'd, silently serving a
+        # stale device catalog to a different dataset
         key = id(dataset)
-        if key not in self._catalog_cache:
-            self._catalog_cache[key] = device_put_catalog(
+        hit = self._catalog_cache.get(key)
+        if hit is None or hit[0] is not dataset:
+            hit = (dataset, device_put_catalog(
                 dataset.catalog, out_h=self.features_size[0], chunk=8
-            )
-        return self._catalog_cache[key]
+            ))
+            self._catalog_cache[key] = hit
+        return hit[1]
 
     def _pad_utt(self, utt_hs: np.ndarray):
         t_u = utt_hs.shape[1]
@@ -334,13 +346,19 @@ class KWSEngine:
         if resume_from is not None:  # Lightning's ckpt_path resume
             from .checkpoint import load_checkpoint
 
-            ckpt, meta = load_checkpoint(
-                resume_from,
-                template={"params": state.params, "batch_stats": state.batch_stats,
-                          "epoch": 0},
-            )
+            # older checkpoints lack opt_state — probe the raw payload first
+            raw, _ = load_checkpoint(resume_from)
+            template = {"params": state.params, "batch_stats": state.batch_stats,
+                        "epoch": 0}
+            if "opt_state" in raw:
+                template["opt_state"] = state.opt_state
+            ckpt, meta = load_checkpoint(resume_from, template=template)
             state.params = ckpt["params"]
             state.batch_stats = ckpt["batch_stats"]
+            if "opt_state" in ckpt:
+                # Lightning's ckpt_path resume restores the optimizer too;
+                # restarting Adam moments from zero mid-run spikes the loss
+                state.opt_state = ckpt["opt_state"]
             start_epoch = int(ckpt.get("epoch", meta.get("epoch", -1))) + 1
             print(f"resumed from {resume_from} at epoch {start_epoch}")
         kws, disc, tx = self._models
@@ -362,22 +380,31 @@ class KWSEngine:
             if self.config.adversarial_training:
                 print(f"beta={self.config.beta(epoch):.2f}")
 
+            metrics = None
             for b_idx, batch in enumerate(datamodule.train_dataloader()):
                 if limit_train_batches is not None and b_idx >= limit_train_batches:
                     break
+                arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.config.channels_last:
+                    # collators emit NCHW; the channels_last models take NHWC
+                    arrays["features"] = jnp.transpose(
+                        arrays["features"], (0, 2, 3, 1)
+                    )
                 params, stats, opt_state, metrics = step_fn(
                     params,
                     stats,
                     opt_state,
-                    {k: jnp.asarray(v) for k, v in batch.items()},
+                    arrays,
                     jax.random.fold_in(rng, global_step),
                     self.config.beta(epoch),
                     self.config.suppression(epoch),
                 )
                 global_step += 1
-            self.logger.log_metrics(
-                {"train/class_loss": float(metrics["class_loss"])}, step=global_step, epoch=epoch
-            )
+            if metrics is not None:  # an epoch can train zero batches
+                self.logger.log_metrics(
+                    {"train/class_loss": float(metrics["class_loss"])},
+                    step=global_step, epoch=epoch,
+                )
 
             state = dataclasses.replace(state, params=params, batch_stats=stats,
                                         opt_state=opt_state, epoch=epoch)
@@ -386,7 +413,8 @@ class KWSEngine:
                 val_metrics = self.validate(self.variables(state), datamodule)
                 self.logger.log_metrics(val_metrics, step=global_step, epoch=epoch)
                 saved = manager.step(epoch, val_metrics,
-                             {"params": params, "batch_stats": stats, "epoch": epoch})
+                             {"params": params, "batch_stats": stats,
+                              "epoch": epoch, "opt_state": opt_state})
                 if self.logger.log_model:
                     for p in saved:
                         self.logger.log_artifact(p)

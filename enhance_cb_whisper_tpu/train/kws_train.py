@@ -242,6 +242,9 @@ def make_train_step(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discri
             e_loss = entropy_loss(out.logits)
             if config.early_adversary_supression:
                 e_loss = e_loss * (suppression * config.entropy_weight)
+            # NOTE: without suppression the reference adds the entropy term
+            # UNWEIGHTED (entropy_weight only scales the suppressed branch,
+            # model.py:187-192) — reproduced faithfully, do not "fix"
             loss = loss + e_loss
             metrics["entropy_loss"] = e_loss
         return loss, (new_stats, metrics)
@@ -258,7 +261,7 @@ def make_train_step(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discri
                 jax.random.fold_in(rng, 0), 1.0 - config.kw_p, (half,)
             ).astype(jnp.int32)
             # k_mask = rand > kw_p selects tts (slot 0) with prob 1-kw_p
-            sel = jnp.stack([2 * jnp.arange(half) + (1 - pick),], axis=1).reshape(-1)
+            sel = 2 * jnp.arange(half) + (1 - pick)
             features = features[sel]
             c_labels = c_labels[sel]
             if d_labels is not None:

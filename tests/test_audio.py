@@ -102,3 +102,52 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError, match="decode failed"):
         next(it)
+
+
+def test_prefetch_iterator_exhausted_raises():
+    """next() after exhaustion must raise StopIteration, not block forever
+    on the drained queue (second for-loop / zip / chain patterns)."""
+    from enhance_cb_whisper_tpu.audio.prefetch import prefetch
+
+    it = prefetch(range(3), depth=2)
+    assert list(it) == [0, 1, 2]
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):
+        next(it)
+
+    def boom():
+        raise ValueError("x")
+        yield  # pragma: no cover
+
+    it2 = prefetch(boom())
+    with pytest.raises(ValueError):
+        next(it2)
+    with pytest.raises(StopIteration):
+        next(it2)
+
+
+def test_load_audio_float32_wav(tmp_path):
+    """IEEE-float32 WAVs (sox/soundfile default) fall back to ffmpeg —
+    stdlib wave raises 'unknown format: 3' on them."""
+    import shutil
+    import struct
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("no ffmpeg")
+    from enhance_cb_whisper_tpu.audio.io import load_audio_16k
+
+    sr = 16000
+    samples = (0.25 * np.sin(2 * np.pi * 440 * np.arange(1600) / sr)).astype(
+        np.float32
+    )
+    data = samples.tobytes()
+    path = tmp_path / "f32.wav"
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+    wav = load_audio_16k(str(path))
+    assert wav.dtype == np.float32 and wav.shape[0] == 1600
+    np.testing.assert_allclose(wav, samples, atol=1e-4)

@@ -245,3 +245,31 @@ def test_engine_int8_scoring_decision_parity(mls_root):
     p_ref, p_q = np.asarray(p_ref), np.asarray(p_q)
     assert np.max(np.abs(p_ref - p_q)) < 0.08
     assert np.array_equal(p_ref > 0.5, p_q > 0.5)
+
+
+def test_val_dataset_keys_no_collision(tmp_path):
+    """Expanded configs list a plain AND an expanded entry per
+    (language, kw_type); the datamodule must keep BOTH (the engine consumes
+    .values() in config order, like Lightning's loader list)."""
+    from fixtures import make_mls_expanded
+
+    root = tmp_path / "mls"
+    expanded = tmp_path / "mls_expanded"
+    make_mls_expanded(str(root), str(expanded), languages=("English",))
+    dm = EfficientKWSDataMod(
+        batch_size=4,
+        sampling="random",
+        val_info=[
+            {"language": "English", "root": str(root), "kw_type": "natural"},
+            {"language": "English", "root": str(root), "kw_type": "natural",
+             "root_audios_transcripts": str(expanded)},
+        ],
+        features_size=FS,
+        n_layers=2,
+        keywords_per_group=2,
+        languages=["English"],
+    )
+    dm.setup("validate")
+    assert len(dm.val_dataset) == 2, list(dm.val_dataset)
+    flags = [ds.is_expanded() for ds in dm.val_dataset.values()]
+    assert flags == [False, True]

@@ -169,3 +169,77 @@ def test_int8_scoring_matches_fp32_decisions(datamodule):
     p_b, _ = engine.score_utterances(qvars, dataset, [item["utt_hs"]] * 2)
     np.testing.assert_allclose(p_b[0], p_b[1], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(p_b[0], p_q, rtol=1e-4, atol=1e-4)
+
+
+def test_fit_resume_restores_opt_state(tmp_path, datamodule):
+    """Checkpoints carry the optimizer state and resume restores it —
+    Lightning's ckpt_path resume restores Adam moments, and restarting them
+    from zero mid-run is not equivalent to an uninterrupted fit."""
+    import jax
+
+    engine = KWSEngine(
+        KWSTrainConfig(learning_rate=1e-3),
+        resnet_config=TINY,
+        features_size=(32, 48),
+        ckpt_dir=str(tmp_path / "ckpt_opt"),
+    )
+    state = engine.fit(datamodule, max_epochs=1, limit_train_batches=2)
+
+    ckpt, _ = load_checkpoint(str(tmp_path / "ckpt_opt" / "final"))
+    assert "opt_state" in ckpt
+
+    engine2 = KWSEngine(
+        KWSTrainConfig(learning_rate=1e-3),
+        resnet_config=TINY,
+        features_size=(32, 48),
+        ckpt_dir=str(tmp_path / "ckpt_opt2"),
+    )
+    datamodule.setup("fit")
+    fresh = engine2.init_state()
+    from enhance_cb_whisper_tpu.runtime.checkpoint import load_checkpoint as _lc
+
+    restored, _ = _lc(
+        str(tmp_path / "ckpt_opt" / "final"),
+        template={"params": fresh.params, "batch_stats": fresh.batch_stats,
+                  "epoch": 0, "opt_state": fresh.opt_state},
+    )
+    # Adam moments after 2 steps are non-zero and must round-trip exactly
+    saved_leaves = jax.tree.leaves(state.opt_state)
+    restored_leaves = jax.tree.leaves(restored["opt_state"])
+    assert len(saved_leaves) == len(restored_leaves)
+    assert any(np.asarray(l).any() for l in saved_leaves if hasattr(l, "any"))
+    for a, b in zip(saved_leaves, restored_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_channels_last(tmp_path, datamodule):
+    """channels_last training through the engine: NHWC init + per-batch
+    transpose of the collator's NCHW features; the trained params evaluate
+    through the (NCHW) eval model — the layouts share one param tree."""
+    engine = KWSEngine(
+        KWSTrainConfig(learning_rate=1e-3, channels_last=True),
+        resnet_config=TINY,
+        features_size=(32, 48),
+        ckpt_dir=str(tmp_path / "ckpt_cl"),
+    )
+    state = engine.fit(datamodule, max_epochs=1, limit_train_batches=2)
+    # stem conv saw 2 input channels (TINY), not W=48 — would differ if the
+    # NCHW dummy had been fed to the NHWC model
+    stem = state.params["kws"]["model"]["feature_extractor"]["embedder"][
+        "convolution"]["kernel"]
+    assert stem.shape[2] == TINY.num_channels
+    val = engine.validate(engine.variables(state), datamodule)
+    assert 0.0 <= val["metrics/f1"] <= 1.0
+
+
+def test_fit_zero_batches_no_crash(tmp_path, datamodule):
+    """limit_train_batches=0 (a Lightning smoke setting) must not NameError
+    on the post-epoch logging."""
+    engine = KWSEngine(
+        KWSTrainConfig(learning_rate=1e-3),
+        resnet_config=TINY,
+        features_size=(32, 48),
+        ckpt_dir=str(tmp_path / "ckpt_zero"),
+    )
+    state = engine.fit(datamodule, max_epochs=1, limit_train_batches=0)
+    assert state is not None

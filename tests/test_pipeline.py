@@ -195,3 +195,55 @@ def test_extract_hidden_states_f16_cache(tmp_path, tiny_ckpt):
         tmp_path / "f32" / "u.npy"
     )
     np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)
+
+
+def test_keyword_tts_dump_merges_on_resume(tmp_path):
+    """Resumed runs must MERGE the voice dump, not rewrite it with only the
+    current todo rows (the reference loses earlier assignments —
+    docs/PARITY.md #17); keywords whose synthesis never succeeded are not
+    recorded."""
+    from enhance_cb_whisper_tpu.pipeline import keyword_tts
+
+    kw_file = tmp_path / "keywords.txt"
+    kw_file.write_text("alpha\nbeta\ngamma\n")
+    out = tmp_path / "tts"
+    out.mkdir()
+    voices = [{"ShortName": "vA", "Name": "Voice A"}]
+
+    def ok(text, voice_name, out_path):
+        with open(out_path, "wb") as f:
+            f.write(b"mp3")
+
+    class FirstRng:
+        def choice(self, seq):
+            return seq[0]
+
+    # run 1: gamma's synthesis always fails -> only alpha/beta recorded
+    def flaky(text, voice_name, out_path):
+        if text == "gamma":
+            raise ConnectionError("down")
+        ok(text, voice_name, out_path)
+
+    keyword_tts(str(out), str(kw_file), "en-US", synthesize=flaky,
+                list_voices=lambda loc: voices, rng=FirstRng(), max_retries=2)
+    dump = tmp_path / "keywords_voice.txt"
+    assert dump.read_text().splitlines() == ["alpha\tvA", "beta\tvA"]
+
+    # run 2 resumes (alpha/beta mp3s exist): gamma now succeeds — the dump
+    # must contain ALL three, in keyword-file order
+    keyword_tts(str(out), str(kw_file), "en-US", synthesize=ok,
+                list_voices=lambda loc: voices, rng=FirstRng())
+    assert dump.read_text().splitlines() == ["alpha\tvA", "beta\tvA", "gamma\tvA"]
+
+
+def test_keyword_tts_unknown_voice_message(tmp_path):
+    from enhance_cb_whisper_tpu.pipeline import keyword_tts
+
+    kw_file = tmp_path / "keywords.txt"
+    kw_file.write_text("alpha\tnope\n")
+    out = tmp_path / "tts"
+    out.mkdir()
+    with pytest.raises(ValueError, match="nope.*not available"):
+        keyword_tts(str(out), str(kw_file), "en-US",
+                    synthesize=lambda *a: None,
+                    list_voices=lambda loc: [{"ShortName": "vA", "Name": "A"}])
