@@ -110,13 +110,12 @@ def _frame(audio: jax.Array, n_fft: int, hop: int) -> jax.Array:
 def log_mel_spectrogram(
     audio: jax.Array,
     n_mels: int = 80,
-    padded: bool = True,
 ) -> jax.Array:
     """audio [..., n_samples] (16 kHz float) → log-mel [..., n_mels, T].
 
-    ``padded=True`` assumes the caller already padded/truncated to a fixed
-    window (e.g. 30 s → 3000 frames); the dynamic-range max is then taken
-    over the full spectrogram exactly like WhisperFeatureExtractor.
+    The caller pads/truncates to a fixed window (e.g. 30 s → 3000 frames);
+    the dynamic-range max is taken over the full spectrogram exactly like
+    WhisperFeatureExtractor.
     """
     frames = _frame(audio.astype(jnp.float32), N_FFT, HOP_LENGTH)
     cos_m, sin_m = _dft_matrices()

@@ -32,11 +32,17 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float | None = None) -> jax.
     zero vectors become NaN there too, which the reference tolerates because
     ghost keywords are masked out downstream.  Pass ``eps`` to get the
     clamped variant used by efficient_kws (src/efficient_kws/model.py:214-216).
+
+    The eps clamp is applied to the SQUARED norm before the sqrt:
+    ``jnp.linalg.norm`` backprops nan at exactly-zero vectors even under a
+    ``maximum`` clamp (0/0 in the sqrt VJP — CLAUDE.md; zero-padded frames
+    hit this), while ``sqrt(max(sq, eps²)) == max(norm, eps)`` in value with
+    a finite gradient (the efficient_kws ``_safe_normalize`` recipe).
     """
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    if eps is not None:
-        norm = jnp.maximum(norm, eps)
-    return x / norm
+    if eps is None:
+        return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def cossim_matmul(kwd: jax.Array, utt: jax.Array, precision="highest") -> jax.Array:

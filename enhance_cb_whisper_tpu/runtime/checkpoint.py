@@ -75,6 +75,20 @@ class CheckpointManager:
         self.hparams = hparams or {}
         os.makedirs(directory, exist_ok=True)
 
+    def restore_best(self) -> Dict[str, float]:
+        """Seed ``best`` from the monitor checkpoints already on disk
+        (Lightning's ckpt_path resume restores ModelCheckpoint state —
+        without this, the first post-resume validation always "improves"
+        and can overwrite a far better best checkpoint)."""
+        for name in self.monitors:
+            meta_path = os.path.join(self.directory, name, "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if "value" in meta:
+                    self.best[name] = float(meta["value"])
+        return dict(self.best)
+
     def step(self, epoch: int, metrics: Dict[str, float], state: Dict[str, Any]) -> list:
         """Save improved monitors + 'final'; returns the saved paths (fed to
         ``MetricsLogger.log_artifact`` when log_model is enabled)."""

@@ -110,13 +110,25 @@ class KWSEngine:
         maps = calibration_sim_maps_multi(dataset.catalog, utts, self.features_size)
         scales = calibrate_act_scales(self.resnet_config, qparams, maps)["act_scales"]
         q_apply = make_quantized_kws_apply(self.resnet_config, act_scales=scales)
-        self._score_fn = make_catalog_score_fn(
+        # kept SEPARATE from the fp32 scorer: scoring dispatches on the
+        # variables pytree, so validate()/fit() handed fp32 variables keep
+        # working after int8 is enabled
+        self._score_fn_int8 = make_catalog_score_fn(
             q_apply, out_size=self.features_size, chunk=8
         )
-        self._batched_score_fn = jax.jit(
-            jax.vmap(self._score_fn, in_axes=(None, None, 0, 0))
+        self._batched_int8 = jax.jit(
+            jax.vmap(self._score_fn_int8, in_axes=(None, None, 0, 0))
         )
         return jax.device_put(qparams)
+
+    def _pick_score_fns(self, variables):
+        """fp32 variables are {'params', 'batch_stats'}; the quantized
+        pytree has neither — dispatch per call."""
+        if getattr(self, "_batched_int8", None) is not None and (
+            not isinstance(variables, dict) or "params" not in variables
+        ):
+            return self._score_fn_int8, self._batched_int8
+        return self._score_fn, self._batched_score_fn
 
     # ------------------------------------------------------------------ state
 
@@ -165,7 +177,8 @@ class KWSEngine:
         """Probabilities + logits for every catalog keyword vs one utterance."""
         catalog_dev = self._catalog_dev(dataset)
         utt, w = self._pad_utt(utt_hs)
-        probs, logits = self._score_fn(
+        score_fn, _ = self._pick_score_fns(variables)
+        probs, logits = score_fn(
             variables, catalog_dev, jnp.asarray(utt), jnp.asarray(w)
         )
         n = dataset.catalog.num_keywords
@@ -182,7 +195,8 @@ class KWSEngine:
         padded = [self._pad_utt(u) for u in utt_hs_list]
         utt = jnp.asarray(np.stack([p[0] for p in padded]))
         w = jnp.asarray(np.stack([p[1] for p in padded]))
-        probs, logits = self._batched_score_fn(variables, catalog_dev, utt, w)
+        _, batched = self._pick_score_fns(variables)
+        probs, logits = batched(variables, catalog_dev, utt, w)
         if defer:
             return probs, logits
         n = dataset.catalog.num_keywords
@@ -346,12 +360,14 @@ class KWSEngine:
         if resume_from is not None:  # Lightning's ckpt_path resume
             from .checkpoint import load_checkpoint
 
-            # older checkpoints lack opt_state — probe the raw payload first
+            # older checkpoints lack opt_state/global_step — probe first
             raw, _ = load_checkpoint(resume_from)
             template = {"params": state.params, "batch_stats": state.batch_stats,
                         "epoch": 0}
             if "opt_state" in raw:
                 template["opt_state"] = state.opt_state
+            if "global_step" in raw:
+                template["global_step"] = 0
             ckpt, meta = load_checkpoint(resume_from, template=template)
             state.params = ckpt["params"]
             state.batch_stats = ckpt["batch_stats"]
@@ -360,6 +376,7 @@ class KWSEngine:
                 # restarting Adam moments from zero mid-run spikes the loss
                 state.opt_state = ckpt["opt_state"]
             start_epoch = int(ckpt.get("epoch", meta.get("epoch", -1))) + 1
+            resume_step = int(ckpt.get("global_step", 0))
             print(f"resumed from {resume_from} at epoch {start_epoch}")
         kws, disc, tx = self._models
         step_fn = make_train_step(self.config, kws, disc, tx)
@@ -372,6 +389,15 @@ class KWSEngine:
         params, stats, opt_state = state.params, state.batch_stats, state.opt_state
 
         global_step = 0
+        if resume_from is not None:
+            # continue the step counter (per-batch fold_in keys and logged
+            # metric steps must not replay the pre-crash series) and the
+            # best-by-monitor values (or the first post-resume validation
+            # would overwrite a better checkpoint)
+            global_step = resume_step
+            restored_best = manager.restore_best()
+            if restored_best:
+                print(f"restored checkpoint bests: {restored_best}")
         for epoch in range(start_epoch, max_epochs):
             state.epoch = epoch
             opt_state = update_epoch_lr(self.config, state, opt_state)
@@ -414,7 +440,8 @@ class KWSEngine:
                 self.logger.log_metrics(val_metrics, step=global_step, epoch=epoch)
                 saved = manager.step(epoch, val_metrics,
                              {"params": params, "batch_stats": stats,
-                              "epoch": epoch, "opt_state": opt_state})
+                              "epoch": epoch, "opt_state": opt_state,
+                              "global_step": global_step})
                 if self.logger.log_model:
                     for p in saved:
                         self.logger.log_artifact(p)
@@ -422,7 +449,13 @@ class KWSEngine:
                     print(f"early stopping at epoch {epoch}")
                     break
             else:
-                saved = manager.step(epoch, {}, {"params": params, "batch_stats": stats, "epoch": epoch})
+                # keep the SAME payload as the val branch — resuming from a
+                # 'final' written here must also restore optimizer + step
+                saved = manager.step(epoch, {}, {"params": params,
+                                                 "batch_stats": stats,
+                                                 "epoch": epoch,
+                                                 "opt_state": opt_state,
+                                                 "global_step": global_step})
                 if self.logger.log_model:
                     for p in saved:
                         self.logger.log_artifact(p)

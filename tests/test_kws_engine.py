@@ -165,10 +165,16 @@ def test_int8_scoring_matches_fp32_decisions(datamodule):
     assert np.max(np.abs(p_ref * mask - p_q * mask)) < 0.08
     assert np.array_equal((p_ref * mask) > 0.5, (p_q * mask) > 0.5)
 
-    # batched path shares the swapped score fn
+    # batched path dispatches to the quantized scorer by pytree shape
     p_b, _ = engine.score_utterances(qvars, dataset, [item["utt_hs"]] * 2)
     np.testing.assert_allclose(p_b[0], p_b[1], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(p_b[0], p_q, rtol=1e-4, atol=1e-4)
+
+    # and fp32 variables STILL score through the fp32 path after int8 is
+    # enabled (validate()/fit() keep working — the engine must not clobber
+    # its float scorer)
+    p_after, _ = engine.score_utterance(variables, dataset, item["utt_hs"])
+    np.testing.assert_allclose(p_after, p_ref, rtol=1e-6, atol=1e-6)
 
 
 def test_fit_resume_restores_opt_state(tmp_path, datamodule):
@@ -243,3 +249,32 @@ def test_fit_zero_batches_no_crash(tmp_path, datamodule):
     )
     state = engine.fit(datamodule, max_epochs=1, limit_train_batches=0)
     assert state is not None
+
+
+def test_resume_restores_step_and_best(tmp_path, datamodule):
+    """Resume continues global_step (no RNG/metric-step replay) and seeds
+    CheckpointManager.best from disk so a worse post-resume validation
+    cannot overwrite a better best checkpoint."""
+    from enhance_cb_whisper_tpu.runtime.checkpoint import CheckpointManager
+
+    engine = KWSEngine(
+        KWSTrainConfig(learning_rate=1e-3),
+        resnet_config=TINY,
+        features_size=(32, 48),
+        ckpt_dir=str(tmp_path / "ckpt_sb"),
+    )
+    engine.fit(datamodule, max_epochs=1, limit_train_batches=2)
+
+    ckpt, _ = load_checkpoint(str(tmp_path / "ckpt_sb" / "final"))
+    assert int(ckpt["global_step"]) == 2
+
+    manager = CheckpointManager(str(tmp_path / "ckpt_sb"),
+                                {"f1_checkpoint": "metrics/f1:max"})
+    best = manager.restore_best()
+    assert "f1_checkpoint" in best
+    # a non-improving metric must NOT overwrite the best checkpoint
+    before = open(tmp_path / "ckpt_sb" / "f1_checkpoint" / "meta.json").read()
+    manager.step(5, {"metrics/f1": best["f1_checkpoint"] - 1.0},
+                 {"params": {}, "batch_stats": {}, "epoch": 5})
+    after = open(tmp_path / "ckpt_sb" / "f1_checkpoint" / "meta.json").read()
+    assert before == after

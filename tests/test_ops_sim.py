@@ -49,3 +49,25 @@ def test_l2_normalize_unit_norm():
     x = rng.standard_normal((5, 6, 24), dtype=np.float32)
     n = np.linalg.norm(np.asarray(l2_normalize(x)), axis=-1)
     np.testing.assert_allclose(n, 1.0, rtol=1e-5)
+
+
+def test_l2_normalize_zero_vector_grad_finite():
+    """The eps clamp must keep the GRADIENT finite at exactly-zero rows
+    (zero-padded frames): jnp.linalg.norm backprops nan there even under a
+    maximum clamp (CLAUDE.md) — the squared-norm clamp does not."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((3, 4)).at[0, 0].set(1.0)  # rows 1-2 exactly zero
+
+    def loss(x):
+        return jnp.sum(l2_normalize(x, eps=1e-6) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # value parity with the naive max(norm, eps) form
+    naive = np.asarray(x) / np.maximum(
+        np.linalg.norm(np.asarray(x), axis=-1, keepdims=True), 1e-6
+    )
+    np.testing.assert_allclose(np.asarray(l2_normalize(x, eps=1e-6)), naive,
+                               rtol=1e-6)
