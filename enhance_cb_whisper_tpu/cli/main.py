@@ -223,6 +223,7 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
             early_stopping=_early_stopping(config),
             monitors=_monitors(config),
             limit_train_batches=get(config, "trainer.limit_train_batches"),
+            resume_from=config.get("ckpt_path"),  # Lightning ckpt_path resume
         )
 
     ckpt_path = config.get("ckpt_path")

@@ -514,13 +514,32 @@ class EfficientKWSEngine:
     def fit(self, datamodule, max_epochs: Optional[int] = None,
             early_stopping: Optional[EarlyStopping] = None,
             monitors: Optional[Dict[str, str]] = None,
-            limit_train_batches: Optional[int] = None):
+            limit_train_batches: Optional[int] = None,
+            resume_from: Optional[str] = None):
         datamodule.setup("fit")
         max_epochs = max_epochs or self.train_config.max_epochs
 
         loader = datamodule.train_dataloader()
         sample = next(iter(loader))
         params, batch_stats, opt_state = self.init_state(sample)
+        start_epoch, resume_step = 0, 0
+        if resume_from is not None:  # Lightning's ckpt_path resume
+            from ..runtime.checkpoint import load_checkpoint
+
+            raw, _ = load_checkpoint(resume_from)
+            template = {"params": params, "batch_stats": batch_stats,
+                        "epoch": 0}
+            if "opt_state" in raw:
+                template["opt_state"] = opt_state
+            if "global_step" in raw:
+                template["global_step"] = 0
+            ckpt, meta = load_checkpoint(resume_from, template=template)
+            params, batch_stats = ckpt["params"], ckpt["batch_stats"]
+            if "opt_state" in ckpt:
+                opt_state = ckpt["opt_state"]
+            start_epoch = int(ckpt.get("epoch", meta.get("epoch", -1))) + 1
+            resume_step = int(ckpt.get("global_step", 0))
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
         step_fn = self.make_train_step()
         manager = CheckpointManager(
             self.ckpt_dir,
@@ -535,8 +554,12 @@ class EfficientKWSEngine:
         )
         rng = jax.random.PRNGKey(self.seed + 1)
 
-        global_step = 0
-        for epoch in range(max_epochs):
+        global_step = resume_step
+        if resume_from is not None:
+            restored_best = manager.restore_best()
+            if restored_best:
+                print(f"restored checkpoint bests: {restored_best}")
+        for epoch in range(start_epoch, max_epochs):
             opt_state = self.update_epoch_lr(opt_state, epoch)
             metrics = None
             for b_idx, batch in enumerate(datamodule.train_dataloader()):
@@ -556,7 +579,8 @@ class EfficientKWSEngine:
                                     dump_dir=self.ckpt_dir)
                 self.logger.log_metrics(val, step=global_step, epoch=epoch)
                 saved = manager.step(epoch, val, {"params": params, "batch_stats": batch_stats,
-                                                  "epoch": epoch})
+                                                  "epoch": epoch, "opt_state": opt_state,
+                                                  "global_step": global_step})
                 if self.logger.log_model:
                     for p in saved:
                         self.logger.log_artifact(p)
@@ -565,7 +589,8 @@ class EfficientKWSEngine:
                     break
             else:
                 saved = manager.step(epoch, {}, {"params": params, "batch_stats": batch_stats,
-                                                 "epoch": epoch})
+                                                 "epoch": epoch, "opt_state": opt_state,
+                                                 "global_step": global_step})
                 if self.logger.log_model:
                     for p in saved:
                         self.logger.log_artifact(p)

@@ -273,3 +273,33 @@ def test_val_dataset_keys_no_collision(tmp_path):
     assert len(dm.val_dataset) == 2, list(dm.val_dataset)
     flags = [ds.is_expanded() for ds in dm.val_dataset.values()]
     assert flags == [False, True]
+
+
+def test_efficient_fit_resume(tmp_path, mls_root):
+    """Paper-2 Lightning ckpt_path resume: epoch/step/opt_state restored."""
+    from enhance_cb_whisper_tpu.runtime.checkpoint import load_checkpoint
+
+    model_config = EfficientKWSConfig(n_layers=2, embedding_dim=8,
+                                      resnet_version="resnet-18")
+    dm = EfficientKWSDataMod(
+        batch_size=4,
+        sampling="random",
+        train_info=[{"name": "mls", "root": mls_root, "kw_type": "natural"}],
+        features_size=FS,
+        n_layers=2,
+        keywords_per_group=2,
+        languages=["English"],
+    )
+    engine = EfficientKWSEngine(model_config, EfficientTrainConfig(),
+                                ckpt_dir=str(tmp_path / "ckpt"))
+    engine.fit(dm, max_epochs=1, limit_train_batches=2)
+    ckpt, _ = load_checkpoint(str(tmp_path / "ckpt" / "final"))
+    assert int(ckpt["global_step"]) == 2 and "opt_state" in ckpt
+
+    engine2 = EfficientKWSEngine(model_config, EfficientTrainConfig(),
+                                 ckpt_dir=str(tmp_path / "ckpt2"))
+    engine2.fit(dm, max_epochs=2, limit_train_batches=2,
+                resume_from=str(tmp_path / "ckpt" / "final"))
+    ckpt2, meta2 = load_checkpoint(str(tmp_path / "ckpt2" / "final"))
+    assert int(meta2["epoch"]) == 1  # resumed at epoch 1
+    assert int(ckpt2["global_step"]) == 4  # step counter continued
