@@ -718,7 +718,17 @@ class WhisperGenerator:
                 segment_offset = last_ts_pos * INPUT_STRIDE
         else:
             timestamps = seq[ts_mask]
-            last_ts_pos = seek_num_frames // INPUT_STRIDE
+            # HF computes int(snf * time_precision_features / time_precision)
+            # in FLOAT32 (torch promotes int64 tensor × python float to f32)
+            # — truncation artifacts differ from exact snf // 2 in both
+            # directions (snf=1686 → 842, snf=1756 → 878); replicate the f32
+            # arithmetic for segment-end parity
+            # (tests/test_segment_differential.py found the divergences)
+            last_ts_pos = int(
+                np.float32(seek_num_frames)
+                * np.float32(TIME_PRECISION / INPUT_STRIDE)
+                / np.float32(TIME_PRECISION)
+            )
             if timestamps.size > 0 and int(timestamps[-1]) != timestamp_begin:
                 last_ts_pos = int(timestamps[-1]) - timestamp_begin
             segments = [
@@ -730,7 +740,11 @@ class WhisperGenerator:
             ]
             segment_offset = seek_num_frames
 
-        if segment_offset <= 0:  # guard against a stuck seek (HF clamps too)
+        if segment_offset <= 0:
+            # deliberate deviation (docs/PARITY.md #19): NEITHER HF nor the
+            # reference clamps here — a closing timestamp pair at position 0
+            # yields offset 0 and stalls their seek loop forever; we advance
+            # the full window instead
             segment_offset = seek_num_frames
         return segments, segment_offset
 
