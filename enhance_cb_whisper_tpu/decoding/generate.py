@@ -37,7 +37,7 @@ from ..models.whisper import (
 )
 from .beam import beam_search, greedy_search
 from .logits_process import LogitsProcessorConfig
-from .prompt import prepare_decoder_input_ids, strip_prompt
+from .prompt import prepare_decoder_input_ids, segment_prev_tokens, strip_prompt
 
 N_SEGMENT_FRAMES = 3000  # input_stride(2) * max_source_positions(1500)
 TIME_PRECISION = 0.02
@@ -461,29 +461,31 @@ class WhisperGenerator:
             else:
                 keywords_tokens = [[] for _ in active]
 
-            def _segment_prev_tokens(s):
-                # a segment ending in a double timestamp contributes all but
-                # its last token as context (HF _pad_to_max_length
-                # skip_ending_double_timestamps, PR #35750)
-                toks = s["tokens"]
-                if len(toks) > 2 and toks[-2] >= timestamp_begin:
-                    return toks[:-1]
-                return toks
-
             prev_tokens = [
                 (
-                    [t for s in current_segments[i] for t in _segment_prev_tokens(s)]
+                    [
+                        t
+                        for s in current_segments[i]
+                        for t in segment_prev_tokens(s, timestamp_begin)
+                    ]
                     if condition_flags[i]
                     else None
                 )
                 for i in active
             ]
+            # HF and the reference gate conditioning on ROW 0's history
+            # (`len(current_segments[0]) > 0`, generation_whisper
+            # _prepare_decoder_input_ids / pba_whisper.py:524) — when
+            # utterance 0 has produced no segments yet, NO row conditions
+            # this window; replicated for token parity
+            # (tests/test_prompt_differential.py)
+            use_prev = len(current_segments[0]) > 0 and any(
+                p is not None and len(p) > 0 for p in prev_tokens
+            )
             decoder_ids, attn = prepare_decoder_input_ids(
                 init_tokens=init_tokens,
                 keywords_tokens=keywords_tokens,
-                prev_tokens_per_batch=prev_tokens if any(
-                    p is not None and len(p) > 0 for p in prev_tokens
-                ) else None,
+                prev_tokens_per_batch=prev_tokens if use_prev else None,
                 condition_on_prev=any(condition_flags),
                 max_target_positions=opts.max_target_positions,
                 pad_token_id=opts.pad_token_id,

@@ -50,6 +50,18 @@ def pad_to_max_length(
     return out
 
 
+def segment_prev_tokens(segment: dict, timestamp_begin: int) -> Sequence[int]:
+    """Tokens a finished segment contributes as condition-on-prev context.
+
+    A segment ending in a double timestamp contributes all but its last
+    token (HF ``_pad_to_max_length`` ``skip_ending_double_timestamps``,
+    PR #35750: ``len(tokens) > 2 and tokens[-2] >= timestamp_begin``)."""
+    toks = segment["tokens"]
+    if len(toks) > 2 and toks[-2] >= timestamp_begin:
+        return toks[:-1]
+    return toks
+
+
 def prepare_decoder_input_ids(
     init_tokens: Sequence[int],
     keywords_tokens: Sequence[Sequence[int]],
