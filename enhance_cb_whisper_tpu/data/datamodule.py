@@ -49,7 +49,17 @@ class DataLoader:
         self.shuffle = shuffle
 
     def __iter__(self):
-        indices = iter(self.sampler) if self.sampler is not None else iter(range(len(self.dataset)))
+        if self.sampler is not None:
+            indices = iter(self.sampler)
+        elif self.shuffle:
+            import numpy as _np
+
+            # global numpy RNG so `seed_everything` governs the order, like
+            # Lightning's shuffle under torch's seeded global generator
+            order = _np.random.permutation(len(self.dataset))
+            indices = iter(order.tolist())
+        else:
+            indices = iter(range(len(self.dataset)))
         batch = []
         for idx in indices:
             batch.append(self.dataset[idx])

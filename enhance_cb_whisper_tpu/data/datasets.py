@@ -309,6 +309,9 @@ class AishellHotwordDataset(_GroupedKeywordEvalDataset):
         speaker_re = re.compile(r"BAC\d{3}S(?P<speaker>\d{4}).+")
         self.dataset = [
             {
+                # item[1], NOT ' '.join(item[1:]): the reference keeps only
+                # the first whitespace token too (dataset.py:288) — its
+                # aishell prep writes unsegmented transcripts
                 "transcript": item[1],
                 "code": item[0],
                 "audio": (
@@ -374,6 +377,8 @@ class ACL6060KeywordDataset(_GroupedKeywordEvalDataset):
                 os.path.join(text_dir, "txt", f"ACL.6060.{hf_split}.en-xx.en.txt")
             )
         ]
+        # the reference's exact tag regex (dataset.py:430): \w+ cannot match
+        # multi-word or hyphenated mentions — behavior-defining, reproduced
         tag_re = re.compile(r"\[(\w+)\]")
         mentions = [
             [

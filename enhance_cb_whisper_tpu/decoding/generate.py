@@ -398,7 +398,10 @@ class WhisperGenerator:
             tokens_per_seg, enc = encode_spot(padded_seg, start_of_prev=True)
             prompt_ids = list(tokens_per_seg[0])
         elif keyword_spotting is not None:
-            prompt_ids = list(keyword_spotting(input_features=input_features, start_of_prev=True)[0])
+            # padded like the encode_spot branch: the KWS encoder is
+            # fixed-shape (3000 mel frames), and a shorter mel would both
+            # recompile and break position-embedding broadcasting
+            prompt_ids = list(keyword_spotting(input_features=padded_seg, start_of_prev=True)[0])
         else:
             prompt_ids = []
 

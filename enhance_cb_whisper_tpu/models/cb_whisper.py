@@ -100,11 +100,17 @@ class CBWhisper:
         # params are explicit jit args — a closed-over device pytree lowers
         # as HLO literals (~2.5 GB of program text at whisper-medium, which
         # the remote-compile relay drops; decoding/generate.py)
+        prec0 = self.generator.matmul_precision
+
         @jax.jit
         def _kws_stack(p, mel):
-            return encoder_kws_stack(
-                p, mel, enc_cfg, layer_slice=(lo, hi), dtype=dtype
-            )
+            # same matmul-precision contract as _kws_stack_enc: strict-parity
+            # mode must reach the separate KWS encoder too (TPU otherwise
+            # rounds operands to bf16 — CLAUDE.md)
+            with jax.default_matmul_precision(prec0):
+                return encoder_kws_stack(
+                    p, mel, enc_cfg, layer_slice=(lo, hi), dtype=dtype
+                )
 
         self._kws_stack = lambda mel: _kws_stack(self.encoder_params, mel)
 
@@ -131,13 +137,10 @@ class CBWhisper:
         def kws_apply(variables, images):
             return self.kws_model.apply(variables, images).logits
 
-        self._score_fn = make_catalog_score_fn(
-            kws_apply, out_size=config.kws_features_size, chunk=8
-        )
-        # one launch scores ALL active segments: vmap over the segment axis
-        # (utt_w shared — every segment has the full encoder frame budget)
-        self._batched_score = jax.jit(
-            jax.vmap(self._score_fn, in_axes=(None, None, 0, None))
+        self._set_score_fn(
+            make_catalog_score_fn(
+                kws_apply, out_size=config.kws_features_size, chunk=8
+            )
         )
         self._catalog_dev = None
         t_enc = self.encoder_config.max_source_positions
@@ -174,6 +177,15 @@ class CBWhisper:
         self._int8_calibration_batches = max(1, int(calibration_batches))
         self._int8_calib_stacks = []
 
+    def _set_score_fn(self, score_fn) -> None:
+        """Install a catalog scorer + its batched form: one launch scores
+        ALL active segments (vmap over the segment axis; utt_w shared —
+        every segment has the full encoder frame budget)."""
+        self._score_fn = score_fn
+        self._batched_score = jax.jit(
+            jax.vmap(score_fn, in_axes=(None, None, 0, None))
+        )
+
     def _calibrate_int8(self, utt_stacks) -> None:
         from ..catalog.database import calibration_sim_maps_multi
         from ..models.quant import (
@@ -189,11 +201,10 @@ class CBWhisper:
         )
         scales = calibrate_act_scales(rcfg, qparams, maps)["act_scales"]
         q_apply = make_quantized_kws_apply(rcfg, act_scales=scales)
-        self._score_fn = make_catalog_score_fn(
-            q_apply, out_size=self.config.kws_features_size, chunk=8
-        )
-        self._batched_score = jax.jit(
-            jax.vmap(self._score_fn, in_axes=(None, None, 0, None))
+        self._set_score_fn(
+            make_catalog_score_fn(
+                q_apply, out_size=self.config.kws_features_size, chunk=8
+            )
         )
         self.kws_variables = jax.device_put(qparams)
         self._int8_pending = False

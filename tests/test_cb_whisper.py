@@ -347,11 +347,27 @@ def test_single_encode_fusion_matches_unfused(cb):
         rng = np.random.default_rng(21)
         short = rng.standard_normal((1, 8, 48), dtype=np.float32)
         long = rng.standard_normal((1, 8, 130), dtype=np.float32)
+        # SUB-segment-length shortform input: the non-fused spotting path
+        # must receive the PADDED mel — an unpadded one breaks inside the
+        # fixed-shape KWS encoder, gets swallowed by the spotting fallback,
+        # and silently disables biasing (found by review; exactly-full
+        # segments masked it)
+        sub = rng.standard_normal((1, 8, 30), dtype=np.float32)
         assert cb.forward(short) == unfused.forward(short)
         assert cb.forward(long) == unfused.forward(long)
+        assert cb.forward(sub) == unfused.forward(sub)
         assert calls["n"] == 0  # fused path never ran the second encoder
     finally:
         cb.generator._encode = orig_encode
+
+    captured = {}
+
+    def spy(input_features, start_of_prev=False):
+        captured["frames"] = input_features.shape[-1]
+        return [[]]
+
+    unfused.generator.generate(sub, unfused.opts, keyword_spotting=spy)
+    assert captured["frames"] == unfused.generator.n_segment_frames
 
 
 def test_encode_spot_failure_falls_back_to_generator_encoder(cb):
