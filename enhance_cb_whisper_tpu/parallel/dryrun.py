@@ -29,7 +29,8 @@ import sys
 import numpy as np
 
 
-def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5):
+def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
+                            tp: bool = False):
     """Mesh-parallel batched longform CB-Whisper decode.
 
     Builds a tiny random Whisper + ResNet KWS + keyword catalog, runs the
@@ -37,7 +38,15 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5):
     seek) twice — single-device, then with segments sharded over ``data``
     and the catalog over ``model`` — and returns both token outputs.  The
     caller asserts they are identical (GSPMD partitioning must not change
-    the decode)."""
+    the decode).
+
+    With ``tp=True`` the Whisper params are additionally tensor-parallel
+    over ``model`` (megatron column/row splits, heads and MLP hidden
+    sharded) for the WHOLE decode — encoder, prefill, and the beam-search
+    ``while_loop`` (self-attn KV cache and cross-attn KV inherit the head
+    sharding through GSPMD propagation).  This is the memory lever for
+    whisper-large-v3-scale serving (SURVEY.md §7 hard parts); correctness
+    is pinned by token-identity with the single-device run."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -131,6 +140,16 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5):
         cb = build()
         cb._ensure_catalog()
         cb._catalog_dev = shard_catalog(cb._catalog_dev, mesh, axis="model")
+        if tp:
+            from enhance_cb_whisper_tpu.parallel.sharding import (
+                device_put_with_specs,
+                whisper_param_sharding,
+            )
+
+            gen_tp = cb.generator
+            gen_tp.params = device_put_with_specs(
+                gen_tp.params, whisper_param_sharding(gen_tp.params, mesh)
+            )
         data_sh = NamedSharding(mesh, P("data"))
         n_data = mesh.shape["data"]
 
@@ -272,6 +291,17 @@ def main(n_devices: int) -> None:
     )
     print("mesh longform decode ok:",
           [len(s["segments"] if isinstance(s, dict) else s) for s in ref["segments"]])
+
+    # ---- 5. tensor-parallel flagship: the same longform biased decode with
+    #         the Whisper params megatron-sharded over `model` end-to-end
+    #         (encoder + prefill + beam while_loop; KV caches inherit the
+    #         head sharding through GSPMD propagation)
+    if mesh.shape.get("model", 1) > 1:
+        ref_tp, got_tp = flagship_longform_stage(mesh, tp=True)
+        assert [s.tolist() for s in got_tp["sequences"]] == [
+            s.tolist() for s in ref_tp["sequences"]
+        ], "TP longform decode diverged from the single-device run"
+        print("tp longform decode ok")
 
     print(f"dryrun_multichip({n_devices}) passed")
 

