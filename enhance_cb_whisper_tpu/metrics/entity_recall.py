@@ -75,10 +75,19 @@ def entity_recall(
         pred_tokens = _first_sentence_tokens(tokenizer, pred, char_split)
         ref_tokens = _first_sentence_tokens(tokenizer, ref, char_split)
 
+        # Align the RAW token texts and strip only afterwards — exactly the
+        # reference's order (scorer.py:67 aligns tk.text verbatim, :79/:95
+        # strips the re-split alignment elements).  Stripping BEFORE the
+        # alignment is not equivalent: e.g. a predicted ' ' (space) token vs
+        # a reference '\n' token is a mismatch raw but a match stripped,
+        # which can flip the optimal NW path and hence a TP/FN decision
+        # (found by tests/test_scorer_differential.py).
         aligned_pred, aligned_ref = needleman_wunsch(
-            [t.text.strip() for t in pred_tokens],
-            [t.text.strip() for t in ref_tokens],
+            [t.text for t in pred_tokens],
+            [t.text for t in ref_tokens],
         )
+        aligned_pred = [s.strip() for s in aligned_pred]
+        aligned_ref = [s.strip() for s in aligned_ref]
 
         # map reference tokens to mention indices (last overlapping mention wins)
         mention_of_token = [-1] * len(ref_tokens)
