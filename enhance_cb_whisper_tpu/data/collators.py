@@ -3,7 +3,11 @@
 :class:`KWSDataCollator` reproduces the reference semantics exactly:
 
 * tts/natural tuples from :class:`ConcatDataset` are flattened in order;
-* ghost keywords (mask 0) get label -100 (ignored by the CE loss);
+* multi-keyword items (list-valued ``features``) are flattened per keyword
+  with ghost entries (mask 0) relabeled -100 (data_collator.py:23-27) —
+  the FLAT path takes labels verbatim, exactly as the reference (:53);
+  ghosts never reach the flat path in shipped flows (the samplers reject
+  them), so the two paths agree end-to-end;
 * the SHORT edge of every similarity stack is resized (antialias=True,
   PIL semantics) to max(batch max, 32) — or ``size[0]`` when fixed;
 * the LONG edge is zero-padded to the batch max when ``size`` is None,
@@ -47,6 +51,15 @@ class KWSDataCollator:
         if isinstance(features[0], tuple):  # tts/natural pairs → flatten
             features = [item for pair in features for item in pair]
 
+        if isinstance(features[0]["features"], list):
+            # multi-keyword items: flatten per keyword; the mask→-100 ghost
+            # rewrite happens HERE and only here (data_collator.py:23-27)
+            features = [
+                {"features": np.asarray(t), "label": l if m == 1 else -100}
+                for f in features
+                for t, l, m in zip(f["features"], f["label"], f["mask"])
+            ]
+
         if self.size is None:
             short = max(max(f["features"].shape[1] for f in features), 32)
             long = max(max(f["features"].shape[2] for f in features), 32)
@@ -65,10 +78,10 @@ class KWSDataCollator:
 
         batch = {
             "features": batch_features,
-            "labels": np.asarray(
-                [f["label"] if f.get("mask", 1) == 1 else -100 for f in features],
-                dtype=np.int64,
-            ),
+            # labels verbatim — the reference's flat path does NOT consult
+            # the mask (data_collator.py:53); ghosts are rewritten to -100
+            # only through the list-flatten branch above
+            "labels": np.asarray([f["label"] for f in features], dtype=np.int64),
         }
         if features[0].get("domain", None) is not None:
             batch["domain"] = np.asarray([f["domain"] for f in features], dtype=np.int64)

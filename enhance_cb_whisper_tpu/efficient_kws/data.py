@@ -379,9 +379,10 @@ class EfficientKWSDataCollator:
         )
         for key in keys:
             batch[key] = np.stack([f[key] for f in features])
-        batch["labels"] = np.asarray(
-            [f["label"] if f.get("mask", 1) == 1 else -100 for f in features], np.int64
-        )
+        # labels verbatim — the reference collator excludes 'mask' from the
+        # batch and never applies it (efficient_kws/data_collator.py:35-43);
+        # the sampler rejects ghost keywords, so none reach training batches
+        batch["labels"] = np.asarray([f["label"] for f in features], np.int64)
         if features[0].get("domain") is not None:
             batch["domain"] = np.asarray([f["domain"] for f in features], np.int64)
         return batch

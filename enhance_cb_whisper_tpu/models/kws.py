@@ -37,7 +37,8 @@ class DiscOutput(NamedTuple):
 
 def cross_entropy(logits: jax.Array, labels: jax.Array, ignore_index: int = -100) -> jax.Array:
     """Mean CE over valid labels; entries equal to ``ignore_index`` are
-    masked (the collator labels ghost keywords -100,
+    masked (torch ``F.cross_entropy`` ignore_index semantics; the collator's
+    multi-keyword flatten branch labels ghost keywords -100,
     src/data/data_collator.py:26)."""
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)

@@ -96,8 +96,27 @@ class TestCollator:
         collator = KWSDataCollator(size=(32, 48))
         batch = collator([ds[0], ds[4]])  # index 4 = ghost keyword
         assert batch["features"].shape == (2, 3, 32, 48)
-        assert batch["labels"][1] == -100
+        # the flat path takes labels VERBATIM (reference data_collator.py:53
+        # never consults the mask there); the ghost keeps its dataset label
+        assert batch["labels"][1] == 0
         assert batch["domain"].tolist() == [1, 1]
+
+    def test_list_flatten_branch_relabels_ghosts(self, aishell_root):
+        """Multi-keyword items (list-valued features) flatten per keyword
+        with mask 0 -> label -100 (reference data_collator.py:23-27)."""
+        root, _, _ = aishell_root
+        collator = KWSDataCollator(size=(32, 48))
+        rng = np.random.default_rng(0)
+        item = {
+            "features": [rng.standard_normal((3, 4, 20)).astype(np.float32)
+                         for _ in range(3)],
+            "label": [1, 0, 1],
+            "mask": [1, 1, 0],
+        }
+        batch = collator([item])
+        assert batch["features"].shape == (3, 3, 32, 48)
+        assert batch["labels"].tolist() == [1, 0, -100]
+        assert "domain" not in batch
 
     def test_dynamic_size_pads_long_edge(self, aishell_root):
         root, _, _ = aishell_root

@@ -55,7 +55,9 @@ def test_collator_stacks(mls_root):
     )
     batch = EfficientKWSDataCollator()([ds[0], ds[3]])
     assert batch["utt_features"].shape == (2, 2, 64, 8)
-    assert batch["labels"][1] == -100
+    # labels verbatim — the reference collator never applies the mask
+    # (efficient_kws/data_collator.py:35-43); ghosts keep their label
+    assert batch["labels"][1] == 0
 
 
 def test_eval_dataset_groups(mls_root):
