@@ -139,10 +139,18 @@ class MLSKWSDataset:
         kw_type: str = "natural",
     ):
         assert os.path.isdir(root)
+        # The roots dict (and hence keywords/n_keywords below) iterates in
+        # CALLER order while self.languages is sorted — replicated verbatim
+        # from the reference (dataset.py:116-119,128-141).  With an unsorted
+        # `languages` argument and unequal per-language keyword counts the
+        # two orders diverge and the reference's keyword buckets map to the
+        # "wrong" languages; shipped data has equal counts per language, so
+        # the quirk is unobservable there (pinned by
+        # tests/test_dataset_differential.py).
         self.languages = sorted(languages)
         self.roots = {
             lang: os.path.join(root, "mls_" + lang.lower() + "_opus", "train")
-            for lang in self.languages
+            for lang in languages
         }
         assert all(os.path.isdir(r) for r in self.roots.values())
         assert kw_type in ("tts", "natural")

@@ -1,0 +1,94 @@
+"""Shims that let reference modules from /root/reference/src run VERBATIM
+in this environment (only their unavailable third-party imports are stubbed;
+the stubs implement the exact behavior the reference relies on).
+
+Used by the differential fuzz suites (test_collator_differential.py,
+test_dataset_differential.py).
+"""
+
+import importlib.machinery
+import importlib.util
+import sys
+import types
+
+REF_DIR = "/root/reference/src"
+
+
+def _module(name):
+    """Stub module with a real ModuleSpec (transformers and friends probe
+    `importlib.util.find_spec`, which raises on `__spec__ is None`)."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
+def torchvision_shim():
+    """torchvision.transforms.functional.resize on float tensors IS
+    `F.interpolate(mode='bilinear', align_corners=False, antialias=…)` —
+    the stub is that exact lowering, so reference code runs the real ATen
+    resize kernel."""
+    import torch.nn.functional as F
+
+    def resize(img, size, antialias=True, interpolation=None):
+        return F.interpolate(
+            img[None].float(), size=tuple(int(s) for s in size),
+            mode="bilinear", align_corners=False, antialias=bool(antialias),
+        )[0]
+
+    tv = _module("torchvision")
+    tr = _module("torchvision.transforms")
+    fn = _module("torchvision.transforms.functional")
+    fn.resize = resize
+    tr.functional = fn
+    tv.transforms = tr
+    return {"torchvision": tv, "torchvision.transforms": tr,
+            "torchvision.transforms.functional": fn}
+
+
+def torchaudio_shim():
+    """Module object only — the KWS (embedding-based) dataset paths never
+    call torchaudio; loading dataset.py just needs the import to resolve."""
+    ta = _module("torchaudio")
+    fn = _module("torchaudio.functional")
+
+    def _unavailable(*a, **k):  # pragma: no cover - guard
+        raise RuntimeError("torchaudio stub: audio paths not under test")
+
+    ta.load = _unavailable
+    fn.resample = _unavailable
+    ta.functional = fn
+    return {"torchaudio": ta, "torchaudio.functional": fn}
+
+
+def whisper_audio_shim():
+    """openai-whisper constants used by dataset.py's audio path
+    (whisper/audio.py: SAMPLE_RATE=16000, N_SAMPLES=480000)."""
+    w = _module("whisper")
+    wa = _module("whisper.audio")
+    wa.SAMPLE_RATE = 16000
+    wa.N_SAMPLES = 480000
+    w.audio = wa
+    return {"whisper": w, "whisper.audio": wa}
+
+
+def load_reference_module(relpath, name, shims):
+    """Exec a reference module with `shims` pre-seeded in sys.modules.
+    Returns (module, saved) — pass `saved` to `restore_modules` when done."""
+    saved = {k: sys.modules.get(k) for k in shims}
+    sys.modules.update(shims)
+    try:
+        spec = importlib.util.spec_from_file_location(name, f"{REF_DIR}/{relpath}")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod, saved
+    except Exception:
+        restore_modules(saved)
+        raise
+
+
+def restore_modules(saved):
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v

@@ -13,10 +13,7 @@
   applied there).
 """
 
-import importlib.util
 import random
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -24,59 +21,18 @@ import torch
 
 from enhance_cb_whisper_tpu.data.collators import KWSDataCollator
 from enhance_cb_whisper_tpu.efficient_kws.data import EfficientKWSDataCollator
-
-REF_DIR = "/root/reference/src"
-
-
-def _torchvision_shim():
-    import torch.nn.functional as F
-
-    def resize(img, size, antialias=True, interpolation=None):
-        return F.interpolate(
-            img[None].float(), size=tuple(int(s) for s in size),
-            mode="bilinear", align_corners=False, antialias=bool(antialias),
-        )[0]
-
-    tv = types.ModuleType("torchvision")
-    tr = types.ModuleType("torchvision.transforms")
-    fn = types.ModuleType("torchvision.transforms.functional")
-    fn.resize = resize
-    tr.functional = fn
-    tv.transforms = tr
-    return {"torchvision": tv, "torchvision.transforms": tr,
-            "torchvision.transforms.functional": fn}
-
-
-def _load(path, name, shims):
-    saved = {k: sys.modules.get(k) for k in shims}
-    sys.modules.update(shims)
-    try:
-        spec = importlib.util.spec_from_file_location(name, path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return mod, saved
-    except Exception:
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
-        raise
+from ref_shims import load_reference_module, restore_modules, torchvision_shim
 
 
 @pytest.fixture(scope="module")
 def ref_collators():
-    shims = _torchvision_shim()
-    mod, saved = _load(f"{REF_DIR}/data/data_collator.py",
-                       "ref_data_collator", shims)
-    mod2, _ = _load(f"{REF_DIR}/efficient_kws/data_collator.py",
-                    "ref_eff_data_collator", shims)
+    shims = torchvision_shim()
+    mod, saved = load_reference_module("data/data_collator.py",
+                                       "ref_data_collator", shims)
+    mod2, _ = load_reference_module("efficient_kws/data_collator.py",
+                                    "ref_eff_data_collator", shims)
     yield mod.KWSDataCollator, mod2.KWSDataCollator
-    for k, v in saved.items():
-        if v is None:
-            sys.modules.pop(k, None)
-        else:
-            sys.modules[k] = v
+    restore_modules(saved)
 
 
 def _flat_item(rng, c, with_domain):
