@@ -193,6 +193,9 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
     ):
         if key in model_args:
             data_args[key] = model_args[key]
+    # jsonargparse links fall back to the MODEL's default when the config
+    # omits the arg (reference model.py:38 batch_size=1)
+    data_args.setdefault("batch_size", 1)
 
     model_config = EfficientKWSConfig(**filter_kwargs(model_args, EfficientKWSConfig))
     train_config = EfficientTrainConfig(**filter_kwargs(model_args, EfficientTrainConfig))
@@ -228,10 +231,22 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
 
     ckpt_path = config.get("ckpt_path")
     assert ckpt_path, "test/validate requires ckpt_path"
-    from ..runtime.checkpoint import load_checkpoint
+    if os.path.isdir(ckpt_path):
+        from ..runtime.checkpoint import load_checkpoint
 
-    state, _ = load_checkpoint(ckpt_path)
-    variables = engine.variables(state["params"], state.get("batch_stats", {}))
+        state, _ = load_checkpoint(ckpt_path)
+        variables = engine.variables(state["params"], state.get("batch_stats", {}))
+    else:
+        # reference Lightning .ckpt (torch state dict) — forward parity of
+        # the conversion pinned by tests/test_efficient_model_differential.py
+        import torch
+
+        from ..efficient_kws.torch_compat import load_torch_efficient_kws
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        variables = load_torch_efficient_kws(
+            ckpt.get("state_dict", ckpt), engine.model_config
+        )
     if model_args.get("kws_int8") and subcommand == "test":
         # TPU-serving extension (same knob as paper 1): int8 quantized
         # group scoring calibrated over the first N test items
@@ -241,12 +256,16 @@ def _run_paper2(subcommand: str, config: Dict[str, Any]):
         engine.enable_int8_scoring(
             variables, items=[ds[i] for i in range(min(n_calib, len(ds)))]
         )
+    # JSON artifacts land next to the checkpoint (reference model.py:546-568);
+    # for a Lightning .ckpt FILE that's its directory
+    dump_dir = ckpt_path if os.path.isdir(ckpt_path) else (
+        os.path.dirname(ckpt_path) or ".")
     if subcommand == "validate":
         datamodule.setup("validate")
-        metrics = engine.validate(variables, datamodule, dump_dir=ckpt_path)
+        metrics = engine.validate(variables, datamodule, dump_dir=dump_dir)
         print(metrics)
         return metrics
-    return engine.test(variables, datamodule, dump_dir=ckpt_path)
+    return engine.test(variables, datamodule, dump_dir=dump_dir)
 
 
 # ------------------------------------------------------------------ cb-whisper

@@ -71,6 +71,79 @@ def whisper_audio_shim():
     return {"whisper": w, "whisper.audio": wa}
 
 
+def lightning_shim():
+    """Minimal pytorch_lightning: LightningModule is an nn.Module whose
+    `save_hyperparameters()` captures the caller __init__'s arguments into
+    an attribute-accessible `hparams` namespace (the only Lightning surface
+    the reference model's forward path touches)."""
+    import inspect
+
+    import torch.nn as nn
+
+    class LightningModule(nn.Module):
+        def save_hyperparameters(self, *a, **k):
+            frame = inspect.currentframe().f_back
+            loc = dict(frame.f_locals)
+            loc.pop("self", None)
+            loc.pop("__class__", None)
+            extra = loc.pop("kwargs", None) or {}
+            loc.update(extra)
+            object.__setattr__(self, "_hparams_ns", types.SimpleNamespace(**loc))
+
+        @property
+        def hparams(self):
+            return self._hparams_ns
+
+        def log(self, *a, **k):
+            pass
+
+        def log_dict(self, *a, **k):
+            pass
+
+    pl = _module("pytorch_lightning")
+    pl.LightningModule = LightningModule
+    return {"pytorch_lightning": pl}
+
+
+def torchmetrics_shim():
+    tm = _module("torchmetrics")
+
+    class PrecisionRecallCurve:
+        def __init__(self, *a, **k):
+            pass
+
+    tm.PrecisionRecallCurve = PrecisionRecallCurve
+    return {"torchmetrics": tm}
+
+
+def confidence_intervals_shim():
+    ci = _module("confidence_intervals")
+
+    def evaluate_with_conf_int(*a, **k):  # pragma: no cover - guard
+        raise RuntimeError("confidence_intervals stub: not under test")
+
+    ci.evaluate_with_conf_int = evaluate_with_conf_int
+    return {"confidence_intervals": ci}
+
+
+def load_reference_package_module(dotted, shims):
+    """Import a module from the reference SOURCE PACKAGE (e.g.
+    'efficient_kws.model' — needed when the module uses relative imports)
+    with `shims` pre-seeded.  Returns (module, saved)."""
+    saved = {k: sys.modules.get(k) for k in shims}
+    sys.modules.update(shims)
+    sys.path.insert(0, REF_DIR)
+    try:
+        import importlib
+
+        return importlib.import_module(dotted), saved
+    except Exception:
+        restore_modules(saved)
+        raise
+    finally:
+        sys.path.remove(REF_DIR)
+
+
 def load_reference_module(relpath, name, shims):
     """Exec a reference module with `shims` pre-seeded in sys.modules.
     Returns (module, saved) — pass `saved` to `restore_modules` when done."""

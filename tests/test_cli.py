@@ -198,3 +198,76 @@ def test_load_reference_lightning_checkpoint(tmp_path):
     variables2 = main._load_kws_variables(str(tmp_path / "legacy.ckpt"), cfg)
     got2 = np.asarray(model.apply(variables2, x).logits)
     np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-4)
+
+
+def test_cli_efficient_kws_validate_from_reference_ckpt(tmp_path):
+    """run_efficient_kws.py validate with ckpt_path pointing at a
+    reference-format Lightning .ckpt FILE (torch state dict) — the paper-2
+    torch->flax conversion (efficient_kws/torch_compat.py; forward parity
+    pinned by tests/test_efficient_model_differential.py) wired through the
+    CLI surface end-to-end."""
+    import torch
+    import transformers
+
+    from fixtures import make_mls
+
+    root = tmp_path / "mls"
+    root.mkdir()
+    make_mls(str(root), languages=("English", "German"))
+
+    # reference-layout state dict: Resnet wrapper + per-layer projector
+    n_layers, D, U = 2, 8, 4
+    hf_cfg = transformers.ResNetConfig(
+        num_channels=n_layers, layer_type="basic",
+        hidden_sizes=[64, 128, 256, 512], depths=[2, 2, 2, 2], num_labels=2,
+    )
+    torch.manual_seed(0)
+    hf = transformers.ResNetModel(hf_cfg)
+    head = torch.nn.Linear(512, 2)
+    sd = {f"model.feature_extractor.{k}": v for k, v in hf.state_dict().items()}
+    sd["model.classifier.1.weight"] = head.weight
+    sd["model.classifier.1.bias"] = head.bias
+    for i in range(n_layers):
+        lin0, lin1 = torch.nn.Linear(D, D // 2), torch.nn.Linear(D // 2, U)
+        sd[f"projector.{i}.0.weight"] = lin0.weight
+        sd[f"projector.{i}.0.bias"] = lin0.bias
+        sd[f"projector.{i}.2.weight"] = lin1.weight
+        sd[f"projector.{i}.2.bias"] = lin1.bias
+    ckpt_file = tmp_path / "reference-lef.ckpt"
+    torch.save({"state_dict": sd, "epoch": 3, "global_step": 120}, ckpt_file)
+
+    config = {
+        "seed_everything": 7,
+        "trainer": {"default_root_dir": str(tmp_path / "run")},
+        "ckpt_path": str(ckpt_file),
+        "model": {
+            "class_path": "efficient_kws.model.KWSModel",
+            "init_args": {
+                "sampling": "random",
+                "kw_type": "natural",
+                "n_layers": n_layers,
+                "embedding_dim": D,
+                "learn_features": True,
+                "proj_mlp": True,
+                "proj_mlp_units": U,
+                "resnet_version": "resnet-18",
+                "features_size": [32, 64],
+            },
+        },
+        "data": {
+            "class_path": "efficient_kws.data_module.KWSDataMod",
+            "init_args": {
+                "train_info": [{"name": "mls", "root": str(root), "kw_type": "natural"}],
+                "val_info": [
+                    {"language": "English", "root": str(root), "kw_type": "natural"},
+                ],
+                "keywords_per_group": 2,
+                "languages": ["English", "German"],
+            },
+        },
+    }
+    cfg = tmp_path / "val.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(config, f)
+    metrics = run_cli(["validate", "--config", str(cfg)])
+    assert metrics, "validate returned no metrics"
