@@ -119,6 +119,7 @@ class EfficientMLSKWSDataset(MLSKWSDataset):
             "mask": mask,
             "domain": (0 if self.kw_type == "tts" else len(self.languages))
             + self.languages.index(submeta["language"]),
+            "idx": idx,  # carried for parity (dataset.py:575); collator skips it
             "kwd_features": kwd_f,
             "kwd_mask": kwd_m,
         }
