@@ -180,8 +180,19 @@ def update_epoch_lr(config: KWSTrainConfig, state: KWSTrainState, opt_state=None
     return os_
 
 
-def make_train_step(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discriminator], tx):
-    """Returns jitted ``step(state_tuple, batch, rng, beta, suppression)``."""
+def make_grad_fn(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discriminator]):
+    """The backward half of the reference ``training_step``
+    (src/model/model.py:109-228): kw_type='all' selection, optional DANNCE
+    input rewriting, then the minibatch loop accumulating SUMMED gradients
+    (torch ``manual_backward`` per minibatch accumulates into ``p.grad``)
+    with BatchNorm stats threaded sequentially.
+
+    Returns ``grads(params, batch_stats, batch, rng, beta, suppression) ->
+    (grads, new_stats, metric_sums, n_examples)``.  Split out from
+    :func:`make_train_step` so the torch differential
+    (tests/test_model_differential.py) can compare raw gradients against the
+    reference's ``p.grad`` without going through an optimizer update.
+    """
 
     n_mb = config.accumulate_grad_batches if config.adversarial_training else 1
 
@@ -249,8 +260,7 @@ def make_train_step(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discri
             metrics["entropy_loss"] = e_loss
         return loss, (new_stats, metrics)
 
-    @partial(jax.jit, static_argnames=())
-    def step(params, batch_stats, opt_state, batch, rng, beta, suppression):
+    def accumulate(params, batch_stats, batch, rng, beta, suppression):
         features, c_labels = batch["features"], batch["labels"]
         d_labels = batch.get("domain")
 
@@ -308,12 +318,29 @@ def make_train_step(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discri
             (batch_stats, zero_grads, metric_init),
             (feats, cl, dl, jnp.arange(n_mb)),
         )
+        return grads, new_stats, metrics, features.shape[0]
 
+    return accumulate
+
+
+def make_train_step(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discriminator], tx):
+    """Returns jitted ``step(params, batch_stats, opt_state, batch, rng,
+    beta, suppression)`` — gradient accumulation (:func:`make_grad_fn`)
+    followed by the three-group optimizer update (model.py:220-228)."""
+
+    accumulate = make_grad_fn(config, kws, disc)
+    n_mb = config.accumulate_grad_batches if config.adversarial_training else 1
+
+    @partial(jax.jit, static_argnames=())
+    def step(params, batch_stats, opt_state, batch, rng, beta, suppression):
+        grads, new_stats, metrics, n_examples = accumulate(
+            params, batch_stats, batch, rng, beta, suppression
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
         out_metrics = {
-            k: (v / n_mb if k != "disc_correct" else v / features.shape[0])
+            k: (v / n_mb if k != "disc_correct" else v / n_examples)
             for k, v in metrics.items()
         }
         return params, new_stats, opt_state, out_metrics

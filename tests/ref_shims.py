@@ -94,11 +94,26 @@ def lightning_shim():
         def hparams(self):
             return self._hparams_ns
 
-        def log(self, *a, **k):
-            pass
+        def log(self, name, value, *a, **k):
+            if not hasattr(self, "logged"):
+                object.__setattr__(self, "logged", {})
+            self.logged[name] = value
 
-        def log_dict(self, *a, **k):
-            pass
+        def log_dict(self, d, *a, **k):
+            for k_, v in d.items():
+                self.log(k_, v)
+
+        # manual-optimization surface (training_step of src/model/model.py
+        # uses these when adversarial_training=True); the test wires
+        # `_optimizers`/`_schedulers`/`trainer` before calling training_step
+        def optimizers(self):
+            return self._optimizers
+
+        def lr_schedulers(self):
+            return self._schedulers
+
+        def manual_backward(self, loss):
+            loss.backward()
 
     pl = _module("pytorch_lightning")
     pl.LightningModule = LightningModule
@@ -106,14 +121,48 @@ def lightning_shim():
 
 
 def torchmetrics_shim():
+    import torch
+
     tm = _module("torchmetrics")
 
     class PrecisionRecallCurve:
         def __init__(self, *a, **k):
             pass
 
+    class Accuracy:
+        """Plain multiclass accuracy (the only use, model.py:74+212, feeds
+        equal-length 1-D pred/target index tensors)."""
+
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, preds, target):
+            return (preds == target).float().mean()
+
     tm.PrecisionRecallCurve = PrecisionRecallCurve
+    tm.Accuracy = Accuracy
     return {"torchmetrics": tm}
+
+
+def tiny_resnet_transformers_shim(**config_overrides):
+    """Pass-through `transformers` whose ResNetConfig() applies tiny-size
+    overrides AFTER real construction, so the reference's hard-coded
+    `Resnet(num_channels=12, ...)` (src/model/resnet.py:14-21) builds a
+    test-sized tower.  ResNetModel is the real class — the forward under
+    test is untouched."""
+    import transformers as real
+
+    t = _module("transformers")
+
+    def ResNetConfig(*a, **k):
+        cfg = real.ResNetConfig(*a, **k)
+        for key, val in config_overrides.items():
+            setattr(cfg, key, val)
+        return cfg
+
+    t.ResNetConfig = ResNetConfig
+    t.ResNetModel = real.ResNetModel
+    return {"transformers": t}
 
 
 def confidence_intervals_shim():
