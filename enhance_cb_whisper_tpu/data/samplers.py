@@ -139,7 +139,12 @@ class KWSSampler:
                     if len(set(cand) - avoid) == n_rand:
                         break
                 indices += cand
-                avoid |= set(cand)
+                # NOTE: the reference's `indices_to_avoid.union(set(...))`
+                # (sampler.py:64,70 — union returns a NEW set, result
+                # discarded) never grows the avoid set, so later draw types
+                # only avoid the POSITIVES and may duplicate earlier
+                # negatives.  Reproduced exactly (pinned by the duplicate-
+                # rate differential in tests/test_sampler_differential.py).
 
             if n_lex > 0:
                 half = n_lex // 2
@@ -154,7 +159,6 @@ class KWSSampler:
                     if len(set(cand) - avoid) == half and all(lo <= c < hi for c in cand):
                         break
                 indices += cand
-                avoid |= set(cand)
                 # reverse lexicographic neighbourhood
                 n_lang = hi - lo
                 for tries in range(_MAX_REJECTION_TRIES + 1):
