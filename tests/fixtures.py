@@ -15,6 +15,19 @@ def _norm(x):
     return x / np.linalg.norm(x, axis=-1, keepdims=True)
 
 
+def _save(path, arr, fmt="npy"):
+    """Write a hidden-state stack in our native .npy or the reference's
+    torch-pickled .bin (both readable by catalog/store.py; .bin lets the
+    VERBATIM reference datasets consume the same fixture)."""
+    if fmt == "bin":
+        import torch
+
+        with open(os.path.splitext(path)[0] + ".bin", "wb") as f:
+            torch.save(torch.from_numpy(np.ascontiguousarray(arr)), f)
+    else:
+        save_hidden_states(path, arr)
+
+
 def make_aishell_kws(root, n_keywords=6, n_utts=4, ghost=(4,), seed=0):
     """root/kws/{keywords.txt, positives.tsv, hs/, keywords-hs/{tts,natural}/}"""
     rng = np.random.default_rng(seed)
@@ -57,7 +70,7 @@ def make_aishell_kws(root, n_keywords=6, n_utts=4, ghost=(4,), seed=0):
     return keywords, positives_per_utt
 
 
-def make_aishell_hotword(root, n_hotwords=5, n_utts=3, ghost=(3,), seed=1):
+def make_aishell_hotword(root, n_hotwords=5, n_utts=3, ghost=(3,), seed=1, fmt="npy"):
     """root/hotword/dev/{hotword.txt, text, hs/, keywords-hs/natural/}"""
     rng = np.random.default_rng(seed)
     split_dir = os.path.join(root, "hotword", "dev")
@@ -71,17 +84,19 @@ def make_aishell_hotword(root, n_hotwords=5, n_utts=3, ghost=(3,), seed=1):
         if i in ghost:
             continue
         t = int(rng.integers(2, 6))
-        save_hidden_states(
+        _save(
             os.path.join(d, f"{i}.npy"),
             _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+            fmt,
         )
     lines = []
     for u in range(n_utts):
         code = f"BAC009S{u:04d}W{u:04d}"
         t = int(rng.integers(10, 20))
-        save_hidden_states(
+        _save(
             os.path.join(split_dir, "hs", f"{code}.npy"),
             _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+            fmt,
         )
         transcript = f"前缀{hotwords[u % n_hotwords]}后缀"
         lines.append(f"{code} {transcript}")
@@ -183,7 +198,7 @@ def make_mls(root, languages=("English", "German"), n_keywords=5, n_utts=3,
 
 
 def make_acl(root, n_keywords=4, n_utts=3, ghost=(2,), seed=3, split="eval",
-             n_mels=8, whisper_dim=32, kw_layers=2, sr=16000):
+             n_mels=8, whisper_dim=32, kw_layers=2, sr=16000, fmt="npy"):
     """ACL-6060 layout: root/2/acl_6060/{eval,dev}/..."""
     import wave
 
@@ -206,9 +221,10 @@ def make_acl(root, n_keywords=4, n_utts=3, ghost=(2,), seed=3, split="eval",
         if i in ghost:
             continue
         t = int(rng.integers(2, 6))
-        save_hidden_states(
+        _save(
             os.path.join(kw_dir, f"{i}.npy"),
             _norm(rng.standard_normal((kw_layers, t, whisper_dim), dtype=np.float32)),
+            fmt,
         )
 
     transcripts, tagged, segs = [], [], []
@@ -217,9 +233,10 @@ def make_acl(root, n_keywords=4, n_utts=3, ghost=(2,), seed=3, split="eval",
         transcripts.append(f"the {kw} is here")
         tagged.append(f"the [{kw}] is here")
         t = int(rng.integers(8, 14))
-        save_hidden_states(
+        _save(
             os.path.join(base, "hs", f"sent_{u + 1}.npy"),
             _norm(rng.standard_normal((kw_layers, t, whisper_dim), dtype=np.float32)),
+            fmt,
         )
         wav = (rng.standard_normal(sr) * 0.05).astype(np.float32)
         with wave.open(os.path.join(base, "segmented_wavs", "gold", f"sent_{u + 1}.wav"), "wb") as w:
