@@ -28,7 +28,7 @@ def _save(path, arr, fmt="npy"):
         save_hidden_states(path, arr)
 
 
-def make_aishell_kws(root, n_keywords=6, n_utts=4, ghost=(4,), seed=0):
+def make_aishell_kws(root, n_keywords=6, n_utts=4, ghost=(4,), seed=0, fmt="npy"):
     """root/kws/{keywords.txt, positives.tsv, hs/, keywords-hs/{tts,natural}/}"""
     rng = np.random.default_rng(seed)
     kws_dir = os.path.join(root, "kws")
@@ -44,9 +44,10 @@ def make_aishell_kws(root, n_keywords=6, n_utts=4, ghost=(4,), seed=0):
             if i in ghost:
                 continue
             t = int(rng.integers(2, 6))
-            save_hidden_states(
+            _save(
                 os.path.join(d, f"{i}.npy"),
                 _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+                fmt,
             )
 
     lines = []
@@ -55,9 +56,10 @@ def make_aishell_kws(root, n_keywords=6, n_utts=4, ghost=(4,), seed=0):
     for u in range(n_utts):
         code = f"UTT{u:03d}"
         t = int(rng.integers(10, 20))
-        save_hidden_states(
+        _save(
             os.path.join(kws_dir, "hs", f"{code}.npy"),
             _norm(rng.standard_normal((N_LAYERS, t, DIM), dtype=np.float32)),
+            fmt,
         )
         pos = sorted(rng.choice(n_keywords, size=2, replace=False).tolist())
         positives_per_utt[code] = pos

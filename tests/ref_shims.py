@@ -115,8 +115,16 @@ def lightning_shim():
         def manual_backward(self, loss):
             loss.backward()
 
+    class LightningDataModule:
+        """Bare base: the reference data modules only rely on it being a
+        constructible base class with a no-arg __init__."""
+
+        def __init__(self, *a, **k):
+            pass
+
     pl = _module("pytorch_lightning")
     pl.LightningModule = LightningModule
+    pl.LightningDataModule = LightningDataModule
     return {"pytorch_lightning": pl}
 
 
