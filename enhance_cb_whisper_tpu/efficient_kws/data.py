@@ -196,6 +196,20 @@ class _EfficientGroupedEval:
                 f, m = pad_or_truncate(s, size0, pad, n_layers)
                 kwds.append(f)
                 masks.append(m)
+            if len({f.shape for f in kwds}) > 1:
+                # pad_long_before_resize=False keeps PER-KEYWORD truncated
+                # lengths (dataset.py:811-813); the reference's own eval then
+                # crashes at `torch.stack(batch['kwd'][i])`
+                # (efficient_kws/model.py:314-317), so ragged groups are not
+                # a supported configuration in either implementation — fail
+                # with a diagnosis instead of an opaque stack error
+                raise ValueError(
+                    "pad_long_before_resize=False produced ragged keyword "
+                    f"lengths {sorted({f.shape[1] for f in kwds})} in group "
+                    f"{i // group}; grouped evaluation requires uniform "
+                    "lengths (use pad_long_before_resize=True, or ensure "
+                    "every keyword has >= features_size[0] frames)"
+                )
             self.groups.append(
                 {
                     "keywords": keywords[i : i + group],
