@@ -109,6 +109,14 @@ def _run_paper1(subcommand: str, config: Dict[str, Any]):
         )
 
     train_config = KWSTrainConfig(**filter_kwargs(model_args, KWSTrainConfig))
+    if data_args.get("device_features"):
+        # on-device sims+resize needs the collator target inside the step
+        import dataclasses as _dc
+
+        train_config = _dc.replace(
+            train_config,
+            device_features=tuple(data_args.get("features_size") or (150, 750)),
+        )
     datamodule = KWSDataMod(**filter_kwargs(data_args, KWSDataMod))
 
     log_dir = get(config, "trainer.default_root_dir") or "runs/kws"

@@ -88,6 +88,55 @@ class KWSDataCollator:
         return batch
 
 
+def _bucket(n: int, step: int, lo: int) -> int:
+    return max(lo, ((n + step - 1) // step) * step)
+
+
+class RawKWSDataCollator:
+    """TPU extension: batch the RAW hidden-state stacks (datasets built
+    with ``raw_features=True``) instead of host-computed similarity maps.
+
+    The similarity einsum + antialiased resize then run inside the jitted
+    train step (``ops/resize.py:features_from_hidden_states`` via
+    ``KWSTrainConfig.device_features``) — dense matmuls that belong on the
+    MXU, not on a host core (~2 GFLOP/example at the reference's
+    (150, 750)).  Lengths are zero-padded to BUCKETED maxima so the step
+    compiles once per bucket pair, not per batch shape.
+    """
+
+    def __init__(self, bucket_kwd: int = 8, bucket_utt: int = 128):
+        self.bucket_kwd = bucket_kwd
+        self.bucket_utt = bucket_utt
+
+    @staticmethod
+    def _pad_stack(stacks: List[np.ndarray], target: int) -> np.ndarray:
+        out = np.zeros(
+            (len(stacks), stacks[0].shape[0], target, stacks[0].shape[2]),
+            np.float32,
+        )
+        for i, s in enumerate(stacks):
+            out[i, :, : s.shape[1]] = s
+        return out
+
+    def __call__(self, features: List) -> dict:
+        if isinstance(features[0], tuple):  # tts/natural pairs → flatten
+            features = [item for pair in features for item in pair]
+        kwd = [np.asarray(f["kwd_hs"], np.float32) for f in features]
+        utt = [np.asarray(f["utt_hs"], np.float32) for f in features]
+        t_k = _bucket(max(s.shape[1] for s in kwd), self.bucket_kwd, self.bucket_kwd)
+        t_u = _bucket(max(s.shape[1] for s in utt), self.bucket_utt, self.bucket_utt)
+        batch = {
+            "kwd_hs": self._pad_stack(kwd, t_k),
+            "utt_hs": self._pad_stack(utt, t_u),
+            "kwd_len": np.asarray([s.shape[1] for s in kwd], np.int32),
+            "utt_len": np.asarray([s.shape[1] for s in utt], np.int32),
+            "labels": np.asarray([f["label"] for f in features], dtype=np.int64),
+        }
+        if features[0].get("domain", None) is not None:
+            batch["domain"] = np.asarray([f["domain"] for f in features], dtype=np.int64)
+        return batch
+
+
 class HotwordDataCollator:
     """Eval batch size is one utterance (data_collator.py:62-65)."""
 

@@ -97,6 +97,7 @@ class KWSDataMod:
         whisper_ckpt: str = "openai/whisper-large-v2",
         max_duration: Optional[float] = None,
         resample_every_epoch: bool = True,
+        device_features: bool = False,
         **kwargs,
     ):
         self.features_size = features_size
@@ -131,7 +132,16 @@ class KWSDataMod:
         if self.test_info is not None:
             assert self.test_info.name in ("aishell", "acl")
 
-        self.collate_fn1 = KWSDataCollator(size=features_size)
+        # device_features (TPU extension): ship raw hidden-state batches and
+        # fuse sims + resize into the jitted train step (RawKWSDataCollator /
+        # KWSTrainConfig.device_features) instead of host-side numpy resize
+        self.device_features = device_features
+        if device_features:
+            from .collators import RawKWSDataCollator
+
+            self.collate_fn1 = RawKWSDataCollator()
+        else:
+            self.collate_fn1 = KWSDataCollator(size=features_size)
         self.collate_fn2 = HotwordDataCollator()
 
     # ----------------------------------------------------------------- setup
@@ -165,9 +175,11 @@ class KWSDataMod:
             dataset_cls = AishellKWSDataset if info.name == "aishell" else MLSKWSDataset
 
             def make(kw_type):
+                raw = {"raw_features": True} if self.device_features else {}
                 if info.name == "aishell":
-                    return dataset_cls(root=info.root, kw_type=kw_type)
-                return dataset_cls(root=info.root, languages=MLS_LANGUAGES, kw_type=kw_type)
+                    return dataset_cls(root=info.root, kw_type=kw_type, **raw)
+                return dataset_cls(root=info.root, languages=MLS_LANGUAGES,
+                                   kw_type=kw_type, **raw)
 
             if info.kw_type != "all":
                 self.fit_dataset = make(info.kw_type)

@@ -74,7 +74,15 @@ class ConcatDataset:
 class AishellKWSDataset:
     """Training pairs over the aishell KWS layout (dataset.py:26-102)."""
 
-    def __init__(self, root: str, kw_type: str = "natural"):
+    def __init__(self, root: str, kw_type: str = "natural", raw_features: bool = False):
+        # raw_features (TPU extension): emit the zero-padded keyword and
+        # utterance hidden-state stacks instead of the host-computed
+        # similarity map, so the sims einsum + antialiased resize run
+        # INSIDE the jitted train step on the MXU
+        # (ops/resize.py:features_from_hidden_states) — the host resize is
+        # ~2 GFLOP/example at the reference's (150, 750) target and caps a
+        # host core at ~5 examples/s vs the TPU step's 881 examples/s
+        self.raw_features = raw_features
         assert os.path.isdir(os.path.join(root, "kws")), (
             "the directory you indicated with the dataset could not be found"
         )
@@ -115,14 +123,18 @@ class AishellKWSDataset:
             kwd = load_hidden_states(self._kw_path(keyword_idx))
         else:
             kwd = np.zeros((utt.shape[0], 1, utt.shape[2]), dtype=utt.dtype)
-        return {
+        item = {
             "label": int(any(keyword_idx == p for _, p, _ in data["positives"])),
             "mask": mask,
             "domain": 0 if self.kw_type == "tts" else 1,
-            # pre-normalized caches: inner product == cosine similarity
-            "features": np.einsum("lkd,lud->lku", kwd, utt),
             "code": data["code"],
         }
+        if self.raw_features:
+            item["kwd_hs"], item["utt_hs"] = kwd, utt
+        else:
+            # pre-normalized caches: inner product == cosine similarity
+            item["features"] = np.einsum("lkd,lud->lku", kwd, utt)
+        return item
 
 
 class MLSKWSDataset:
@@ -137,7 +149,9 @@ class MLSKWSDataset:
             "English", "French", "German", "Polish", "Portuguese", "Spanish",
         ),
         kw_type: str = "natural",
+        raw_features: bool = False,
     ):
+        self.raw_features = raw_features  # see AishellKWSDataset
         assert os.path.isdir(root)
         # The roots dict (and hence keywords/n_keywords below) iterates in
         # CALLER order while self.languages is sorted — replicated verbatim
@@ -213,13 +227,17 @@ class MLSKWSDataset:
             any(keyword_idx == p for _, p, _ in data["positives"])
             and submeta["language"] == kw_lang
         )
-        return {
+        item = {
             "label": label,
             "mask": mask,
             "domain": (0 if self.kw_type == "tts" else len(self.languages))
             + self.languages.index(submeta["language"]),
-            "features": np.einsum("lkd,lud->lku", kwd, utt),
         }
+        if self.raw_features:
+            item["kwd_hs"], item["utt_hs"] = kwd, utt
+        else:
+            item["features"] = np.einsum("lkd,lud->lku", kwd, utt)
+        return item
 
 
 class _GroupedKeywordEvalDataset:

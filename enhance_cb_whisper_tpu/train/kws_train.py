@@ -68,6 +68,14 @@ class KWSTrainConfig:
     # with float32 params, optimizer state and BatchNorm statistics —
     # measured ~2x step throughput on v5e at the reference's full config
     compute_dtype: str = "float32"
+    # TPU extension: when set to the collator target (size0, size1), the
+    # step consumes RAW hidden-state batches (RawKWSDataCollator) and fuses
+    # the similarity einsum + antialiased resize on device
+    # (ops/resize.py:features_from_hidden_states) — the host-side resize is
+    # ~2 GFLOP/example at (150, 750): a host core collates ~5 examples/s
+    # while the TPU step consumes 881, so training at reference dims is
+    # input-bound unless this work rides the MXU
+    device_features: Optional[Tuple[int, int]] = None
     # TPU extension: feed similarity maps as NHWC ([B, H, W, L]) so the conv
     # stack runs in the TPU-native layout without a leading transpose; the
     # collator emits either layout (docs/PERF.md train-step sweep)
@@ -261,6 +269,16 @@ def make_grad_fn(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discrimin
         return loss, (new_stats, metrics)
 
     def accumulate(params, batch_stats, batch, rng, beta, suppression):
+        if config.device_features is not None and "utt_hs" in batch:
+            # fused on-device features (see KWSTrainConfig.device_features)
+            from ..ops.resize import features_from_hidden_states
+
+            size = tuple(config.device_features)
+            feats = jax.vmap(
+                lambda k, u, kl, ul: features_from_hidden_states(k, u, kl, ul, size)
+            )(batch["kwd_hs"], batch["utt_hs"], batch["kwd_len"], batch["utt_len"])
+            batch = {"features": feats, "labels": batch["labels"],
+                     **({"domain": batch["domain"]} if "domain" in batch else {})}
         features, c_labels = batch["features"], batch["labels"]
         d_labels = batch.get("domain")
 

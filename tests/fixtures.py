@@ -324,6 +324,12 @@ def tiny_paper1_patch():
             if key in model_args:
                 data_args[key] = model_args[key]
         train_config = KWSTrainConfig(**filter_kwargs(model_args, KWSTrainConfig))
+        if data_args.get("device_features"):  # mirrors cli/main.py:_run_paper1
+            import dataclasses as _dc
+
+            train_config = _dc.replace(
+                train_config, device_features=tuple(data_args["features_size"])
+            )
         datamodule = KWSDataMod(**filter_kwargs(data_args, KWSDataMod))
         log_dir = get(config, "trainer.default_root_dir") or "runs/kws"
         engine = KWSEngine(
