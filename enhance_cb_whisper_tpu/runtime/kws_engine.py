@@ -407,7 +407,16 @@ class KWSEngine:
                 print(f"beta={self.config.beta(epoch):.2f}")
 
             metrics = None
-            for b_idx, batch in enumerate(datamodule.train_dataloader()):
+            # overlap host batch prep (disk loads, sims/resize or raw
+            # padding in the collator) with the in-flight device step —
+            # async dispatch means step_fn returns before the device
+            # finishes, so the worker thread builds batch N+1 while the
+            # TPU trains on batch N
+            from ..audio.prefetch import prefetch
+
+            for b_idx, batch in enumerate(
+                prefetch(datamodule.train_dataloader(), depth=2)
+            ):
                 if limit_train_batches is not None and b_idx >= limit_train_batches:
                     break
                 arrays = {k: jnp.asarray(v) for k, v in batch.items()}
