@@ -61,6 +61,41 @@ def test_dp_train_step_matches_single_device():
     np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-6)
 
 
+def test_dp_train_step_device_features_matches_single():
+    """DP sharding composes with the on-device training features: the raw
+    batch leaves (kwd_hs/utt_hs/lengths) all lead with the batch axis, so
+    P('data') shards them generically; outputs match single-device."""
+    config = KWSTrainConfig(num_domains=4, learning_rate=1e-3,
+                            device_features=(32, 48))
+    rng = jax.random.PRNGKey(0)
+    state, (kws, disc, tx) = init_train_state(rng, config, TINY, (3, 32, 48))
+    step = make_train_step(config, kws, disc, tx)
+
+    nprng = np.random.default_rng(1)
+    batch = {
+        "kwd_hs": nprng.standard_normal((8, 3, 8, 6), dtype=np.float32),
+        "utt_hs": nprng.standard_normal((8, 3, 64, 6), dtype=np.float32),
+        "kwd_len": nprng.integers(2, 8, 8).astype(np.int32),
+        "utt_len": nprng.integers(20, 64, 8).astype(np.int32),
+        "labels": nprng.integers(0, 2, 8),
+        "domain": nprng.integers(0, 4, 8),
+    }
+    srng = jax.random.fold_in(rng, 1)
+    p1, s1, o1, m1 = step(state.params, state.batch_stats, state.opt_state,
+                          {k: jnp.asarray(v) for k, v in batch.items()}, srng, 0.0, 0.0)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    with mesh:
+        sharded = make_sharded_train_step(step, mesh)
+        p2, s2, o2, m2 = sharded(state.params, state.batch_stats, state.opt_state,
+                                 {k: jnp.asarray(v) for k, v in batch.items()}, srng, 0.0, 0.0)
+
+    np.testing.assert_allclose(float(m1["class_loss"]), float(m2["class_loss"]), rtol=1e-5)
+    k1 = np.asarray(p1["kws"]["model"]["classifier"]["kernel"])
+    k2 = np.asarray(p2["kws"]["model"]["classifier"]["kernel"])
+    np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_catalog_scoring_matches():
     from enhance_cb_whisper_tpu.catalog import (
         KeywordCatalog,
