@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from enhance_cb_whisper_tpu.models.resnet import ResNetConfig
-from enhance_cb_whisper_tpu.runtime.compile_cache import enable_compile_cache
+from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
 from enhance_cb_whisper_tpu.train.kws_train import (
     KWSTrainConfig,
     init_train_state,
@@ -30,9 +30,11 @@ from enhance_cb_whisper_tpu.train.kws_train import (
 )
 
 B = int(os.environ.get("ECW_DF_BATCH", 32))
-L, D = 12, 1280
-T_K, T_U = 32, 768
-SIZE = (150, 750)
+L = int(os.environ.get("ECW_DF_LAYERS", 12))
+D = int(os.environ.get("ECW_DF_DIM", 1280))
+T_K = int(os.environ.get("ECW_DF_TK", 32))
+T_U = int(os.environ.get("ECW_DF_TU", 768))
+SIZE = (int(os.environ.get("ECW_DF_H", 150)), int(os.environ.get("ECW_DF_W", 750)))
 STEPS = int(os.environ.get("ECW_DF_STEPS", 8))
 
 
@@ -70,7 +72,7 @@ def _run(config, batch, tag):
 
 
 def main():
-    enable_compile_cache()
+    enable_persistent_cache()
     rng = np.random.default_rng(0)
     dtype = os.environ.get("ECW_DF_DTYPE", "bfloat16")
 
