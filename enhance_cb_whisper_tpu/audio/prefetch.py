@@ -25,17 +25,41 @@ class PrefetchIterator(Iterator[T]):
     def __init__(self, iterable: Iterable[T], depth: int = 2):
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._iterable = iterable
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         try:
             for item in self._iterable:
-                self._queue.put(("item", item))
+                # bounded put: an abandoned consumer (early break —
+                # close()) must not leave this thread blocked forever
+                # holding a batch
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(("item", item), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
         except BaseException as e:  # re-raised on the consumer side
             self._queue.put(("error", e))
         finally:
-            self._queue.put(("done", _SENTINEL))
+            if not self._stop.is_set():
+                self._queue.put(("done", _SENTINEL))
+
+    def close(self):
+        """Stop the worker (consumer breaks early, e.g. Lightning-style
+        ``limit_train_batches``); drains so the worker unblocks."""
+        self._stop.set()
+        self._exhausted = True
+        while not self._queue.empty():
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=1.0)
 
     def __iter__(self):
         return self

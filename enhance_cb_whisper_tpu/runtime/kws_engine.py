@@ -414,10 +414,10 @@ class KWSEngine:
             # TPU trains on batch N
             from ..audio.prefetch import prefetch
 
-            for b_idx, batch in enumerate(
-                prefetch(datamodule.train_dataloader(), depth=2)
-            ):
+            loader = prefetch(datamodule.train_dataloader(), depth=2)
+            for b_idx, batch in enumerate(loader):
                 if limit_train_batches is not None and b_idx >= limit_train_batches:
+                    loader.close()  # unblock the worker thread
                     break
                 arrays = {k: jnp.asarray(v) for k, v in batch.items()}
                 if self.config.channels_last:

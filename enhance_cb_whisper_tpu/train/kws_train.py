@@ -269,6 +269,19 @@ def make_grad_fn(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discrimin
         return loss, (new_stats, metrics)
 
     def accumulate(params, batch_stats, batch, rng, beta, suppression):
+        if config.kw_type == "all":
+            # coin-flip between the tts/natural member of each adjacent pair
+            # (model.py:120-127); applied to EVERY batch leaf (they all lead
+            # with the example axis), BEFORE the fused feature computation so
+            # the dropped half costs no sims/resize work
+            half = batch["labels"].shape[0] // 2
+            pick = jax.random.bernoulli(
+                jax.random.fold_in(rng, 0), 1.0 - config.kw_p, (half,)
+            ).astype(jnp.int32)
+            # k_mask = rand > kw_p selects tts (slot 0) with prob 1-kw_p
+            sel = 2 * jnp.arange(half) + (1 - pick)
+            batch = {k: v[sel] for k, v in batch.items()}
+
         if config.device_features is not None and "utt_hs" in batch:
             # fused on-device features (see KWSTrainConfig.device_features)
             from ..ops.resize import features_from_hidden_states
@@ -281,19 +294,6 @@ def make_grad_fn(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discrimin
                      **({"domain": batch["domain"]} if "domain" in batch else {})}
         features, c_labels = batch["features"], batch["labels"]
         d_labels = batch.get("domain")
-
-        if config.kw_type == "all":
-            # coin-flip between the tts/natural member of each adjacent pair
-            half = features.shape[0] // 2
-            pick = jax.random.bernoulli(
-                jax.random.fold_in(rng, 0), 1.0 - config.kw_p, (half,)
-            ).astype(jnp.int32)
-            # k_mask = rand > kw_p selects tts (slot 0) with prob 1-kw_p
-            sel = 2 * jnp.arange(half) + (1 - pick)
-            features = features[sel]
-            c_labels = c_labels[sel]
-            if d_labels is not None:
-                d_labels = d_labels[sel]
 
         if config.dannce and config.adversarial_training:
             mb = features.shape[0] // n_mb

@@ -151,3 +151,29 @@ def test_load_audio_float32_wav(tmp_path):
     wav = load_audio_16k(str(path))
     assert wav.dtype == np.float32 and wav.shape[0] == 1600
     np.testing.assert_allclose(wav, samples, atol=1e-4)
+
+
+def test_prefetch_close_unblocks_worker():
+    """Early consumer break (limit_train_batches) must not leave the
+    worker thread blocked on a full queue holding a batch."""
+    import itertools
+    import time
+
+    from enhance_cb_whisper_tpu.audio.prefetch import prefetch
+
+    produced = []
+
+    def gen():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()
+    deadline = time.time() + 2.0
+    while it._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not it._thread.is_alive()
+    # after close, iteration reports exhaustion instead of blocking
+    assert list(it) == []
