@@ -420,8 +420,9 @@ class KWSEngine:
                     loader.close()  # unblock the worker thread
                     break
                 arrays = {k: jnp.asarray(v) for k, v in batch.items()}
-                if self.config.channels_last:
-                    # collators emit NCHW; the channels_last models take NHWC
+                if self.config.channels_last and "features" in arrays:
+                    # collators emit NCHW; the channels_last models take
+                    # NHWC (raw device_features batches transpose in-step)
                     arrays["features"] = jnp.transpose(
                         arrays["features"], (0, 2, 3, 1)
                     )

@@ -290,6 +290,10 @@ def make_grad_fn(config: KWSTrainConfig, kws: KWSModel, disc: Optional[Discrimin
             feats = jax.vmap(
                 lambda k, u, kl, ul: features_from_hidden_states(k, u, kl, ul, size)
             )(batch["kwd_hs"], batch["utt_hs"], batch["kwd_len"], batch["utt_len"])
+            if config.channels_last:
+                # the host collator's NCHW->NHWC transpose happens in the
+                # engine loop; the fused path transposes in-graph
+                feats = jnp.transpose(feats, (0, 2, 3, 1))
             batch = {"features": feats, "labels": batch["labels"],
                      **({"domain": batch["domain"]} if "domain" in batch else {})}
         features, c_labels = batch["features"], batch["labels"]

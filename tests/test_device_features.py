@@ -195,3 +195,24 @@ def test_cli_fit_device_features(tmp_path):
     with tiny_paper1_patch():
         run_cli(["fit", "--config", str(cfg)])
     assert os.path.exists(os.path.join(run_dir, "checkpoints", "final", "state.msgpack"))
+
+
+def test_fused_features_channels_last():
+    """device_features composes with the NHWC training layout: the fused
+    path transposes in-graph and matches the NCHW run's loss."""
+    rng = np.random.default_rng(5)
+    items = _raw_items(8, rng)
+    raw = RawKWSDataCollator(bucket_kwd=4, bucket_utt=16)(items)
+
+    results = {}
+    for cl in (False, True):
+        cfg = KWSTrainConfig(device_features=SIZE, channels_last=cl)
+        shape = ((TINY.num_channels, *SIZE) if not cl else (*SIZE, TINY.num_channels))
+        state, (kws, disc, _tx) = init_train_state(
+            jax.random.PRNGKey(0), cfg, TINY, shape
+        )
+        _, _, metrics, _ = jax.jit(make_grad_fn(cfg, kws, disc))(
+            state.params, state.batch_stats, raw, jax.random.PRNGKey(1), 0.0, 0.0
+        )
+        results[cl] = float(metrics["class_loss"])
+    np.testing.assert_allclose(results[True], results[False], rtol=1e-4)
