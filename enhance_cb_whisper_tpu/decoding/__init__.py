@@ -1,6 +1,7 @@
 from .logits_process import LogitsProcessorConfig, apply_logits_processors
 from .beam import beam_search, greedy_search
 from .generate import WhisperGenerator, GenerationOptions
+from .speculative import speculative_greedy_search
 
 __all__ = [
     "LogitsProcessorConfig",
@@ -9,4 +10,5 @@ __all__ = [
     "greedy_search",
     "WhisperGenerator",
     "GenerationOptions",
+    "speculative_greedy_search",
 ]

@@ -65,17 +65,25 @@ def apply_logits_processors(
     cfg: LogitsProcessorConfig,
     logits: jax.Array,  # [B, vocab] raw logits for the next position
     tokens: jax.Array,  # [B, L] all tokens so far (prompt + generated, padded ahead)
-    cur_len: jax.Array,  # scalar: number of valid tokens in ``tokens``
+    cur_len: jax.Array,  # scalar OR [B]: number of valid tokens in ``tokens``
     begin_index: jax.Array,  # scalar: index of the first generated position
 ) -> jax.Array:
-    """Apply the processor stack; returns processed logits."""
+    """Apply the processor stack; returns processed logits.
+
+    ``cur_len`` may be a per-row [B] vector (speculative decoding verifies
+    rows sitting at different positions in one launch) — all masks then
+    broadcast per row; a scalar keeps the original single-position
+    semantics bit-for-bit."""
     vocab = cfg.vocab_size
     logits = logits.astype(jnp.float32)
+    cur_len = jnp.asarray(cur_len)
 
     logits = _suppress(logits, cfg.suppress_tokens, vocab)
 
     if len(cfg.begin_suppress_tokens) > 0:
         at_begin = cur_len == begin_index
+        if at_begin.ndim == 1:
+            at_begin = at_begin[:, None]
         mask = np.zeros((vocab,), dtype=bool)
         mask[np.asarray(cfg.begin_suppress_tokens, dtype=np.int64)] = True
         logits = jnp.where(
@@ -100,12 +108,17 @@ def _timestamp_rules(
     # never emit <|notimestamps|>
     logits = jnp.where(vocab_ids == cfg.no_timestamps_token_id, NEG_INF, logits)
 
-    # how many tokens were generated after begin_index
+    # ``cur_len`` scalar or per-row [B]; ``cl_col`` broadcasts against the
+    # [*, L] position grid either way
+    cur_len = jnp.asarray(cur_len)
+    cl_col = cur_len[:, None] if cur_len.ndim == 1 else cur_len
+
+    # how many tokens were generated after begin_index ([B] or scalar)
     n_generated = cur_len - begin_index
 
     pos = jnp.arange(L)[None, :]
-    last_tok = jnp.where(pos == cur_len - 1, tokens, 0).sum(axis=1)
-    penult_tok = jnp.where(pos == cur_len - 2, tokens, 0).sum(axis=1)
+    last_tok = jnp.where(pos == cl_col - 1, tokens, 0).sum(axis=1)
+    penult_tok = jnp.where(pos == cl_col - 2, tokens, 0).sum(axis=1)
     last_was_ts = jnp.logical_and(n_generated >= 1, last_tok >= ts_begin)
     # HF: fewer than two generated tokens counts as "penultimate was timestamp"
     penult_was_ts = jnp.logical_or(n_generated < 2, penult_tok >= ts_begin)
@@ -122,7 +135,7 @@ def _timestamp_rules(
 
     # timestamps are non-decreasing relative to the LAST generated timestamp:
     # ban [ts_begin, last_ts) after a single ts, [ts_begin, last_ts + 1) else
-    gen_mask = jnp.logical_and(pos >= begin_index, pos < cur_len)
+    gen_mask = jnp.logical_and(pos >= begin_index, pos < cl_col)
     is_gen_ts = jnp.logical_and(gen_mask, tokens >= ts_begin)
     last_ts_pos = jnp.where(is_gen_ts, pos, -1).max(axis=1)  # -1 if none
     has_ts = last_ts_pos >= 0
@@ -135,6 +148,8 @@ def _timestamp_rules(
 
     # first generated token: force a timestamp, capped at max_initial_timestamp
     at_begin = cur_len == begin_index
+    if at_begin.ndim == 1:
+        at_begin = at_begin[:, None]
     ban_first_text = jnp.logical_not(is_ts_col)
     if cfg.max_initial_timestamp_index is not None:
         last_allowed = ts_begin + cfg.max_initial_timestamp_index

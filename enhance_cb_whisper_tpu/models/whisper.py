@@ -565,10 +565,25 @@ def _decoder_layer(
     k = _split_heads(_linear(p["self_attn"]["k_proj"], h), num_heads)
     v = _split_heads(_linear(p["self_attn"]["v_proj"], h), num_heads)
     if cache_layer is not None:
-        k = jax.lax.dynamic_update_slice(cache_layer["k"], k.astype(cache_layer["k"].dtype),
-                                         (0, cache_index, 0, 0))
-        v = jax.lax.dynamic_update_slice(cache_layer["v"], v.astype(cache_layer["v"].dtype),
-                                         (0, cache_index, 0, 0))
+        if jnp.ndim(cache_index) == 1:
+            # per-row positions (speculative decoding: rows accept different
+            # token counts, so each row's chunk starts at its own slot) —
+            # a batched scatter instead of one dynamic_update_slice;
+            # out-of-range slots (a row parked at max_length) are dropped
+            b_sz, t_sz = x.shape[0], x.shape[1]
+            rows = jnp.arange(b_sz)[:, None]
+            slots = cache_index[:, None] + jnp.arange(t_sz)[None, :]
+            k = cache_layer["k"].at[rows, slots].set(
+                k.astype(cache_layer["k"].dtype), mode="drop")
+            v = cache_layer["v"].at[rows, slots].set(
+                v.astype(cache_layer["v"].dtype), mode="drop")
+        else:
+            k = jax.lax.dynamic_update_slice(
+                cache_layer["k"], k.astype(cache_layer["k"].dtype),
+                (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache_layer["v"], v.astype(cache_layer["v"].dtype),
+                (0, cache_index, 0, 0))
         new_cache_layer = {"k": k, "v": v}
     else:
         new_cache_layer = None
@@ -619,22 +634,32 @@ def decoder_forward(
     """Teacher-forcing (cache=None) or incremental decoding (cache given).
 
     With a cache, ``input_ids`` is the next chunk (usually length 1); its
-    positions start at ``cache['index']``.  ``attention_mask`` covers the
-    full cached length (prompt padding is masked out, reproducing the
-    reference's ``decoder_attention_mask`` from pad ids,
-    src/model/pba_whisper.py:543).
+    positions start at ``cache['index']``.  ``cache['index']`` may be a
+    per-row [B] vector (speculative decoding: rows sit at different
+    positions) — position embeddings, the causal mask, and the cache writes
+    then resolve per row.  ``attention_mask`` covers the full cached length
+    (prompt padding is masked out, reproducing the reference's
+    ``decoder_attention_mask`` from pad ids, src/model/pba_whisper.py:543).
 
     Returns (logits [B, T, vocab], updated cache).
     """
     p = params["decoder"]
     b, t = input_ids.shape
     offset = cache["index"] if cache is not None else 0
+    per_row = jnp.ndim(offset) == 1
 
     tok = jnp.asarray(p["embed_tokens"]["weight"])[input_ids].astype(dtype)
-    positions = jax.lax.dynamic_slice_in_dim(
-        jnp.asarray(p["embed_positions"]["weight"]), offset, t, axis=0
-    ).astype(dtype)
-    x = tok + positions[None]
+    if per_row:
+        pos_ids = offset[:, None] + jnp.arange(t)[None, :]  # [B, T]
+        positions = jnp.asarray(p["embed_positions"]["weight"])[
+            jnp.clip(pos_ids, 0, p["embed_positions"]["weight"].shape[0] - 1)
+        ].astype(dtype)  # [B, T, D]
+        x = tok + positions
+    else:
+        positions = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(p["embed_positions"]["weight"]), offset, t, axis=0
+        ).astype(dtype)
+        x = tok + positions[None]
 
     if cache is not None:
         if _is_stacked(cache["layers"]):
@@ -642,9 +667,14 @@ def decoder_forward(
         else:
             max_len = cache["layers"][0]["k"].shape[1]
         key_pos = jnp.arange(max_len)
-        query_pos = offset + jnp.arange(t)
-        mask = key_pos[None, :] <= query_pos[:, None]  # causal over cache
-        mask = mask[None, None]  # [1, 1, T, max_len]
+        if per_row:
+            query_pos = offset[:, None] + jnp.arange(t)[None, :]  # [B, T]
+            mask = key_pos[None, None, :] <= query_pos[:, :, None]  # [B, T, max]
+            mask = mask[:, None]  # [B, 1, T, max_len]
+        else:
+            query_pos = offset + jnp.arange(t)
+            mask = key_pos[None, :] <= query_pos[:, None]  # causal over cache
+            mask = mask[None, None]  # [1, 1, T, max_len]
         if attention_mask is not None:
             mask = jnp.logical_and(mask, attention_mask[:, None, None, :].astype(bool))
     else:

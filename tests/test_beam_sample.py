@@ -203,7 +203,7 @@ def test_logprob_threshold_gates_beam_search(tiny, monkeypatch):
     calls = []
 
     def fake_decode(cross_kv, decoder_ids, attn, o, return_timestamps,
-                    temperature=0.0, rng=None):
+                    temperature=0.0, rng=None, draft_cross_kv=None):
         calls.append(temperature)
         seqs = np.zeros((1, 20), np.int64)
         seqs[0, :3] = [3, 7, 2]
