@@ -54,10 +54,14 @@ class KWSModel(nn.Module):
     config: ResNetConfig
     dtype: Any = jnp.float32
     channels_last: bool = False  # input [B, H, W, L] instead of [B, L, H, W]
+    remat: bool = False  # checkpoint residual blocks (backward recompute)
 
     def setup(self):
         self.model = ResNetClassifier(
-            self.config, dtype=self.dtype, channels_last=self.channels_last
+            self.config,
+            dtype=self.dtype,
+            channels_last=self.channels_last,
+            remat=self.remat,
         )
 
     def __call__(

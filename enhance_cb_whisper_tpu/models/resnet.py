@@ -169,6 +169,11 @@ class ResNet(nn.Module):
     config: ResNetConfig
     dtype: Any = jnp.float32
     channels_last: bool = False
+    # Rematerialize each residual block's activations in the backward pass
+    # (jax.checkpoint via the lifted nn.remat). Numerically identical;
+    # shrinks the live-activation working set so larger train batches fit
+    # without HBM spills (the batch-64 regression in docs/PERF.md).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, pixel_values, train: bool = False):
@@ -183,17 +188,24 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block = BottleneckBlock if cfg.layer_type == "bottleneck" else BasicBlock
+
+        def _call_block(mdl, h):
+            # `train` rides the closure so jax.checkpoint only sees arrays
+            return mdl(h, train)
+
+        call_block = nn.remat(_call_block) if self.remat else _call_block
         for stage_idx, (width, depth) in enumerate(zip(cfg.hidden_sizes, cfg.depths)):
             first_stride = (
                 2 if (stage_idx > 0 or cfg.downsample_in_first_stage) else 1
             )
             for block_idx in range(depth):
-                x = block(
+                blk = block(
                     width,
                     stride=first_stride if block_idx == 0 else 1,
                     dtype=self.dtype,
                     name=f"stage_{stage_idx}_block_{block_idx}",
-                )(x, train)
+                )
+                x = call_block(blk, x)
 
         # pooler: global average pool == AdaptiveAvgPool2d((1, 1))
         x = jnp.mean(x, axis=(1, 2))
@@ -210,10 +222,14 @@ class ResNetClassifier(nn.Module):
     config: ResNetConfig
     dtype: Any = jnp.float32
     channels_last: bool = False
+    remat: bool = False
 
     def setup(self):
         self.feature_extractor = ResNet(
-            self.config, dtype=self.dtype, channels_last=self.channels_last
+            self.config,
+            dtype=self.dtype,
+            channels_last=self.channels_last,
+            remat=self.remat,
         )
         self.classifier = nn.Dense(self.config.num_labels, name="classifier")
 

@@ -80,6 +80,12 @@ class KWSTrainConfig:
     # stack runs in the TPU-native layout without a leading transpose; the
     # collator emits either layout (docs/PERF.md train-step sweep)
     channels_last: bool = False
+    # TPU extension: rematerialize each ResNet block in the backward pass
+    # (jax.checkpoint) — numerically identical gradients, smaller
+    # live-activation working set.  The batch-64 MFU regression in the
+    # docs/PERF.md sweep was attributed to HBM spills; remat is the lever
+    # that lets larger batches fit.
+    remat: bool = False
 
     def suppression(self, epoch: int) -> float:
         """2/(1+exp(-decay*epoch)) - 1 (model.py:99)."""
@@ -128,6 +134,7 @@ def build_models(config: KWSTrainConfig, resnet_config: ResNetConfig):
         resnet_config,
         dtype=jnp.dtype(config.compute_dtype),
         channels_last=config.channels_last,
+        remat=config.remat,
     )
     disc = (
         Discriminator(num_labels=config.num_domains, large=config.large_heads)

@@ -114,3 +114,28 @@ def test_bfloat16_compute_dtype():
     assert all(l.dtype == jnp.float32 for l in leaves)
     stats_leaves = jax.tree.leaves(stats)
     assert all(l.dtype == jnp.float32 for l in stats_leaves)
+
+
+def test_remat_parity():
+    """TPU extension: remat=True (jax.checkpoint on every ResNet block)
+    must be a pure scheduling change — identical param init, identical
+    post-step params/metrics (the backward recomputes the same forward).
+    Covers the adversarial path so the rematerialized features also feed
+    the discriminator through the GRL."""
+    base = dict(adversarial_training=True, entropy=True, num_domains=4)
+    params_a, metrics_a, state_a = _run(KWSTrainConfig(**base))
+    params_b, metrics_b, state_b = _run(KWSTrainConfig(remat=True, **base))
+    # same init (remat must not perturb the scope/RNG paths)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        state_a.params, state_b.params,
+    )
+    # same trained params + metrics
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7
+        ),
+        params_a, params_b,
+    )
+    for key in ("class_loss", "domain_loss", "entropy_loss"):
+        assert float(metrics_a[key]) == pytest.approx(float(metrics_b[key]), rel=1e-6)

@@ -26,21 +26,27 @@ from enhance_cb_whisper_tpu.runtime.flops import estimate_flops
 PEAK_BF16 = 197e12  # v5e
 
 SWEEP = [
-    # (batch, channels_last, steps)
-    (20, False, 10),
-    (20, True, 10),
-    (32, False, 10),
-    (32, True, 10),
-    (64, False, 6),
-    (64, True, 6),
+    # (batch, channels_last, remat, steps)
+    (20, False, False, 10),
+    (20, True, False, 10),
+    (32, False, False, 10),
+    (32, True, False, 10),
+    (64, False, False, 6),
+    (64, True, False, 6),
+    # remat round (round-3 new idea): block-level jax.checkpoint shrinks the
+    # live-activation set — the batch-64 regression was attributed to spills
+    (32, False, True, 10),
+    (64, False, True, 6),
+    (128, False, True, 4),
 ]
 
-which = os.environ.get("TRAIN_SWEEP", "")  # e.g. "32,True"
+which = os.environ.get("TRAIN_SWEEP", "")  # e.g. "32,False" or "64,False,remat"
 results = {}
-for batch_size, cl, n_steps in SWEEP:
-    if which and which != f"{batch_size},{cl}":
+for batch_size, cl, remat, n_steps in SWEEP:
+    tag = f"{batch_size},{cl}" + (",remat" if remat else "")
+    if which and which != tag:
         continue
-    cfg = KWSTrainConfig(compute_dtype="bfloat16", channels_last=cl)
+    cfg = KWSTrainConfig(compute_dtype="bfloat16", channels_last=cl, remat=remat)
     rcfg = ResNetConfig(num_channels=12, num_labels=2)
     shape = (150, 750, 12) if cl else (12, 150, 750)
     rng = jax.random.PRNGKey(0)
@@ -74,7 +80,7 @@ for batch_size, cl, n_steps in SWEEP:
     tflops = flops / wall / 1e12
     exps = batch_size / wall
     mfu = tflops * 1e12 / PEAK_BF16
-    key = f"b{batch_size}_{'nhwc' if cl else 'nchw'}"
+    key = f"b{batch_size}_{'nhwc' if cl else 'nchw'}{'_remat' if remat else ''}"
     results[key] = (exps, tflops, mfu)
     print(f"{key}: {exps:8.1f} ex/s  {wall*1e3:7.1f} ms/step  "
           f"{tflops:6.1f} TFLOP/s  MFU {mfu*100:5.1f}%  (compile {compile_s:.0f}s)",
