@@ -109,7 +109,12 @@ def run_stage(stage: dict) -> bool:
         recorded = json_lines or [ln for ln in out.stdout.splitlines() if ln.strip()][-1:]
         with open(RESULTS, "a") as f:
             for ln in recorded:
-                payload = json.loads(ln) if ln in json_lines else ln
+                try:
+                    # brace-delimited but non-JSON lines (e.g. a Python dict
+                    # repr from profile_train.py) are recorded as raw text
+                    payload = json.loads(ln)
+                except ValueError:
+                    payload = ln
                 f.write(json.dumps({"tag": tag, "result": payload}) + "\n")
         log(f"=== {tag} OK ({dur:.0f}s): {recorded[-1] if recorded else ''} ===")
         return True
