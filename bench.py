@@ -39,6 +39,8 @@ def _make_stacks(rng, n):
 
 
 def bench_tpu(stacks, utt, dtype="bfloat16"):
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -118,7 +120,7 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
     # ~30 ms round-trip is paid once instead of per launch.  A host fetch is
     # the only reliable completion barrier on this backend
     # (block_until_ready returns early through the remote relay).
-    iters = 10
+    iters = int(os.environ.get("ECW_BENCH_ITERS", 10))
     t0 = time.perf_counter()
     outs = [batched(variables, cat_dev, utt_j, w)[0] for _ in range(iters)]
     for o in outs:
@@ -161,7 +163,8 @@ def _wait_for_relay():
     """The axon relay has multi-hour outages (CLAUDE.md); its backend init
     hangs ~4 min then fails.  Probe in a bounded subprocess loop so a bench
     launched while the relay is flapping still lands — at worst this adds
-    ECW_BENCH_RELAY_RETRIES x 2 min before the natural failure."""
+    ECW_BENCH_RELAY_RETRIES x 2 min before the natural failure.  Returns
+    True when the relay answered the probe."""
     import os
     import subprocess
     import sys
@@ -176,22 +179,41 @@ def _wait_for_relay():
             out = subprocess.run([sys.executable, "-c", probe],
                                  capture_output=True, text=True, timeout=240)
             if out.returncode == 0 and "probe-ok" in out.stdout:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if attempt < retries - 1:
             print(f"# relay down (probe {attempt + 1}/{retries}); retrying in 120s",
                   flush=True)
             _time.sleep(120)
+    return False
 
 
 def main():
+    global N_KEYWORDS, UTT_BATCH
+
     import os
 
     from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
 
+    relay_up = True
     if os.environ.get("ECW_BENCH_RELAY_RETRIES", "3") != "0":
-        _wait_for_relay()
+        relay_up = _wait_for_relay()
+
+    device = "tpu"
+    if not relay_up and os.environ.get("ECW_BENCH_CPU_FALLBACK", "1") != "0":
+        # The relay can be down for many hours (CLAUDE.md).  Rather than
+        # hard-failing (no JSON line recorded at all), fall back to an
+        # HONEST scaled-down CPU run of the same program, clearly labeled —
+        # the value is NOT a TPU number and must not be compared to one.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        device = "cpu-fallback-relay-down"
+        N_KEYWORDS = 8
+        UTT_BATCH = 2
+        os.environ.setdefault("ECW_BENCH_ITERS", "2")
+        os.environ.setdefault("ECW_BENCH_DTYPE", "float32")
     enable_persistent_cache()
 
     rng = np.random.default_rng(0)
@@ -213,20 +235,22 @@ def main():
 
     from enhance_cb_whisper_tpu.runtime.flops import device_peak_flops
 
-    # v5e peak: ~197 TFLOP/s bf16 per chip (ECW_PEAK_TFLOPS overrides)
+    # v5e peak: ~197 TFLOP/s bf16 per chip (ECW_PEAK_TFLOPS overrides);
+    # MFU is only meaningful against the TPU peak
     peak = device_peak_flops(dtype)
-    print(
-        json.dumps(
-            {
-                "metric": "kws_catalog_keywords_per_sec",
-                "value": round(ours, 2),
-                "unit": "keywords/s",
-                "vs_baseline": round(ours / baseline, 2) if baseline else None,
-                "mfu": round(flops_per_s / peak, 4) if flops_per_s else None,
-                "dtype": dtype,
-            }
-        )
-    )
+    result = {
+        "metric": "kws_catalog_keywords_per_sec",
+        "value": round(ours, 2),
+        "unit": "keywords/s",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+        "mfu": round(flops_per_s / peak, 4)
+        if (flops_per_s and device == "tpu")
+        else None,
+        "dtype": dtype,
+    }
+    if device != "tpu":
+        result["device"] = device
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
