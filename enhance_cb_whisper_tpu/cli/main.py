@@ -440,6 +440,14 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         module.enable_int8_spotting(
             calibration_batches=int(model_args.get("kws_int8_calibration_batches", 4))
         )
+    if model_args.get("encoder_int8"):
+        # TPU-serving extension: s8×s8→s32 KWS encoder — separate-encoder
+        # setups only (the quantized encoder never feeds the decoder's
+        # cross-attention); host_params keeps quantization host-side
+        module.enable_int8_kws_encoder(
+            host_params=encoder_params,
+            calibration_batches=int(model_args.get("kws_int8_calibration_batches", 4)),
+        )
 
     def mel_fn(item):
         wav = load_audio_16k(item["audio"])

@@ -84,6 +84,7 @@ class CBWhisper:
         self.decode_fn = decode_fn
         self.kws_layer_slice = kws_layer_slice
         self.oracle_buffer: List[str] = []
+        self._compute_dtype = dtype
 
         self.generator = WhisperGenerator(
             whisper_config, whisper_params, dtype=dtype, vocab_int8=vocab_int8,
@@ -179,6 +180,57 @@ class CBWhisper:
         self._int8_calibration_batches = max(1, int(calibration_batches))
         self._int8_calib_stacks = []
 
+    def enable_int8_kws_encoder(
+        self, host_params=None, calibration_batches: int = 4
+    ):
+        """Switch the per-segment KWS encoder to s8×s8→s32 inference
+        (models/whisper.py:quantize_encoder_layers — ~2× the bf16 MXU rate
+        on the six per-layer linears).  Only valid with a SEPARATE KWS
+        encoder (``encoder_ckpt != whisper_ckpt``): the quantized encoder
+        feeds only the catalog scorer (decision-level robustness, like int8
+        spotting), never the decoder's cross-attention, so transcription is
+        untouched.  Calibration is lazy over the first
+        ``calibration_batches`` real segment mels (same discipline as
+        :meth:`enable_int8_spotting`).  Pass ``host_params`` (the loader's
+        unrolled numpy tree) so weights quantize host-side — without it the
+        stacked device tree is fetched back (~minutes at whisper-medium
+        through the 18 MB/s relay)."""
+        if self.encoder_params is self.generator.params:
+            raise ValueError(
+                "encoder_int8 requires a separate KWS encoder (encoder_ckpt "
+                "!= whisper_ckpt): quantizing the shared ASR encoder would "
+                "change transcription"
+            )
+        self._enc_int8_host = host_params
+        self._enc_int8_pending = True
+        self._enc_int8_batches = max(1, int(calibration_batches))
+        self._enc_int8_mels: List[np.ndarray] = []
+
+    def _maybe_calibrate_encoder_int8(self, feats, n_seg: int) -> None:
+        if not getattr(self, "_enc_int8_pending", False):
+            return
+        needed = self._enc_int8_batches - len(self._enc_int8_mels)
+        take = min(n_seg, needed)
+        self._enc_int8_mels.extend(np.asarray(feats[:take]))
+        if len(self._enc_int8_mels) < self._enc_int8_batches:
+            return
+        from .whisper import calibrate_encoder_act_scales, quantize_encoder_layers
+
+        mels = jnp.asarray(np.stack(self._enc_int8_mels))
+        scales = calibrate_encoder_act_scales(
+            self.encoder_params, mels, self.encoder_config,
+            dtype=self._compute_dtype,
+        )
+        host = self._enc_int8_host
+        if host is None:
+            host = jax.tree.map(np.asarray, self.encoder_params)
+        self.encoder_params = jax.device_put(
+            quantize_encoder_layers(host, scales)
+        )
+        self._enc_int8_pending = False
+        self._enc_int8_mels = []
+        self._enc_int8_host = None
+
     def _set_score_fn(self, score_fn) -> None:
         """Install a catalog scorer + its batched form: one launch scores
         ALL active segments (vmap over the segment axis; utt_w shared —
@@ -250,6 +302,7 @@ class CBWhisper:
         cb_whisper.py:124-132)."""
         self._ensure_catalog()
         feats, n_seg = self._bucketed_features(input_features)
+        self._maybe_calibrate_encoder_int8(feats, n_seg)
         try:
             stacks = self._kws_stack(feats)
             return self._score_to_keywords(stacks, n_seg)

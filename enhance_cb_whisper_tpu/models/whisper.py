@@ -348,10 +348,191 @@ def quantize_decoder_layers(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# int8 encoder (extraction / spotting serving mode)
+#
+# The encoder is MXU compute-bound at batch (unlike the HBM-bound decode
+# loop), so weight-only int8 buys nothing here — the win is s8×s8→s32
+# matmuls at ~2× the bf16 MXU rate (the same lesson as the int8 ResNet
+# catalog scorer, models/quant.py: static calibrated activation scales +
+# bf16 intermediates; dynamic per-example quantization was measured 4×
+# SLOWER there).  The six per-layer linears (~80% of encoder FLOPs at
+# d=1024) quantize; attention scores/probs and LayerNorms stay bf16/f32.
+# Opt-in serving mode for the reference's `--extract_hs` dataset builds
+# (datasets/aishell/build.sh:74-112 runs whisper-medium over the corpus)
+# and KWS spotting; f32/bf16 stays the parity default.
+
+_ENC_ACT_SITES = ("attn_in", "attn_out", "fc1_in", "fc2_in")
+
+
+def _quantize_act(x: jax.Array, s) -> jax.Array:
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+
+
+def _qlinear(p: Dict[str, Any], xq: jax.Array, s_x) -> jax.Array:
+    """s8 activations × per-output-channel s8 weights → s32, f32 dequant
+    epilogue (with a static per-layer ``s_x`` the scale vector is a
+    compile-time constant XLA fuses into the matmul).  Returns f32."""
+    z = jnp.einsum("...i,io->...o", xq, p["qweight"], preferred_element_type=jnp.int32)
+    y = z.astype(jnp.float32) * (s_x * p["scale"])
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def encoder_layer_int8(p: Dict[str, Any], x: jax.Array, num_heads: int) -> jax.Array:
+    """int8 twin of :func:`encoder_layer` (same topology, quantized linears)."""
+    sc = p["act_scales"]
+    head_dim = x.shape[-1] // num_heads
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    hq = _quantize_act(h, sc["attn_in"])
+    q = _split_heads(
+        _qlinear(p["self_attn"]["q_proj"], hq, sc["attn_in"]).astype(x.dtype), num_heads
+    ) * (head_dim**-0.5)
+    k = _split_heads(
+        _qlinear(p["self_attn"]["k_proj"], hq, sc["attn_in"]).astype(x.dtype), num_heads
+    )
+    v = _split_heads(
+        _qlinear(p["self_attn"]["v_proj"], hq, sc["attn_in"]).astype(x.dtype), num_heads
+    )
+    o = _attention(q, k, v)
+    o = o.reshape(*o.shape[:2], -1)
+    oq = _quantize_act(o, sc["attn_out"])
+    x = x + _qlinear(p["self_attn"]["out_proj"], oq, sc["attn_out"]).astype(x.dtype)
+    h = _layer_norm(p["final_layer_norm"], x)
+    hq = _quantize_act(h, sc["fc1_in"])
+    g = jax.nn.gelu(_qlinear(p["fc1"], hq, sc["fc1_in"]), approximate=False)
+    gq = _quantize_act(g, sc["fc2_in"])
+    return x + _qlinear(p["fc2"], gq, sc["fc2_in"]).astype(x.dtype)
+
+
+def _encoder_layer_record_maxes(
+    p: Dict[str, Any], x: jax.Array, num_heads: int
+) -> Tuple[jax.Array, jax.Array]:
+    """f32/bf16 layer forward that also returns max|x| at the four
+    activation-quantization sites (calibration pass; mirrors
+    models/quant.py:_forward's ``record`` mode)."""
+    h = _layer_norm(p["self_attn_layer_norm"], x)
+    m_attn_in = jnp.max(jnp.abs(h.astype(jnp.float32)))
+    head_dim = x.shape[-1] // num_heads
+    q = _split_heads(_linear(p["self_attn"]["q_proj"], h), num_heads) * (head_dim**-0.5)
+    k = _split_heads(_linear(p["self_attn"]["k_proj"], h), num_heads)
+    v = _split_heads(_linear(p["self_attn"]["v_proj"], h), num_heads)
+    o = _attention(q, k, v).reshape(*x.shape[:2], -1)
+    m_attn_out = jnp.max(jnp.abs(o.astype(jnp.float32)))
+    x = x + _linear(p["self_attn"]["out_proj"], o)
+    h = _layer_norm(p["final_layer_norm"], x)
+    m_fc1_in = jnp.max(jnp.abs(h.astype(jnp.float32)))
+    g = jax.nn.gelu(_linear(p["fc1"], h), approximate=False)
+    m_fc2_in = jnp.max(jnp.abs(g.astype(jnp.float32)))
+    x = x + _linear(p["fc2"], g)
+    return x, jnp.stack([m_attn_in, m_attn_out, m_fc1_in, m_fc2_in])
+
+
+def calibrate_encoder_act_scales(
+    params: Dict[str, Any],
+    input_features: jax.Array,  # [B, n_mels, 3000] calibration mels
+    config: WhisperConfig,
+    dtype: Any = jnp.float32,
+) -> np.ndarray:
+    """Per-layer static activation scales [n_layers, 4] (sites in
+    ``_ENC_ACT_SITES`` order): max|x| over the calibration batch / 127.
+    One device forward; the calibration batch should be real audio
+    (representativeness matters more than size — docs/PERF.md int8 study)."""
+    p = stack_whisper_params(params)["encoder"]
+    heads = config.encoder_attention_heads
+
+    @jax.jit
+    def run(pp, feats):
+        x = jnp.transpose(feats, (0, 2, 1)).astype(dtype)
+        x = jax.nn.gelu(_conv1d(pp["conv1"], x, stride=1), approximate=False)
+        x = jax.nn.gelu(_conv1d(pp["conv2"], x, stride=2), approximate=False)
+        x = x + pp["embed_positions"]["weight"].astype(dtype)
+
+        def body(h, layer_p):
+            y, maxes = _encoder_layer_record_maxes(layer_p, h, heads)
+            return y, maxes
+
+        _, maxes = jax.lax.scan(body, x, pp["layers"])
+        return maxes  # [n_layers, 4]
+
+    maxes = np.asarray(run(p, input_features), dtype=np.float32)
+    return np.maximum(maxes / 127.0, 1e-12)
+
+
+_ENC_LOOP_LINEARS = (
+    ("self_attn", "q_proj"), ("self_attn", "k_proj"),
+    ("self_attn", "v_proj"), ("self_attn", "out_proj"),
+    ("fc1",), ("fc2",),
+)
+
+
+def quantize_encoder_layers(
+    params: Dict[str, Any], act_scales: np.ndarray
+) -> Dict[str, Any]:
+    """int8-quantize every encoder-layer linear (per-output-channel weights)
+    and attach the calibrated static activation scales
+    (:func:`calibrate_encoder_act_scales`).  conv1/conv2, LayerNorms, and
+    the attention einsums stay in the compute dtype.  Returns stacked
+    (scan-over-layers) params; :func:`encoder_forward` dispatches on the
+    presence of ``layers["act_scales"]``.
+
+    Prefer passing the UNROLLED host (numpy) params: quantization then
+    happens host-side and only int8 bytes ever upload.  Stacked device
+    params also work, but ``np.asarray`` on them is a full-encoder
+    device→host fetch (~1.2 GB f32 at whisper-medium — minutes through the
+    18 MB/s relay)."""
+
+    def quantize_paths(layer: Dict[str, Any]) -> Dict[str, Any]:
+        layer = dict(layer)
+        for path in _ENC_LOOP_LINEARS:
+            parent = layer
+            for key in path[:-1]:
+                parent[key] = dict(parent[key])
+                parent = parent[key]
+            parent[path[-1]] = _quantize_linear_params(parent[path[-1]])
+        return layer
+
+    out = dict(params)
+    enc = dict(out["encoder"])
+    layers = enc["layers"]
+    if _is_stacked(layers):
+        n_layers = jax.tree.leaves(layers)[0].shape[0]
+        layers = quantize_paths(layers)
+    else:
+        n_layers = len(layers)
+        layers = stack_layer_params([quantize_paths(l) for l in layers])
+    act_scales = np.asarray(act_scales, dtype=np.float32)
+    if act_scales.shape != (n_layers, len(_ENC_ACT_SITES)):
+        raise ValueError(
+            f"act_scales must be [{n_layers}, {len(_ENC_ACT_SITES)}], "
+            f"got {act_scales.shape}"
+        )
+    layers["act_scales"] = {
+        site: act_scales[:, i] for i, site in enumerate(_ENC_ACT_SITES)
+    }
+    enc["layers"] = layers
+    out["encoder"] = enc
+    return out
+
+
+def quantize_encoder(
+    params: Dict[str, Any],
+    calibration_features: jax.Array,
+    config: WhisperConfig,
+    dtype: Any = jnp.float32,
+) -> Dict[str, Any]:
+    """Calibrate + quantize in one call (see the two pieces for knobs)."""
+    scales = calibrate_encoder_act_scales(params, calibration_features, config, dtype)
+    return quantize_encoder_layers(params, scales)
+
+
+# ---------------------------------------------------------------------------
 # encoder
 
 
 def encoder_layer(p: Dict[str, Any], x: jax.Array, num_heads: int) -> jax.Array:
+    if "act_scales" in p:
+        return encoder_layer_int8(p, x, num_heads)
     h = _layer_norm(p["self_attn_layer_norm"], x)
     x = x + _mha(p["self_attn"], h, h, num_heads)
     h = _layer_norm(p["final_layer_norm"], x)
@@ -430,10 +611,17 @@ def encoder_kws_stack(
     or beyond it are zeroed (the reference instead truncates to
     ceil(unpadded/2); zero-padding keeps the shape static for XLA).
     """
+    lo, hi = layer_slice
+    if not (0 <= lo < hi <= config.encoder_layers + 1):
+        # slicing past the end would silently produce EMPTY caches (the
+        # torch reference instead crashes on torch.cat([]), utils.py:193)
+        raise ValueError(
+            f"layer_slice {layer_slice} out of range for a "
+            f"{config.encoder_layers}-layer encoder"
+        )
     last, states = encoder_forward(
         params, input_features, config, output_hidden_states=True, dtype=dtype,
     )
-    lo, hi = layer_slice
     stack = jnp.transpose(states[lo:hi], (1, 0, 2, 3)).astype(jnp.float32)
     stack = stack / jnp.linalg.norm(stack, axis=-1, keepdims=True)
     if valid_frames is not None:

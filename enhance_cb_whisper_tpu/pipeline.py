@@ -53,6 +53,8 @@ def extract_hidden_states(
     batch_size: int = 8,
     n_mels: Optional[int] = None,
     cache_dtype: str = "float32",
+    encoder_int8: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Produce the hidden-state caches every dataset reads (src/utils.py:130-205).
 
@@ -65,6 +67,13 @@ def extract_hidden_states(
     (loaders upcast; the stacks are L2-normalized so the rounding is ~1e-3
     relative).  The reference stores f32 (utils.py:198-201) — keep the
     default for bit-parity caches.
+
+    ``encoder_int8=True`` runs the s8×s8→s32 encoder (activation scales
+    calibrated on this corpus's first batch, weights quantized HOST-side so
+    only int8 bytes upload — models/whisper.py:quantize_encoder_layers).
+    Approximate: caches differ from f32 at the quantization level (cosine
+    ~1-1e-4 per frame on synthetic checks; validate on real audio before
+    building production caches).  Pair with ``compute_dtype="bfloat16"``.
     """
     import jax
     import jax.numpy as jnp
@@ -75,30 +84,12 @@ def extract_hidden_states(
     assert os.path.isdir(audios), f"audio directory not found: {audios}"
     os.makedirs(target, exist_ok=True)
 
-    config, params = load_whisper_from_pretrained(whisper_ckpt)
-    # scan-over-layers layout: keeps the whisper-medium encoder HLO small
-    # enough for the remote-compile relay (models/whisper.py)
-    params = stack_whisper_params(jax.tree.map(jnp.asarray, params))
+    config, params_host = load_whisper_from_pretrained(whisper_ckpt)
     n_mels = n_mels or config.num_mel_bins
     lo, hi = layer_slice
 
     out_dtype = jnp.dtype(cache_dtype)
-
-    # params as an explicit jit arg — closure capture embeds the encoder
-    # weights as HLO literals (GBs of program text at whisper-medium; the
-    # remote-compile relay drops it — decoding/generate.py)
-    @jax.jit
-    def _encode_batch(p, wavs, valid_frames):
-        # mel INSIDE the jit: one device launch per batch — eager mel was
-        # ~5 separate dispatches, each paying the relay round-trip
-        mel = log_mel_spectrogram(wavs, n_mels=n_mels)
-        stacks = encoder_kws_stack(
-            p, mel, config, layer_slice=(lo, hi), valid_frames=valid_frames
-        )
-        return stacks.astype(out_dtype)
-
-    def encode(wavs, valid_frames):
-        return _encode_batch(params, wavs, valid_frames)
+    cdt = jnp.dtype(compute_dtype)
 
     wanted = None
     if codes is not None:
@@ -121,25 +112,7 @@ def extract_hidden_states(
         if wanted is None or any(c in code for c in wanted)
     ]
 
-    # pipelined producer loop: the host fetch of batch N is deferred until
-    # two more launches are enqueued, so host-side decode/mel of batch N+1
-    # overlaps the device encode of batch N and the relay round-trip is
-    # amortized (same pattern as the eval engines' deferred fetches)
-    in_flight = []
-
-    def _drain(depth: int):
-        while len(in_flight) > depth:
-            codes_done, valid_done, dev = in_flight.pop(0)
-            stacks = np.asarray(dev)  # f16 when cache_dtype says so
-            for j, code in enumerate(codes_done):
-                save_hidden_states(
-                    os.path.join(target, code + ".npy"),
-                    stacks[j, :, : valid_done[j], :],
-                    dtype=stacks.dtype,
-                )
-
-    for i in range(0, len(items), batch_size):
-        chunk = items[i : i + batch_size]
+    def _load_padded(chunk):
         wavs, valid, keep = [], [], []
         for code, path in chunk:
             try:
@@ -161,6 +134,71 @@ def extract_hidden_states(
             padded[: wav.shape[0]] = wav
             wavs.append(padded)
             keep.append(code)
+        return wavs, valid, keep
+
+    def _place_f32():
+        # scan-over-layers layout: keeps the whisper-medium encoder HLO
+        # small enough for the remote-compile relay (models/whisper.py)
+        return stack_whisper_params(jax.tree.map(jnp.asarray, params_host))
+
+    params = None
+    if encoder_int8 and items:
+        from .models.whisper import (
+            calibrate_encoder_act_scales,
+            quantize_encoder_layers,
+        )
+
+        # calibrate static activation scales on this corpus's first batch
+        # (the f32 weights upload once for the calibration forward; the
+        # int8 tree — quantized HOST-side — replaces them after)
+        wavs0, _, _ = _load_padded(items[:batch_size])
+        if wavs0:
+            mel0 = jax.jit(lambda w: log_mel_spectrogram(w, n_mels=n_mels))(
+                np.stack(wavs0)
+            )
+            scales = calibrate_encoder_act_scales(
+                _place_f32(), mel0, config, dtype=cdt
+            )
+            params = jax.device_put(quantize_encoder_layers(params_host, scales))
+    if params is None:
+        params = _place_f32()
+
+    # params as an explicit jit arg — closure capture embeds the encoder
+    # weights as HLO literals (GBs of program text at whisper-medium; the
+    # remote-compile relay drops it — decoding/generate.py)
+    @jax.jit
+    def _encode_batch(p, wavs, valid_frames):
+        # mel INSIDE the jit: one device launch per batch — eager mel was
+        # ~5 separate dispatches, each paying the relay round-trip
+        mel = log_mel_spectrogram(wavs, n_mels=n_mels)
+        stacks = encoder_kws_stack(
+            p, mel, config, layer_slice=(lo, hi), valid_frames=valid_frames,
+            dtype=cdt,
+        )
+        return stacks.astype(out_dtype)
+
+    def encode(wavs, valid_frames):
+        return _encode_batch(params, wavs, valid_frames)
+
+    # pipelined producer loop: the host fetch of batch N is deferred until
+    # two more launches are enqueued, so host-side decode/mel of batch N+1
+    # overlaps the device encode of batch N and the relay round-trip is
+    # amortized (same pattern as the eval engines' deferred fetches)
+    in_flight = []
+
+    def _drain(depth: int):
+        while len(in_flight) > depth:
+            codes_done, valid_done, dev = in_flight.pop(0)
+            stacks = np.asarray(dev)  # f16 when cache_dtype says so
+            for j, code in enumerate(codes_done):
+                save_hidden_states(
+                    os.path.join(target, code + ".npy"),
+                    stacks[j, :, : valid_done[j], :],
+                    dtype=stacks.dtype,
+                )
+
+    for i in range(0, len(items), batch_size):
+        wavs, valid, keep = _load_padded(items[i : i + batch_size])
         if not wavs:
             continue
         # pad the batch to a fixed size so the encoder never recompiles
@@ -384,6 +422,16 @@ def main(argv: Optional[List[str]] = None):
         choices=("float32", "float16"),
         help="float16 halves cache files + device-fetch bytes (loaders upcast)",
     )
+    parser.add_argument(
+        "--encoder_int8", action="store_true",
+        help="s8xs8->s32 encoder (scales calibrated on the first batch); "
+             "approximate caches — validate on real audio first",
+    )
+    parser.add_argument(
+        "--compute_dtype", type=str, default="float32",
+        choices=("float32", "bfloat16"),
+        help="encoder intermediate dtype (pair bfloat16 with --encoder_int8)",
+    )
     args = parser.parse_args(argv)
 
     if args.tts:
@@ -398,4 +446,6 @@ def main(argv: Optional[List[str]] = None):
             args.audios, args.whisper, args.target,
             codes=args.utterances or None,
             cache_dtype=args.cache_dtype,
+            encoder_int8=args.encoder_int8,
+            compute_dtype=args.compute_dtype,
         )

@@ -490,3 +490,59 @@ def test_forward_with_draft_matches_plain(cb):
     assert plain.forward(long) == spec.forward(long)
     stats = spec.generator.speculative_stats()
     assert stats is not None and stats["windows"] >= 1
+
+
+def test_int8_kws_encoder_requires_separate_encoder(cb):
+    with pytest.raises(ValueError, match="separate KWS encoder"):
+        cb.enable_int8_kws_encoder()
+
+
+def test_int8_kws_encoder_matches_fp32_decisions(cb):
+    """enable_int8_kws_encoder: the separate KWS encoder runs s8×s8→s32
+    after lazy calibration; spotting decisions match fp32 and the ASR
+    generator params are untouched (models/whisper.py int8 encoder)."""
+    import torch as _torch
+
+    hf_config = transformers.WhisperConfig(
+        vocab_size=128, num_mel_bins=8, d_model=32,
+        encoder_layers=4, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=24, max_target_positions=40,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    _torch.manual_seed(7)
+    enc_hf = transformers.WhisperModel(hf_config)
+    enc_config = WhisperConfig.from_hf(hf_config)
+    enc_params = load_hf_whisper(enc_hf.state_dict(), enc_config)
+
+    def build():
+        return CBWhisper(
+            config=CBWhisperConfig(kws_features_size=OUT, keywords_per_group=2),
+            whisper_config=cb.whisper_config,
+            whisper_params=cb.generator.params,
+            kws_model=cb.kws_model,
+            kws_variables=cb.kws_variables,
+            catalog=cb.catalog,
+            generation_options=cb.opts,
+            prompt_ids_fn=cb.prompt_ids_fn,
+            decode_fn=cb.decode_fn,
+            encoder_params=enc_params,
+            encoder_config=enc_config,
+            kws_layer_slice=(1, 3),
+        )
+
+    f32 = build()
+    q = build()
+    q.enable_int8_kws_encoder(host_params=enc_params, calibration_batches=1)
+
+    rng = np.random.default_rng(21)
+    mels = [rng.standard_normal((2, 8, 48), dtype=np.float32) for _ in range(3)]
+    for mel in mels:
+        assert f32.spot_keywords(mel) == q.spot_keywords(mel)
+    # calibration completed and the encoder tree is the quantized one
+    assert not q._enc_int8_pending
+    assert "act_scales" in q.encoder_params["encoder"]["layers"]
+    # the ASR generator's params were never touched
+    assert q.generator.params is not q.encoder_params

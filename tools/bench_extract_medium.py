@@ -13,7 +13,10 @@ Knobs: EXT_BATCH (default 8), EXT_FILES (default 32), EXT_DTYPE
 (float32|float16 cache fetch dtype).
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -56,7 +59,24 @@ else:
     kws_slice = (10, 22)
 rng = np.random.default_rng(0)
 t0 = time.time()
-params = jax.device_put(stack_whisper_params(jax.tree.map(jnp.asarray, init_whisper_params(rng, cfg))))
+params_host = init_whisper_params(rng, cfg)
+compute_dtype = jnp.dtype(os.environ.get("EXT_COMPUTE_DTYPE", "float32"))
+if os.environ.get("EXT_INT8", "0") == "1":
+    # int8 encoder (EXT_INT8=1): calibrate on one synthetic batch, quantize
+    # host-side (mirrors pipeline.py:extract_hidden_states encoder_int8)
+    from enhance_cb_whisper_tpu.models.whisper import (
+        calibrate_encoder_act_scales,
+        quantize_encoder_layers,
+    )
+
+    wav0 = (rng.standard_normal((batch, 480000)) * 0.05).astype(np.float32)
+    mel0 = jax.jit(lambda w: log_mel_spectrogram(w, n_mels=cfg.num_mel_bins))(wav0)
+    f32 = stack_whisper_params(jax.tree.map(jnp.asarray, params_host))
+    scales = calibrate_encoder_act_scales(f32, mel0, cfg, dtype=compute_dtype)
+    del f32
+    params = jax.device_put(quantize_encoder_layers(params_host, scales))
+else:
+    params = jax.device_put(stack_whisper_params(jax.tree.map(jnp.asarray, params_host)))
 np.asarray(jax.tree.leaves(params)[0])
 print(f"params up {time.time()-t0:.1f}s", flush=True)
 
@@ -64,7 +84,10 @@ print(f"params up {time.time()-t0:.1f}s", flush=True)
 @jax.jit
 def _encode_batch(p, wavs, valid_frames):
     mel = log_mel_spectrogram(wavs, n_mels=cfg.num_mel_bins)
-    stacks = encoder_kws_stack(p, mel, cfg, layer_slice=kws_slice, valid_frames=valid_frames)
+    stacks = encoder_kws_stack(
+        p, mel, cfg, layer_slice=kws_slice, valid_frames=valid_frames,
+        dtype=compute_dtype,
+    )
     return stacks.astype(out_dtype)
 
 

@@ -9,6 +9,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
