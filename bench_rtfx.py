@@ -101,6 +101,11 @@ def bench_reference_cpu(seconds: int = 60) -> float:
 def main():
     import jax
 
+    if os.environ.get("ECW_RTFX_DEVICE", "") == "cpu":
+        # smoke-test escape hatch (sitecustomize pins JAX_PLATFORMS=axon;
+        # the env var is too late in-process — must use jax.config)
+        jax.config.update("jax_platforms", "cpu")
+
     from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -223,21 +228,50 @@ def main():
         kws_layer_slice=kws_layer_slice,
     )
 
-    seconds = 120
-    audio = (rng.standard_normal(16000 * seconds) * 0.05).astype(np.float32)
     from enhance_cb_whisper_tpu.ops.mel import HOP_LENGTH
 
-    target = ((audio.size + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
-    padded = np.zeros((target,), np.float32)
-    padded[: audio.size] = audio
-    mel = np.asarray(log_mel_spectrogram(padded[None]))
+    def make_mel(sec: int) -> np.ndarray:
+        audio = (rng.standard_normal(16000 * sec) * 0.05).astype(np.float32)
+        target = ((audio.size + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
+        padded = np.zeros((target,), np.float32)
+        padded[: audio.size] = audio
+        return np.asarray(log_mel_spectrogram(padded[None]))
+
+    # ECW_RTFX_PACKED=1: continuous-batching scheduler (forward_packed,
+    # slots=ECW_RTFX_BATCH) instead of fixed groups.  ECW_RTFX_HETERO=1:
+    # mixed-length corpus (the workload where packing pays — fixed groups
+    # drain to batch 1 at every group tail).  A/B protocol: both modes run
+    # condition_on_prev + spotting, so junk decode saturates the prev cap
+    # and BOTH sit on the same top prompt bucket with near-equal per-window
+    # decode budgets; the packed win isolated here is scheduling, not
+    # shorter decode loops.
+    packed = os.environ.get("ECW_RTFX_PACKED", "0") == "1"
+    hetero = os.environ.get("ECW_RTFX_HETERO", "0") == "1"
+    base = int(os.environ.get("ECW_RTFX_SECONDS", "120"))
+    if hetero:
+        pattern = [base, base // 4, base * 3 // 4, base // 2]
+        lengths = pattern * max(1, (2 * batch_size + 3) // 4)
+    else:
+        lengths = [base] * max(batch_size, 1)
+    seconds = sum(lengths)
+    mels_list = [make_mel(s) for s in lengths]
+    mel = mels_list[0]
 
     # warm up every compile path (incl. all prompt-length buckets the
-    # growing condition-on-prev context will hit) with the same clip
+    # growing condition-on-prev context will hit) with the same clips
     def decode_once():
-        if batch_size > 1:
-            mels = [mel] * batch_size
-            module.forward_batch(mels, [None] * batch_size)
+        if packed:
+            list(
+                module.forward_packed(
+                    ((m, None) for m in mels_list), slots=max(batch_size, 1)
+                )
+            )
+        elif hetero:
+            for i in range(0, len(mels_list), batch_size):
+                group = mels_list[i : i + batch_size]
+                module.forward_batch(group, [None] * len(group))
+        elif batch_size > 1:
+            module.forward_batch(mels_list, [None] * batch_size)
         else:
             module.forward(mel)
 
@@ -248,7 +282,11 @@ def main():
     t0 = time.perf_counter()
     decode_once()
     wall = time.perf_counter() - t0
-    wall /= batch_size  # per-utterance
+    if packed or hetero:
+        seconds = float(seconds)  # corpus-level RTFx: total audio / wall
+    else:
+        seconds = float(lengths[0])
+        wall /= max(batch_size, 1)  # per-utterance
 
     baseline = None
     if os.environ.get("ECW_RTFX_CPU_BASELINE", "1") != "0":
@@ -270,6 +308,8 @@ def main():
                 "wall_seconds": round(wall, 2),
                 "num_beams": num_beams,
                 "eval_batch": batch_size,
+                **({"packed": True} if packed else {}),
+                **({"hetero_corpus_s": lengths} if hetero else {}),
                 **(
                     {
                         "speculative": spec,

@@ -458,6 +458,9 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         num_bootstraps=model_args.get("num_bootstraps", 1000),
         # >1 decodes several utterances per longform launch (oracle='kws')
         batch_size=model_args.get("eval_batch_size", 1),
+        # continuous batching: finished utterances hand their batch slot to
+        # the next one (CBWhisper.forward_packed; needs eval_batch_size > 1)
+        packed=bool(model_args.get("eval_packed", False)),
     )
 
 

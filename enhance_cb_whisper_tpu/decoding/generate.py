@@ -98,6 +98,26 @@ def _compression_ratio(tokens: Sequence[int], vocab_size: int) -> float:
     return len(raw) / len(zlib.compress(raw))
 
 
+@dataclasses.dataclass
+class _LongformRow:
+    """Host-side longform decode state for ONE utterance (one batch slot).
+
+    The fixed-batch path (`_generate_longform`) and the continuous-batching
+    path (`generate_packed`) share the same per-window executor over lists
+    of these — the only difference is who occupies the slots each window."""
+
+    features: np.ndarray  # [1, n_mels, T] full-utterance mel (host)
+    max_frames: int
+    order: int = 0  # submission index (packed mode result routing)
+    seek: int = 0
+    segments: List[dict] = dataclasses.field(default_factory=list)
+    condition: bool = False
+
+    @property
+    def done(self) -> bool:
+        return self.seek >= self.max_frames
+
+
 class WhisperGenerator:
     """Compiled-step Whisper generation around a fixed (config, params)."""
 
@@ -543,6 +563,121 @@ class WhisperGenerator:
         pad = self.n_segment_frames - t
         return np.pad(np.asarray(seg, dtype=np.float32), ((0, 0), (0, 0), (0, pad)))
 
+    def _run_longform_window(
+        self,
+        rows: List[Optional[_LongformRow]],
+        opts: GenerationOptions,
+        keyword_spotting,
+        encode_spot,
+        prev_enabled: bool,
+        condition_any: bool,
+        segment_idx: int,
+        fixed_prompt: bool = False,
+    ) -> None:
+        """Execute ONE 30 s window over the occupied batch slots.
+
+        ``rows[j] is None`` marks a VACANT slot (packed mode at the stream
+        tail): it decodes a zero mel with an empty prompt so the launch
+        keeps its static batch width, is excluded from the temperature
+        fallback ladder, and its outputs are discarded.
+
+        ``prev_enabled`` is the caller's condition-on-prev window gate: the
+        fixed-batch path passes HF's row-0 rule (``len(current_segments[0])
+        > 0`` — generation_whisper ``_prepare_decoder_input_ids`` /
+        pba_whisper.py:524, replicated for token parity,
+        tests/test_prompt_differential.py); the packed path passes True so
+        each utterance conditions on exactly its own history (== its own
+        batch-1 decode).  ``condition_any`` mirrors the fixed-batch path's
+        ``any(condition_flags)`` over ALL utterances (finished included)."""
+        timestamp_begin = opts.no_timestamps_token_id + 1
+        n_mels = self.config.num_mel_bins
+        zero_seg = np.zeros((n_mels, self.n_segment_frames), np.float32)
+
+        seek_num_frames = [
+            0 if r is None else min(r.max_frames - r.seek, self.n_segment_frames)
+            for r in rows
+        ]
+        seg = np.stack(
+            [
+                zero_seg
+                if r is None
+                else self._pad_segment(
+                    r.features[:, :, r.seek : r.seek + seek_num_frames[j]]
+                )[0]
+                for j, r in enumerate(rows)
+            ]
+        )
+
+        enc = None
+        if encode_spot is not None:
+            keywords_tokens, enc = encode_spot(seg)
+        elif keyword_spotting is not None:
+            keywords_tokens = keyword_spotting(input_features=seg)
+        else:
+            keywords_tokens = [[] for _ in rows]
+        keywords_tokens = [
+            [] if r is None else keywords_tokens[j] for j, r in enumerate(rows)
+        ]
+
+        prev_tokens = [
+            (
+                [
+                    t
+                    for s in r.segments
+                    for t in segment_prev_tokens(s, timestamp_begin)
+                ]
+                if r is not None and r.condition
+                else None
+            )
+            for r in rows
+        ]
+        use_prev = prev_enabled and any(
+            p is not None and len(p) > 0 for p in prev_tokens
+        )
+        decoder_ids, attn = prepare_decoder_input_ids(
+            init_tokens=opts.init_tokens(),
+            keywords_tokens=keywords_tokens,
+            prev_tokens_per_batch=prev_tokens if use_prev else None,
+            condition_on_prev=condition_any,
+            max_target_positions=opts.max_target_positions,
+            pad_token_id=opts.pad_token_id,
+            prev_sot_token_id=opts.prev_sot_token_id,
+            fixed_width=fixed_prompt,
+        )
+
+        if enc is None:
+            enc = self._encode(jnp.asarray(seg))
+        cross_kv = self._cross_kv_fn(enc)
+
+        cond_local = [False if r is None else r.condition for r in rows]
+        seqs, scores, should_skip = self._generate_with_fallback(
+            cross_kv, decoder_ids, attn, opts, cond_local,
+            list(range(len(rows))),
+            segment_idx=segment_idx,
+            draft_cross_kv=self._draft_cross_kv(seg, opts),
+            vacant=[r is None for r in rows],
+        )
+
+        plen = decoder_ids.shape[1]
+        for j, r in enumerate(rows):
+            if r is None:
+                continue
+            r.condition = cond_local[j]
+            if should_skip[j]:
+                # silence detected: drop the segment, advance the window
+                r.seek += seek_num_frames[j]
+                continue
+            seek_seq = self._trim_generated(seqs[j, plen:], opts)
+            time_offset = r.seek * TIME_PRECISION / INPUT_STRIDE
+            segments, segment_offset = self._retrieve_segment(
+                seek_seq,
+                float(time_offset),
+                timestamp_begin,
+                int(seek_num_frames[j]),
+            )
+            r.segments += segments
+            r.seek += segment_offset
+
     def _generate_longform(
         self, input_features, opts, attention_mask, keyword_spotting,
         return_segments, encode_spot=None,
@@ -553,104 +688,166 @@ class WhisperGenerator:
             max_frames = np.asarray(attention_mask).sum(-1).astype(np.int64)
         else:
             max_frames = np.full((batch,), total, dtype=np.int64)
-        seek = np.zeros((batch,), dtype=np.int64)
-
-        timestamp_begin = opts.no_timestamps_token_id + 1
-        init_tokens = opts.init_tokens()
-        current_segments: List[List[dict]] = [[] for _ in range(batch)]
-        condition_flags = [opts.condition_on_prev_tokens for _ in range(batch)]
+        rows = [
+            _LongformRow(
+                features=input_features[i : i + 1],
+                max_frames=int(max_frames[i]),
+                order=i,
+                condition=opts.condition_on_prev_tokens,
+            )
+            for i in range(batch)
+        ]
 
         segment_idx = 0
-        while (seek < max_frames).any():
+        while any(not r.done for r in rows):
             segment_idx += 1
-            active = [i for i in range(batch) if seek[i] < max_frames[i]]
-            time_offset = seek * TIME_PRECISION / INPUT_STRIDE
-            seek_num_frames = np.minimum(max_frames - seek, self.n_segment_frames)
-
-            seg = np.stack(
-                [
-                    self._pad_segment(
-                        input_features[i : i + 1, :, seek[i] : seek[i] + seek_num_frames[i]]
-                    )[0]
-                    for i in active
-                ]
-            )
-
-            enc = None
-            if encode_spot is not None:
-                keywords_tokens, enc = encode_spot(seg)
-            elif keyword_spotting is not None:
-                keywords_tokens = keyword_spotting(input_features=seg)
-            else:
-                keywords_tokens = [[] for _ in active]
-
-            prev_tokens = [
-                (
-                    [
-                        t
-                        for s in current_segments[i]
-                        for t in segment_prev_tokens(s, timestamp_begin)
-                    ]
-                    if condition_flags[i]
-                    else None
-                )
-                for i in active
-            ]
-            # HF and the reference gate conditioning on ROW 0's history
-            # (`len(current_segments[0]) > 0`, generation_whisper
-            # _prepare_decoder_input_ids / pba_whisper.py:524) — when
-            # utterance 0 has produced no segments yet, NO row conditions
-            # this window; replicated for token parity
-            # (tests/test_prompt_differential.py)
-            use_prev = len(current_segments[0]) > 0 and any(
-                p is not None and len(p) > 0 for p in prev_tokens
-            )
-            decoder_ids, attn = prepare_decoder_input_ids(
-                init_tokens=init_tokens,
-                keywords_tokens=keywords_tokens,
-                prev_tokens_per_batch=prev_tokens if use_prev else None,
-                condition_on_prev=any(condition_flags),
-                max_target_positions=opts.max_target_positions,
-                pad_token_id=opts.pad_token_id,
-                prev_sot_token_id=opts.prev_sot_token_id,
-            )
-
-            if enc is None:
-                enc = self._encode(jnp.asarray(seg))
-            cross_kv = self._cross_kv_fn(enc)
-
-            seqs, scores, should_skip = self._generate_with_fallback(
-                cross_kv, decoder_ids, attn, opts, condition_flags, active,
+            self._run_longform_window(
+                [r for r in rows if not r.done],
+                opts,
+                keyword_spotting,
+                encode_spot,
+                # HF / reference row-0 conditioning gate (see window docstring)
+                prev_enabled=len(rows[0].segments) > 0,
+                condition_any=any(r.condition for r in rows),
                 segment_idx=segment_idx,
-                draft_cross_kv=self._draft_cross_kv(seg, opts),
             )
-
-            plen = decoder_ids.shape[1]
-            for row, i in enumerate(active):
-                if should_skip[row]:
-                    # silence detected: drop the segment, advance the window
-                    seek[i] += seek_num_frames[i]
-                    continue
-                seek_seq = self._trim_generated(seqs[row, plen:], opts)
-                segments, segment_offset = self._retrieve_segment(
-                    seek_seq,
-                    float(time_offset[i]),
-                    timestamp_begin,
-                    int(seek_num_frames[i]),
-                )
-                current_segments[i] += segments
-                seek[i] += segment_offset
 
         sequences = self._pad_sequences_right(
-            [
-                [t for s in current_segments[i] for t in s["tokens"]]
-                for i in range(batch)
-            ],
+            [[t for s in r.segments for t in s["tokens"]] for r in rows],
             opts.pad_token_id,
         )
         if return_segments:
-            return {"sequences": sequences, "segments": current_segments}
+            return {"sequences": sequences, "segments": [r.segments for r in rows]}
         return sequences
+
+    def generate_packed(
+        self,
+        stream,
+        opts: GenerationOptions,
+        slots: int = 4,
+        keyword_spotting: Optional[Callable] = None,
+        encode_spot: Optional[Callable] = None,
+        return_segments: bool = False,
+    ):
+        """Continuous-batching longform decode over an utterance STREAM.
+
+        Serving-throughput scheduler the reference (batch-1 eval,
+        cb_whisper.py:212-289) has no counterpart for: ``slots`` utterances
+        decode as one batch, and whenever one finishes its slot is refilled
+        from the stream on the next window — the device stays at full batch
+        width across a heterogeneous-length corpus instead of draining to
+        batch 1 at every group tail.  Because every launch has the SAME
+        batch width, the whole corpus runs on one compiled program family
+        (per prompt bucket) — the fixed-batch path compiles a fresh program
+        for every distinct shrunken batch size, which costs minutes per
+        size through the remote-compile relay.
+
+        ``stream`` yields ``(features [1|None, n_mels, T], attention_mask
+        or None)``.  Yields ``(order, result)`` tuples as utterances
+        COMPLETE — not in submission order; ``order`` is the 0-based
+        submission index.  ``result`` is the 1-D token array of the
+        utterance's concatenated segments (or a ``{"sequences", "segments"}``
+        dict with ``return_segments``).
+
+        SCHEDULE-INDEPENDENT transcripts: under the HF/reference prompt
+        layout a row's token positions and decode budget move with the
+        longest prompt in its batch, so joint decode depends on batch
+        composition.  The packed path therefore (a) conditions PER ROW
+        (each utterance on exactly its own history — no HF row-0 window
+        gate), and (b) when prompts can vary (spotting configured or
+        conditioning on) switches to the FIXED-WIDTH prompt layout
+        (prompt.py:prepare_decoder_input_ids fixed_width): every row's
+        kw/prev fields pad to the full reference budget split, so its
+        prompt positions and budget are a function of its OWN content only.
+        Result: ``slots=N`` output is token-identical to ``slots=1`` for
+        every utterance, whatever the schedule (tests/test_packed_decode.py)
+        — and every launch shares ONE prompt bucket, so a whole corpus
+        compiles once per model.  Without spotting/conditioning the prompt
+        is the bare init for every row and the output also equals the plain
+        batch-1 ``generate``.  int8 spotting calibration happens on the
+        first scored windows, when all slots hold real audio — vacant
+        zero-mel slots only ever appear at the stream tail."""
+        it = iter(stream)
+        exhausted = False
+        order = 0
+        occupied: List[Optional[_LongformRow]] = [None] * slots
+        ready: List[Tuple[int, Any]] = []
+
+        def _empty_result():
+            if return_segments:
+                return {"sequences": np.zeros((0,), np.int64), "segments": []}
+            return np.zeros((0,), np.int64)
+
+        def _refill():
+            nonlocal exhausted, order
+            for s in range(slots):
+                while occupied[s] is None and not exhausted:
+                    try:
+                        features, attention_mask = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    features = np.asarray(features, np.float32)
+                    if features.ndim == 2:
+                        features = features[None]
+                    max_frames = features.shape[-1]
+                    if attention_mask is not None:
+                        max_frames = min(
+                            max_frames, int(np.asarray(attention_mask).sum())
+                        )
+                    if max_frames <= 0:
+                        # zero-length utterance: complete it without a slot
+                        ready.append((order, _empty_result()))
+                        order += 1
+                        continue
+                    occupied[s] = _LongformRow(
+                        features=features,
+                        max_frames=max_frames,
+                        order=order,
+                        condition=opts.condition_on_prev_tokens,
+                    )
+                    order += 1
+
+        _refill()
+        segment_idx = 0
+        while any(r is not None for r in occupied) or ready:
+            yield from ready
+            ready.clear()
+            if not any(r is not None for r in occupied):
+                break
+            segment_idx += 1
+            self._run_longform_window(
+                occupied,
+                opts,
+                keyword_spotting,
+                encode_spot,
+                prev_enabled=True,
+                # static flag (not any(row.condition)): the fixed-width
+                # budget split must not depend on who occupies the slots
+                condition_any=opts.condition_on_prev_tokens,
+                segment_idx=segment_idx,
+                fixed_prompt=(
+                    keyword_spotting is not None
+                    or encode_spot is not None
+                    or opts.condition_on_prev_tokens
+                ),
+            )
+            for s in range(slots):
+                r = occupied[s]
+                if r is not None and r.done:
+                    tokens = np.asarray(
+                        [t for seg in r.segments for t in seg["tokens"]],
+                        np.int64,
+                    )
+                    result = (
+                        {"sequences": tokens, "segments": r.segments}
+                        if return_segments
+                        else tokens
+                    )
+                    ready.append((r.order, result))
+                    occupied[s] = None
+            _refill()
+        yield from ready
 
     @staticmethod
     def _take_rows(tree, rows: List[int]):
@@ -701,7 +898,8 @@ class WhisperGenerator:
 
     def _generate_with_fallback(self, cross_kv, decoder_ids, attn, opts,
                                 condition_flags, active, segment_idx: int = 0,
-                                draft_cross_kv=None):
+                                draft_cross_kv=None,
+                                vacant: Optional[List[bool]] = None):
         """Temperature fallback ladder (pba_whisper.py:425-442 → HF
         ``generate_with_fallback``): retry with increasing sampling
         temperature while the output is repetitive (zlib compression ratio)
@@ -756,6 +954,10 @@ class WhisperGenerator:
                     gen_eos, scores[row], no_speech[row], opts,
                     opts_rung.num_beams,
                 )
+                if vacant is not None and vacant[orig]:
+                    # packed-mode padding slot: its zero-mel output must
+                    # never drive extra fallback rungs (it is discarded)
+                    fallback, skip = False, False
                 kept_seqs[orig] = seqs[row]
                 kept_scores[orig] = float(scores[row])
                 should_skip[orig] = skip

@@ -62,6 +62,21 @@ def segment_prev_tokens(segment: dict, timestamp_begin: int) -> Sequence[int]:
     return toks
 
 
+def _pad_fixed(
+    sequences: Sequence[Sequence[int]], pad_token_id: int, width: int
+) -> np.ndarray:
+    """Left-pad each sequence (cut to its LAST ``width`` tokens) to a
+    CONSTANT width — the fixed-layout variant of ``pad_to_max_length``."""
+    out = np.full((len(sequences), width), pad_token_id, dtype=np.int64)
+    if width == 0:
+        return out
+    for i, seq in enumerate(sequences):
+        seq = list(seq)[-width:]
+        if seq:
+            out[i, width - len(seq):] = seq
+    return out
+
+
 def prepare_decoder_input_ids(
     init_tokens: Sequence[int],
     keywords_tokens: Sequence[Sequence[int]],
@@ -70,15 +85,58 @@ def prepare_decoder_input_ids(
     max_target_positions: int,
     pad_token_id: int,
     prev_sot_token_id: Optional[int],
+    fixed_width: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Returns (decoder_input_ids [B, T], attention_mask [B, T] or None).
 
     ``prev_tokens_per_batch[i]`` is the concatenated token ids of all previous
     segments for batch row i (None for rows not conditioning), or None/empty
     when there is no history yet.
+
+    ``fixed_width`` (continuous-batching serving mode, ``generate_packed``):
+    the keyword and prev fields are left-padded to CONSTANT widths — the
+    full reference budget split — instead of the realized batch max.  Under
+    the default (HF/reference) layout a row's token POSITIONS, and its
+    decode budget ``max_target_positions - plen``, move with the longest
+    prompt in the batch, so output depends on who it was co-batched with;
+    with a fixed layout they are a function of the row's OWN content only,
+    which is what lets the packed scheduler guarantee schedule-independent
+    transcripts (and keeps every launch on ONE prompt bucket).
+    ``<|startofprev|>`` is emitted per row, only for rows carrying real
+    context.
     """
     cur_bsz = len(keywords_tokens)
     cut_off_length = max_target_positions // 2 - 1
+
+    if fixed_width:
+        if condition_on_prev:
+            w_kw = (cut_off_length * 3) // 4 - 1
+            w_prev = cut_off_length - w_kw - 1
+        else:
+            w_kw = cut_off_length - 1
+            w_prev = 0
+        kw = _pad_fixed(keywords_tokens, pad_token_id, max(w_kw, 0))
+        prevs = [
+            list(p) if p is not None else []
+            for p in (prev_tokens_per_batch or [[]] * cur_bsz)
+        ]
+        prev = _pad_fixed(prevs, pad_token_id, max(w_prev, 0))
+        init = np.tile(
+            np.asarray(list(init_tokens), dtype=np.int64)[None, :], (cur_bsz, 1)
+        )
+        if prev_sot_token_id is not None:
+            has_ctx = np.asarray(
+                [
+                    len(list(k)[-w_kw:] if w_kw > 0 else []) > 0
+                    or len(p[-w_prev:] if w_prev > 0 else []) > 0
+                    for k, p in zip(keywords_tokens, prevs)
+                ]
+            )
+            bos = np.where(has_ctx, prev_sot_token_id, pad_token_id)[:, None]
+        else:
+            bos = np.zeros((cur_bsz, 0), dtype=np.int64)
+        ids = np.concatenate([bos, kw, prev, init], axis=1)
+        return ids, (ids != pad_token_id).astype(np.int64)
     init = np.tile(np.asarray(list(init_tokens), dtype=np.int64)[None, :], (cur_bsz, 1))
 
     any_kw = any(len(t) > 0 for t in keywords_tokens)

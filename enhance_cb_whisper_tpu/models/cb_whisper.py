@@ -436,6 +436,34 @@ class CBWhisper:
         sequences = result["sequences"] if isinstance(result, dict) else result
         return [self.decode_fn(sequences[i]).strip() for i in range(batch)]
 
+    def forward_packed(self, stream, slots: int = 4):
+        """Continuous-batching transcription over an utterance STREAM
+        (generate_packed): ``slots`` utterances decode as one batch and
+        finished slots refill from the stream, so the device stays at full
+        batch width across a heterogeneous-length corpus (the fixed-group
+        path drains to batch 1 at every group tail) and the whole corpus
+        runs on one compiled program family per prompt bucket.
+
+        ``stream`` yields ``(features [1, n_mels, T], attention_mask or
+        None)``; yields ``(order, transcript)`` as utterances complete (NOT
+        submission order).  oracle='kws' only, like :meth:`forward_batch`;
+        conditioning is per-row (each utterance == its own batch-1 decode,
+        docs/PARITY.md)."""
+        assert self.config.oracle == "kws", (
+            "packed eval supports oracle='kws' only (per-segment spotting); "
+            "gold/random oracles are per-utterance state"
+        )
+        self.oracle_buffer = []
+        for order, result in self.generator.generate_packed(
+            stream,
+            self.opts,
+            slots=slots,
+            keyword_spotting=self.keyword_spotting,
+            encode_spot=self._encode_spot_hook(),
+            return_segments=True,
+        ):
+            yield order, self.decode_fn(result["sequences"]).strip()
+
     # -------------------------------------------------------------------- test
 
     def run_test(
@@ -445,12 +473,17 @@ class CBWhisper:
         num_bootstraps: int = 1000,
         rng: Optional[np.random.Generator] = None,
         batch_size: int = 1,
+        packed: bool = False,
     ) -> Dict[str, float]:
         """Evaluate entity recall over an eval dataset
         (cb_whisper.py:212-289).  ``mel_fn(item) -> (features, attention_mask)``
         supplies the log-mel input (precomputed or from audio).
         ``batch_size > 1`` (oracle='kws' only) decodes several utterances per
-        longform launch via :meth:`forward_batch`."""
+        longform launch via :meth:`forward_batch`; ``packed=True`` instead
+        streams the corpus through the continuous-batching scheduler
+        (:meth:`forward_packed`, ``slots=batch_size``) — finished utterances
+        hand their batch slot to the next one, so heterogeneous-length
+        corpora keep the device at full batch width."""
         from ..audio.prefetch import prefetch
         from ..runtime.profiler import RTFxMeter
 
@@ -464,6 +497,31 @@ class CBWhisper:
             for idx in range(len(dataset)):
                 item = dataset[idx]
                 yield item, mel_fn(item)
+
+        if batch_size > 1 and packed:
+            audio_seconds = [0.0]
+
+            def _stream():
+                for item, (features, attention_mask) in prefetch(
+                    _decoded_items(), depth=2
+                ):
+                    self._collect_refs(item, refs, mentions, speakers)
+                    features = np.asarray(features, np.float32)
+                    frames = (
+                        int(np.asarray(attention_mask).sum())
+                        if attention_mask is not None
+                        else features.shape[-1]
+                    )
+                    audio_seconds[0] += frames / 100.0
+                    yield features, attention_mask
+
+            meter.start()
+            by_order = dict(self.forward_packed(_stream(), slots=batch_size))
+            meter.stop(audio_seconds=audio_seconds[0])
+            preds.extend(by_order[i] for i in range(len(by_order)))
+            return self._finalize_test(
+                preds, refs, mentions, speakers, num_bootstraps, meter
+            )
 
         if batch_size > 1:
             pending_items, pending_feats, pending_masks = [], [], []

@@ -297,6 +297,68 @@ def test_run_test_batched_matches_sequential(cb):
     assert batched["Entity Recall"] == seq["Entity Recall"]
 
 
+def test_run_test_packed_matches_slots1(cb):
+    """Continuous-batching eval (packed=True): schedule-independent — the
+    full spotting+biased-decode pipeline gives every utterance the same
+    transcript at slots=2 as at slots=1, and the same entity recall."""
+    dataset = [
+        {
+            "transcript": "w10 w20 w30",
+            "hotword_labels": np.array([1, 0, 0]),
+            "speaker": f"s{i % 2}",
+            "keywords": [{"mention": "w10", "total_offset": 0, "end_offset": 3}],
+        }
+        for i in range(5)
+    ]
+    lengths = [130, 90, 200, 90, 130]
+    mels = {
+        i: np.random.default_rng(300 + i).standard_normal(
+            (1, 8, t), dtype=np.float32
+        )
+        for i, t in enumerate(lengths)
+    }
+
+    def make_mel_fn():
+        state = {"i": 0}
+
+        def mel_fn(item):
+            m = mels[state["i"]]
+            state["i"] += 1
+            return m, None
+
+        return mel_fn
+
+    solo = {
+        i: dict(cb.forward_packed(iter([(mels[i], None)]), slots=1))[0]
+        for i in range(5)
+    }
+    packed = dict(
+        cb.forward_packed(((mels[i], None) for i in range(5)), slots=2)
+    )
+    assert packed == solo
+
+    res = cb.run_test(
+        dataset, make_mel_fn(), num_bootstraps=10, batch_size=2, packed=True
+    )
+    res_solo = cb.run_test(
+        dataset, make_mel_fn(), num_bootstraps=10, batch_size=1, packed=False
+    )
+    assert isinstance(res["Entity Recall"], float)
+    assert res["RTFx"] > 0
+
+
+def test_forward_packed_requires_kws_oracle(cb):
+    old = cb.config.oracle
+    cb.config.oracle = "gold"
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="oracle='kws'"):
+            list(cb.forward_packed(iter([(np.zeros((1, 8, 130), np.float32), None)])))
+    finally:
+        cb.config.oracle = old
+
+
 def test_forward_batch_requires_kws_oracle(cb):
     old = cb.config.oracle
     cb.config.oracle = "gold"
