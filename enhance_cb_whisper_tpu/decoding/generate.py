@@ -254,9 +254,12 @@ class WhisperGenerator:
 
         self._encode = lambda mel: _encode(self.params, mel)
         self._cross_kv_fn = lambda enc: _cross_kv(self.params, enc)
+        self._encode_jit = _encode  # exposed for the no-recompile swap test
         self._decode_step = _decode_step
         self._decode_chunk = _decode_chunk
         self._prefill = _prefill
+        self._vocab_int8 = bool(vocab_int8)
+        self._decoder_int8 = bool(decoder_int8)
 
         # ---- speculative decoding (optional draft model)
         self.speculative_k = int(speculative_k)
@@ -286,6 +289,37 @@ class WhisperGenerator:
         self._spec_emitted: List[Any] = []
 
     # ------------------------------------------------------------------ util
+
+    def swap_params(self, params: Dict[str, Any]) -> None:
+        """Hot checkpoint swap for serving: replace the weights WITHOUT
+        recompiling anything.
+
+        Every compiled program takes the weights as traced ARGUMENTS, never
+        closure constants (see __init__), so a new checkpoint of the same
+        architecture reuses every compiled program — through the
+        remote-compile relay that is the difference between a ~16-35 min
+        recompile and an instant swap (`runtime/compile_cache.py` covers
+        the cross-process case; this covers in-process model updates, e.g.
+        rolling out a fine-tune to a live server).  Replays the same
+        serving preprocessing the constructor applied (weight-only int8
+        quantization, scan-layer stacking) and refuses a checkpoint whose
+        pytree structure or shapes differ (that would silently recompile)."""
+        if self._vocab_int8:
+            params = quantize_vocab_projection(params)
+        if self._decoder_int8:
+            params = quantize_decoder_layers(params)
+        params = jax.tree.map(jnp.asarray, params)
+        if self.scan_layers:
+            params = stack_whisper_params(params)
+        old = jax.tree.map(lambda x: (x.shape, x.dtype), self.params)
+        new = jax.tree.map(lambda x: (x.shape, x.dtype), params)
+        if old != new:
+            raise ValueError(
+                "swap_params: checkpoint architecture mismatch "
+                "(pytree structure/shapes/dtypes differ — a swap would "
+                "recompile; build a new WhisperGenerator instead)"
+            )
+        self.params = params
 
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:

@@ -22,9 +22,8 @@ from enhance_cb_whisper_tpu.models.whisper_loader import load_hf_whisper
 transformers = pytest.importorskip("transformers")
 
 
-@pytest.fixture(scope="module")
-def built():
-    hf_config = transformers.WhisperConfig(
+def _tiny_hf_config():
+    return transformers.WhisperConfig(
         vocab_size=128, num_mel_bins=8, d_model=32,
         encoder_layers=2, encoder_attention_heads=4,
         decoder_layers=2, decoder_attention_heads=4,
@@ -34,6 +33,11 @@ def built():
         decoder_start_token_id=3,
         suppress_tokens=None, begin_suppress_tokens=None,
     )
+
+
+@pytest.fixture(scope="module")
+def built():
+    hf_config = _tiny_hf_config()
     torch.manual_seed(0)
     hf = transformers.WhisperModel(hf_config)
     config = WhisperConfig.from_hf(hf_config)
@@ -326,3 +330,72 @@ def test_fixed_batch_longform_unchanged(gen):
     for i, mel in enumerate(mels):
         flat = [t for s in res["segments"][i] for t in s["tokens"]]
         assert flat == _batch1_tokens(gen, mel, opts), f"utt {i}"
+
+
+def test_swap_params_no_recompile(built):
+    """Hot checkpoint swap (serving): swapping same-architecture weights
+    reuses every compiled program (weights are traced arguments, never HLO
+    literals) — output matches a fresh generator built on the new
+    checkpoint, and the encode jit cache stays at one entry."""
+    config, params = built
+    hf2 = None
+    torch.manual_seed(42)
+    hf2 = transformers.WhisperModel(_tiny_hf_config())
+    params2 = load_hf_whisper(hf2.state_dict(), config)
+
+    opts = _opts(num_beams=2, condition_on_prev_tokens=True)
+    [mel] = _mels([130], seed=13)
+
+    g = WhisperGenerator(config, params, prompt_buckets=(8, 16, 32))
+    _ = _batch1_tokens(g, mel, opts)
+    fresh2 = _batch1_tokens(
+        WhisperGenerator(config, params2, prompt_buckets=(8, 16, 32)), mel, opts
+    )
+    g.swap_params(params2)
+    assert _batch1_tokens(g, mel, opts) == fresh2
+    assert g._encode_jit._cache_size() == 1
+
+    # architecture mismatch is refused (a silent recompile otherwise)
+    bad = transformers.WhisperConfig(
+        vocab_size=128, num_mel_bins=8, d_model=16,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=32, decoder_ffn_dim=32,
+        max_source_positions=24, max_target_positions=40,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=3,
+        suppress_tokens=None, begin_suppress_tokens=None,
+    )
+    torch.manual_seed(7)
+    bad_params = load_hf_whisper(
+        transformers.WhisperModel(bad).state_dict(), WhisperConfig.from_hf(bad)
+    )
+    with pytest.raises(ValueError, match="architecture mismatch"):
+        g.swap_params(bad_params)
+
+
+def test_swap_params_int8_requantizes(built):
+    """swap_params replays the constructor's serving preprocessing: an
+    int8-decoder generator swapped to a new checkpoint matches a fresh
+    int8 generator built on that checkpoint."""
+    config, params = built
+    torch.manual_seed(43)
+    params2 = load_hf_whisper(
+        transformers.WhisperModel(_tiny_hf_config()).state_dict(), config
+    )
+    opts = _opts(num_beams=1, condition_on_prev_tokens=False)
+    [mel] = _mels([60], seed=14)
+    g = WhisperGenerator(
+        config, params, prompt_buckets=(8, 16, 32),
+        vocab_int8=True, decoder_int8=True,
+    )
+    _ = _batch1_tokens(g, mel, opts)
+    fresh = _batch1_tokens(
+        WhisperGenerator(
+            config, params2, prompt_buckets=(8, 16, 32),
+            vocab_int8=True, decoder_int8=True,
+        ),
+        mel, opts,
+    )
+    g.swap_params(params2)
+    assert _batch1_tokens(g, mel, opts) == fresh
