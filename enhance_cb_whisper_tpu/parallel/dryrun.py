@@ -22,6 +22,11 @@ Stages (mirroring the reference's parallelism story, SURVEY.md §2.7):
      reference pba_whisper.py:365-465) with the utterance batch sharded over
      ``data`` and the keyword catalog over ``model`` — token-identical to
      the single-device run (also asserted by tests/test_parallel.py).
+  5. The same decode with the Whisper params tensor-parallel over ``model``.
+  6. The packed (continuous-batching) serving scheduler on the mesh: a
+     heterogeneous-length corpus streamed through ``data``-sharded slots —
+     every launch keeps exactly ``slots`` rows, so the data axis always
+     divides and no window falls back to the replicated straggler path.
 """
 
 import sys
@@ -30,7 +35,7 @@ import numpy as np
 
 
 def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
-                            tp: bool = False):
+                            tp: bool = False, packed: bool = False):
     """Mesh-parallel batched longform CB-Whisper decode.
 
     Builds a tiny random Whisper + ResNet KWS + keyword catalog, runs the
@@ -109,6 +114,14 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
     batch = max(2, mesh.shape.get("data", 2))
     total = wcfg.max_source_positions * 2 * 2 + 20  # ~2.3 segments longform
     mels = nprng.standard_normal((batch, 8, total), dtype=np.float32)
+    # packed mode: a heterogeneous-length corpus of 2x the slot count —
+    # every launch still has EXACTLY `batch` rows (finished slots refill),
+    # so the `data` axis always divides and nothing falls back to the
+    # replicated straggler path below
+    mels_list = [
+        nprng.standard_normal((1, 8, total + (i % 4) * 17 - 25), np.float32)
+        for i in range(2 * batch)
+    ]
 
     def build():
         return CBWhisper(
@@ -127,6 +140,22 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
         )
 
     def run(cb):
+        if packed:
+            out = dict(
+                cb.generator.generate_packed(
+                    ((m, None) for m in mels_list), opts, slots=batch,
+                    keyword_spotting=cb.keyword_spotting,
+                    encode_spot=cb._encode_spot_hook(),
+                    return_segments=True,
+                )
+            )
+            return {
+                "sequences": [
+                    np.asarray(out[i]["sequences"])
+                    for i in range(len(mels_list))
+                ],
+                "segments": [out[i]["segments"] for i in range(len(mels_list))],
+            }
         return cb.generator.generate(
             mels, opts, keyword_spotting=cb.keyword_spotting,
             return_segments=True, encode_spot=cb._encode_spot_hook(),
@@ -302,6 +331,17 @@ def main(n_devices: int) -> None:
             s.tolist() for s in ref_tp["sequences"]
         ], "TP longform decode diverged from the single-device run"
         print("tp longform decode ok")
+
+    # ---- 6. packed (continuous-batching) serving decode on the mesh:
+    #         heterogeneous-length corpus streamed through `data`-sharded
+    #         slots — every launch has exactly `slots` rows, so the data
+    #         axis always divides (no replicated straggler buckets)
+    ref_pk, got_pk = flagship_longform_stage(mesh, packed=True)
+    assert [s.tolist() for s in got_pk["sequences"]] == [
+        s.tolist() for s in ref_pk["sequences"]
+    ], "packed mesh serving decode diverged from the single-device run"
+    print("packed mesh serving decode ok:",
+          [len(s) for s in ref_pk["segments"]])
 
     print(f"dryrun_multichip({n_devices}) passed")
 

@@ -208,3 +208,19 @@ def test_tp_longform_decode_matches_single():
         r = [(s["start"], s["end"], s["tokens"]) for s in ref["segments"][b]]
         g = [(s["start"], s["end"], s["tokens"]) for s in got["segments"][b]]
         assert g == r
+
+
+def test_packed_mesh_serving_decode_matches_single():
+    """Packed (continuous-batching) serving on the mesh: a heterogeneous
+    corpus streamed through data-sharded slots is token-identical to the
+    single-device packed run — and unlike the fixed-batch stage, every
+    window keeps exactly `slots` rows so the data axis always divides
+    (no replicated straggler buckets)."""
+    from enhance_cb_whisper_tpu.parallel.dryrun import flagship_longform_stage
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    ref, got = flagship_longform_stage(mesh, packed=True)
+    assert [s.tolist() for s in got["sequences"]] == [
+        s.tolist() for s in ref["sequences"]
+    ]
+    assert any(len(s) > 0 for s in ref["segments"])
