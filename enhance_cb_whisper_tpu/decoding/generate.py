@@ -783,6 +783,15 @@ class WhisperGenerator:
         utterance's concatenated segments (or a ``{"sequences", "segments"}``
         dict with ``return_segments``).
 
+        Live-serving protocol (runtime/serving.py): the stream may yield
+        ``None`` meaning "no utterance available right now" — the scheduler
+        stops refilling for the current window and keeps decoding the
+        in-flight rows instead of stalling them on future work; it asks the
+        stream again next window.  Only ``StopIteration`` marks the stream
+        exhausted.  A stream must not yield ``None`` while NOTHING is in
+        flight (the scheduler would spin); a live stream should block in
+        that case until work arrives or it ends.
+
         SCHEDULE-INDEPENDENT transcripts: under the HF/reference prompt
         layout a row's token positions and decode budget move with the
         longest prompt in its batch, so joint decode depends on batch
@@ -817,10 +826,15 @@ class WhisperGenerator:
             for s in range(slots):
                 while occupied[s] is None and not exhausted:
                     try:
-                        features, attention_mask = next(it)
+                        item = next(it)
                     except StopIteration:
                         exhausted = True
                         break
+                    if item is None:
+                        # live stream: nothing available right now — decode
+                        # the in-flight rows, ask again next window
+                        return
+                    features, attention_mask = item
                     features = np.asarray(features, np.float32)
                     if features.ndim == 2:
                         features = features[None]
@@ -842,13 +856,20 @@ class WhisperGenerator:
                     )
                     order += 1
 
-        _refill()
         segment_idx = 0
-        while any(r is not None for r in occupied) or ready:
+        while True:
+            # results first, refill second: a live stream (runtime/serving)
+            # decides whether to block on its queue by counting in-flight
+            # work, so completions must reach it before the next pull
             yield from ready
             ready.clear()
+            _refill()
+            yield from ready  # zero-length utterances admitted just now
+            ready.clear()
             if not any(r is not None for r in occupied):
-                break
+                if exhausted:
+                    break
+                continue  # live stream was idle; ask it again
             segment_idx += 1
             self._run_longform_window(
                 occupied,
@@ -880,8 +901,6 @@ class WhisperGenerator:
                     )
                     ready.append((r.order, result))
                     occupied[s] = None
-            _refill()
-        yield from ready
 
     @staticmethod
     def _take_rows(tree, rows: List[int]):

@@ -1,6 +1,7 @@
 from .checkpoint import CheckpointManager, save_checkpoint, load_checkpoint
 from .logging import MetricsLogger
 from .kws_engine import KWSEngine
+from .serving import TranscriptionService
 
 __all__ = [
     "CheckpointManager",
@@ -8,4 +9,5 @@ __all__ = [
     "load_checkpoint",
     "MetricsLogger",
     "KWSEngine",
+    "TranscriptionService",
 ]
