@@ -813,6 +813,7 @@ class WhisperGenerator:
         it = iter(stream)
         exhausted = False
         order = 0
+        slots = max(1, int(slots))  # 0 slots would spin without admitting
         occupied: List[Optional[_LongformRow]] = [None] * slots
         ready: List[Tuple[int, Any]] = []
 
