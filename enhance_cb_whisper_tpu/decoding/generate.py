@@ -303,7 +303,15 @@ class WhisperGenerator:
         rolling out a fine-tune to a live server).  Replays the same
         serving preprocessing the constructor applied (weight-only int8
         quantization, scan-layer stacking) and refuses a checkpoint whose
-        pytree structure or shapes differ (that would silently recompile)."""
+        pytree structure or shapes differ (that would silently recompile).
+
+        NOT synchronized with an in-flight decode: calling this from
+        another thread mid-utterance would mix checkpoints across that
+        utterance's segments (and mid-window across encode/decode).  Either
+        quiesce first, or go through
+        ``runtime.serving.TranscriptionService.swap_params``, which drains
+        in-flight work on the worker thread before swapping (an epoch
+        barrier)."""
         if self._vocab_int8:
             params = quantize_vocab_projection(params)
         if self._decoder_int8:
@@ -545,7 +553,11 @@ class WhisperGenerator:
         generate's internal encoder).  A ``None`` encoding falls back to the
         generator's own encoder (e.g. after a spotting failure)."""
         total_frames = input_features.shape[-1]
-        if total_frames <= self.n_segment_frames:
+        if total_frames <= self.n_segment_frames and input_features.shape[0] == 1:
+            # the reference's shortform surface is single-utterance
+            # (pba_whisper.py:284-285); a BATCH of <=30s utterances takes
+            # the longform driver instead of raising — one masked window
+            # per row, the same processing the packed scheduler applies
             return self._generate_shortform(
                 input_features, opts, keyword_spotting, encode_spot
             )
@@ -607,6 +619,7 @@ class WhisperGenerator:
         condition_any: bool,
         segment_idx: int,
         fixed_prompt: bool = False,
+        fixed_keywords: bool = True,
     ) -> None:
         """Execute ONE 30 s window over the occupied batch slots.
 
@@ -642,11 +655,27 @@ class WhisperGenerator:
             ]
         )
 
+        # vacant padding slots must not feed lazy int8 calibration — pass the
+        # real-row mask to hooks that accept it (CBWhisper's do; plain test
+        # callables need not)
+        hook_kwargs = {}
+        if any(r is None for r in rows):
+            real = [r is not None for r in rows]
+            hook = encode_spot if encode_spot is not None else keyword_spotting
+            if hook is not None:
+                import inspect
+
+                try:
+                    if "real_rows" in inspect.signature(hook).parameters:
+                        hook_kwargs["real_rows"] = real
+                except (TypeError, ValueError):
+                    pass
+
         enc = None
         if encode_spot is not None:
-            keywords_tokens, enc = encode_spot(seg)
+            keywords_tokens, enc = encode_spot(seg, **hook_kwargs)
         elif keyword_spotting is not None:
-            keywords_tokens = keyword_spotting(input_features=seg)
+            keywords_tokens = keyword_spotting(input_features=seg, **hook_kwargs)
         else:
             keywords_tokens = [[] for _ in rows]
         keywords_tokens = [
@@ -677,6 +706,7 @@ class WhisperGenerator:
             pad_token_id=opts.pad_token_id,
             prev_sot_token_id=opts.prev_sot_token_id,
             fixed_width=fixed_prompt,
+            fixed_keywords=fixed_keywords,
         )
 
         if enc is None:
@@ -807,7 +837,10 @@ class WhisperGenerator:
         — and every launch shares ONE prompt bucket, so a whole corpus
         compiles once per model.  Without spotting/conditioning the prompt
         is the bare init for every row and the output also equals the plain
-        batch-1 ``generate``.  int8 spotting calibration happens on the
+        batch-1 ``generate`` for longform utterances (single-window
+        utterances always take the longform SEGMENT surface here, not the
+        reference's single-utterance shortform surface — PARITY #25).
+        int8 spotting calibration happens on the
         first scored windows, when all slots hold real audio — vacant
         zero-mel slots only ever appear at the stream tail."""
         it = iter(stream)
@@ -886,6 +919,11 @@ class WhisperGenerator:
                     keyword_spotting is not None
                     or encode_spot is not None
                     or opts.condition_on_prev_tokens
+                ),
+                # static per call: with no spotter the keyword field is
+                # dropped so prev history keeps the full reference budget
+                fixed_keywords=(
+                    keyword_spotting is not None or encode_spot is not None
                 ),
             )
             for s in range(slots):

@@ -86,6 +86,7 @@ def prepare_decoder_input_ids(
     pad_token_id: int,
     prev_sot_token_id: Optional[int],
     fixed_width: bool = False,
+    fixed_keywords: bool = True,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Returns (decoder_input_ids [B, T], attention_mask [B, T] or None).
 
@@ -103,13 +104,19 @@ def prepare_decoder_input_ids(
     which is what lets the packed scheduler guarantee schedule-independent
     transcripts (and keeps every launch on ONE prompt bucket).
     ``<|startofprev|>`` is emitted per row, only for rows carrying real
-    context.
+    context.  ``fixed_keywords=False`` (no spotter configured — static per
+    serving call) drops the keyword field entirely so prev history gets the
+    FULL reference budget instead of permanently reserving ~75% of it for
+    keywords that can never arrive.
     """
     cur_bsz = len(keywords_tokens)
     cut_off_length = max_target_positions // 2 - 1
 
     if fixed_width:
-        if condition_on_prev:
+        if not fixed_keywords:
+            w_kw = 0
+            w_prev = cut_off_length if condition_on_prev else 0
+        elif condition_on_prev:
             w_kw = (cut_off_length * 3) // 4 - 1
             w_prev = cut_off_length - w_kw - 1
         else:

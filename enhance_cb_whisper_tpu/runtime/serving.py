@@ -29,6 +29,11 @@ from typing import Any, Dict, Optional
 _CLOSE = object()
 
 
+class _SwapCmd:
+    def __init__(self, params):
+        self.params = params
+
+
 class TranscriptionService:
     """Ticketed transcription over a continuously-batched CBWhisper.
 
@@ -76,11 +81,16 @@ class TranscriptionService:
                 raise RuntimeError("serving worker died") from self._error
             ticket = self._next_ticket
             self._next_ticket += 1
-        self._queue.put((features, attention_mask))
+            # enqueue UNDER the lock: ticket order must equal queue order
+            # (the scheduler numbers results by stream position), and a
+            # ticket issued before close() must land ahead of the sentinel
+            self._queue.put((features, attention_mask))
         return ticket
 
     def result(self, ticket: int, timeout: Optional[float] = None) -> str:
-        """Block until ``ticket``'s transcript is ready and return it."""
+        """Block until ``ticket``'s transcript is ready and return it.
+        One-shot: the transcript is evicted on read (a long-running service
+        must not accumulate every transcript it ever produced)."""
         with self._cv:
             ok = self._cv.wait_for(
                 lambda: ticket in self._results
@@ -89,7 +99,7 @@ class TranscriptionService:
                 timeout,
             )
             if ticket in self._results:
-                return self._results[ticket]
+                return self._results.pop(ticket)
             if self._error is not None:
                 raise RuntimeError("serving worker died") from self._error
             if not ok:
@@ -97,6 +107,21 @@ class TranscriptionService:
             raise RuntimeError(
                 f"service finished without producing ticket {ticket}"
             )
+
+    def swap_params(self, params) -> None:
+        """Hot checkpoint rollout into the LIVE service: queued like a
+        submission and executed on the worker thread as an epoch barrier —
+        the scheduler first drains every utterance already in flight or
+        queued ahead (no transcript mixes checkpoints), then calls
+        ``generator.swap_params`` (zero recompiles), then admits the work
+        queued behind it under the new weights.  An architecture mismatch
+        kills the worker like any decode error (surfaced via result())."""
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("TranscriptionService is closed")
+            if self._error is not None:
+                raise RuntimeError("serving worker died") from self._error
+            self._queue.put(_SwapCmd(params))
 
     def close(self, wait: bool = True) -> None:
         """Stop accepting work; the scheduler drains everything already
@@ -107,7 +132,7 @@ class TranscriptionService:
                     self._worker.join()
                 return
             self._closed = True
-        self._queue.put(_CLOSE)
+            self._queue.put(_CLOSE)
         if wait:
             self._worker.join()
             with self._cv:
@@ -123,7 +148,16 @@ class TranscriptionService:
     # ---------------------------------------------------------------- worker
 
     def _stream(self):
+        pending_swap = None
         while True:
+            if pending_swap is not None:
+                if self._inflight > 0:
+                    # epoch barrier: stop admitting, let in-flight work
+                    # drain under the OLD weights
+                    yield None
+                    continue
+                self._module.generator.swap_params(pending_swap)
+                pending_swap = None
             # exact (worker-thread-only) idle test: block on the queue only
             # when the scheduler holds no rows — otherwise return None so
             # in-flight utterances keep decoding instead of stalling on
@@ -136,6 +170,9 @@ class TranscriptionService:
                 continue
             if item is _CLOSE:
                 return
+            if isinstance(item, _SwapCmd):
+                pending_swap = item.params
+                continue
             self._inflight += 1
             yield item
 

@@ -337,12 +337,27 @@ def test_run_test_packed_matches_slots1(cb):
     )
     assert packed == solo
 
-    res = cb.run_test(
-        dataset, make_mel_fn(), num_bootstraps=10, batch_size=2, packed=True
-    )
-    res_solo = cb.run_test(
-        dataset, make_mel_fn(), num_bootstraps=10, batch_size=1, packed=False
-    )
+    # run_test(packed=True) must align each prediction with its item —
+    # capture the preds the metric consumes and pin them to the solo decodes
+    captured = {}
+    orig_finalize = CBWhisper._finalize_test
+
+    def spy(self, preds, refs, mentions, speakers, num_bootstraps, meter):
+        captured["preds"] = list(preds)
+        return orig_finalize(
+            self, preds, refs, mentions, speakers, num_bootstraps, meter
+        )
+
+    import pytest as _pytest  # noqa: F401
+
+    from unittest import mock
+
+    with mock.patch.object(CBWhisper, "_finalize_test", spy):
+        res = cb.run_test(
+            dataset, make_mel_fn(), num_bootstraps=10, batch_size=2,
+            packed=True,
+        )
+    assert captured["preds"] == [solo[i] for i in range(5)]
     assert isinstance(res["Entity Recall"], float)
     assert res["RTFx"] > 0
 

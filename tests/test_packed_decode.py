@@ -399,3 +399,66 @@ def test_swap_params_int8_requantizes(built):
     )
     g.swap_params(params2)
     assert _batch1_tokens(g, mel, opts) == fresh
+
+
+def test_single_window_utterances(gen):
+    """<=1-window utterances: packed processes them on the longform segment
+    surface, schedule-independently; and a BATCH of short utterances takes
+    the longform driver instead of the (batch-1-only) shortform refusal —
+    token-identical to the packed solo decode."""
+    opts = _opts(num_beams=1, condition_on_prev_tokens=False)
+    mels = _mels([30, 40], seed=15)  # both fit the 48-frame window
+    solo = {
+        i: _run_packed(gen, [m], opts, slots=1)[0].tolist()
+        for i, m in enumerate(mels)
+    }
+    packed = _run_packed(gen, mels, opts, slots=2)
+    for i in range(2):
+        assert packed[i].tolist() == solo[i], f"utt {i}"
+
+    # batched mels with t_max <= one window: previously raised
+    # "shortform biased generation is single-utterance"
+    t_max = 40
+    batch = np.zeros((2, 8, t_max), np.float32)
+    attn = np.zeros((2, t_max), np.int32)
+    for i, m in enumerate(mels):
+        batch[i, :, : m.shape[-1]] = m[0]
+        attn[i, : m.shape[-1]] = 1
+    res = gen.generate(batch, opts, attention_mask=attn, return_segments=True)
+    for i in range(2):
+        flat = [t for s in res["segments"][i] for t in s["tokens"]]
+        assert flat == solo[i], f"utt {i} batched"
+
+
+def test_packed_no_spotter_uses_full_prev_budget(gen):
+    """Conditioning without a spotter: the fixed layout drops the keyword
+    field (it could never be filled) so prev history gets the FULL
+    reference budget — the prompt width must be smaller than the
+    with-spotter layout while staying constant across windows."""
+    from unittest import mock
+
+    opts = _opts(num_beams=1, condition_on_prev_tokens=True)
+    mels = _mels([130], seed=16)
+    orig = WhisperGenerator._generate_with_fallback
+
+    def run(**kw):
+        plens = []
+
+        def spy(self, cross_kv, decoder_ids, *a, **k):
+            plens.append(decoder_ids.shape[1])
+            return orig(self, cross_kv, decoder_ids, *a, **k)
+
+        with mock.patch.object(WhisperGenerator, "_generate_with_fallback", spy):
+            _run_packed(gen, mels, opts, slots=1, **kw)
+        return plens
+
+    no_spot = run()
+    with_spot = run(keyword_spotting=_spotter())
+    assert len(set(no_spot)) == 1 and len(set(with_spot)) == 1
+    cut = 40 // 2 - 1  # max_target_positions // 2 - 1 = 19
+    w_kw = (cut * 3) // 4 - 1
+    init = 1  # [decoder_start] (return_timestamps drops <|notimestamps|>)
+    # no spotter: sot + FULL prev budget + init (no dead keyword field)
+    assert no_spot[0] == 1 + cut + init
+    # with spotter: sot + kw budget + remaining prev budget + init
+    assert with_spot[0] == 1 + w_kw + (cut - w_kw - 1) + init

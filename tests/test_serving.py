@@ -25,8 +25,7 @@ OUT = (32, 48)
 RESULT_TIMEOUT = 300  # generous: first calls compile on 1 CPU core
 
 
-@pytest.fixture(scope="module")
-def cb():
+def _make_cb(whisper_seed: int = 0):
     hf_config = transformers.WhisperConfig(
         vocab_size=128, num_mel_bins=8, d_model=32,
         encoder_layers=2, encoder_attention_heads=4,
@@ -36,7 +35,7 @@ def cb():
         pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=3,
         suppress_tokens=None, begin_suppress_tokens=None,
     )
-    torch.manual_seed(0)
+    torch.manual_seed(whisper_seed)
     hf = transformers.WhisperModel(hf_config)
     config = WhisperConfig.from_hf(hf_config)
     params = load_hf_whisper(hf.state_dict(), config)
@@ -67,7 +66,7 @@ def cb():
         max_target_positions=40,
     )
 
-    return CBWhisper(
+    cb = CBWhisper(
         config=CBWhisperConfig(kws_features_size=OUT, keywords_per_group=2),
         whisper_config=config,
         whisper_params=params,
@@ -79,6 +78,13 @@ def cb():
         decode_fn=lambda tokens: " ".join(f"w{t}" for t in tokens if 4 < t < 99),
         kws_layer_slice=(1, 3),
     )
+    cb._test_raw_params = params  # for hot-swap tests
+    return cb
+
+
+@pytest.fixture(scope="module")
+def cb():
+    return _make_cb(0)
 
 
 def _mel(t, seed):
@@ -154,3 +160,34 @@ def test_worker_error_propagates(cb, monkeypatch):
         svc.result(ticket, timeout=RESULT_TIMEOUT)
     with pytest.raises(RuntimeError, match="worker died"):
         svc.submit(_mel(60, 701))
+
+
+def test_service_hot_swap_epoch_barrier():
+    """swap_params on the LIVE service: results before the swap come from
+    the old checkpoint, results after from the new — the swap executes on
+    the worker thread after in-flight work drains (no checkpoint mixing)."""
+    m1, m2 = _mel(130, 900), _mel(60, 901)
+    solo_old = dict(_make_cb(0).forward_packed(iter([(m1, None)]), slots=1))[0]
+    solo_new = dict(_make_cb(77).forward_packed(iter([(m2, None)]), slots=1))[0]
+    new_params = _make_cb(77)._test_raw_params
+
+    cbA = _make_cb(0)
+    with TranscriptionService(cbA, slots=2) as svc:
+        t1 = svc.submit(m1)
+        assert svc.result(t1, timeout=RESULT_TIMEOUT) == solo_old
+        svc.swap_params(new_params)
+        t2 = svc.submit(m2)
+        assert svc.result(t2, timeout=RESULT_TIMEOUT) == solo_new
+
+
+def test_vacant_slots_excluded_from_int8_calibration():
+    """Live-serving vacant (zero-mel) slots must not feed the lazy int8
+    calibration set: one 3-window utterance through 4 slots contributes
+    exactly 3 REAL segments (a regression would complete a 4-sample
+    calibration from the first window's 1 real + 3 zero rows)."""
+    cb = _make_cb(0)
+    cb.enable_int8_spotting(calibration_batches=4)
+    out = dict(cb.forward_packed(iter([(_mel(130, 950), None)]), slots=4))
+    assert isinstance(out[0], str)
+    assert cb._int8_pending, "calibration completed early — zero rows leaked in"
+    assert len(cb._int8_calib_stacks) == 3
