@@ -16,6 +16,7 @@ segment and returns per-batch keyword token-id lists.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import zlib
 from functools import partial
@@ -43,6 +44,8 @@ from .speculative import speculative_greedy_search
 N_SEGMENT_FRAMES = 3000  # input_stride(2) * max_source_positions(1500)
 TIME_PRECISION = 0.02
 INPUT_STRIDE = 2
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +99,22 @@ def _compression_ratio(tokens: Sequence[int], vocab_size: int) -> float:
     length = int(np.log2(vocab_size) / 8) + 1
     raw = b"".join(int(t).to_bytes(length, "little") for t in tokens)
     return len(raw) / len(zlib.compress(raw))
+
+
+def _resolve_topk_impl(d_model: int) -> str:
+    """Pick the beam top-k lowering for these model dims.
+
+    Round-3 on-chip A/B (docs/sweep_results_r3.jsonl): the sort-free
+    iterative top-k (decoding/topk.py) wins decisively at whisper-tiny
+    (the vocab sort was 59% of beam-decode device time) but measures
+    slightly NEGATIVE at whisper-medium beam-5 b4 (15.67x vs lax.top_k's
+    16.1x) where the decode loop is weight-read-bound.  Crossover placed
+    at d_model 1024 (medium); ECW_BEAM_TOPK=iterative|sort forces either
+    path (bit-identical outputs either way)."""
+    impl = os.environ.get("ECW_BEAM_TOPK", "auto")
+    if impl in ("iterative", "sort"):
+        return impl
+    return "iterative" if d_model < 1024 else "sort"
 
 
 @dataclasses.dataclass
@@ -287,6 +306,19 @@ class WhisperGenerator:
         # speculative_stats() so the decode path never blocks on the relay
         self._spec_windows: List[Any] = []
         self._spec_emitted: List[Any] = []
+        # ---- acceptance auto-bailout (measured break-even, docs/PERF.md):
+        # on the round-3 sweep, speculative needs ≈3.2 emitted tokens per
+        # verify window (α≈0.28 at k=8) to beat plain int8 greedy at
+        # whisper-medium; a random/uncorrelated draft sits at 1.0 and is a
+        # 2× SLOWDOWN.  After _SPEC_BAILOUT_WINDOWS verify launches, if the
+        # running tokens-per-window is below this threshold the generator
+        # permanently falls back to plain greedy for the rest of its life
+        # (until swap_params installs new weights).  ECW_SPEC_MIN_TPW=0
+        # disables the bailout (bench bounds measurement needs that).
+        self.spec_min_tokens_per_window = float(
+            os.environ.get("ECW_SPEC_MIN_TPW", "3.2")
+        )
+        self._spec_bailed = False
 
     # ------------------------------------------------------------------ util
 
@@ -328,6 +360,11 @@ class WhisperGenerator:
                 "recompile; build a new WhisperGenerator instead)"
             )
         self.params = params
+        # new weights → new draft/target acceptance; give speculative
+        # decoding a fresh measurement window
+        self._spec_windows.clear()
+        self._spec_emitted.clear()
+        self._spec_bailed = False
 
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
@@ -446,6 +483,7 @@ class WhisperGenerator:
             and not use_sampling
             and self.draft is not None
             and draft_cross_kv is not None
+            and not self._spec_bailed
         ):
             draft_ctx = {
                 "cross_kv": draft_cross_kv,
@@ -477,6 +515,7 @@ class WhisperGenerator:
             # mean over rows: a window emits per-row; the per-row mean over
             # all launches / total windows is the amortization ratio
             self._spec_emitted.append(stats["emitted"].astype(jnp.float32).mean())
+            self._maybe_spec_bailout()
         elif K == 1:
             seqs, scores = greedy_search(
                 self._decode_step,
@@ -508,12 +547,50 @@ class WhisperGenerator:
                 do_sample=use_sampling,
                 temperature=float(temperature) if use_sampling else 1.0,
                 rng=rng,
-                # sort-free exact top-k is the default (the [B·K, V] sort
-                # was 59% of beam-decode device time); ECW_BEAM_TOPK=sort
-                # keeps lax.top_k for A/B attribution — bit-identical
-                topk_impl=os.environ.get("ECW_BEAM_TOPK", "iterative"),
+                # dims-conditional default (round-3 sweep, docs/PERF.md):
+                # the sort-free top-k wins hugely at tiny dims (the vocab
+                # sort was 59% of device time) but is slightly NEGATIVE at
+                # whisper-medium (15.67x vs 16.1x — the loop there is
+                # weight-read-bound, so k max+mask passes over V cost more
+                # than the now-minor sort). ECW_BEAM_TOPK=iterative|sort
+                # overrides for A/B — both paths are bit-identical.
+                topk_impl=_resolve_topk_impl(self.config.d_model),
             )
         return np.asarray(seqs), np.asarray(scores), no_speech_probs
+
+    # number of verify launches to observe before judging acceptance; one
+    # whisper-medium segment at 1.0 tok/window is ~50-150 windows, so 32
+    # windows decide within the FIRST bad segment
+    _SPEC_BAILOUT_WINDOWS = 32
+    # check cadence (in spec launches): each check is one tiny host fetch
+    # (~a relay round-trip), so don't pay it per segment
+    _SPEC_BAILOUT_EVERY = 4
+
+    def _maybe_spec_bailout(self) -> None:
+        """Fall back to plain greedy permanently when the measured
+        acceptance sits below the break-even tokens-per-window
+        (docs/PERF.md: speculative below break-even is up to a 2× slowdown
+        — the draft is pure overhead).  ``ECW_SPEC_MIN_TPW=0`` disables."""
+        if (
+            self._spec_bailed
+            or self.spec_min_tokens_per_window <= 0
+            or len(self._spec_windows) % self._SPEC_BAILOUT_EVERY
+        ):
+            return
+        stats = self.speculative_stats()
+        if stats is None or stats["windows"] < self._SPEC_BAILOUT_WINDOWS:
+            return
+        if stats["tokens_per_window"] < self.spec_min_tokens_per_window:
+            self._spec_bailed = True
+            logger.warning(
+                "speculative decode: measured %.2f tokens/window over %d "
+                "verify launches < break-even %.2f — draft disabled, "
+                "falling back to plain greedy (see docs/PERF.md; "
+                "ECW_SPEC_MIN_TPW overrides)",
+                stats["tokens_per_window"],
+                int(stats["windows"]),
+                self.spec_min_tokens_per_window,
+            )
 
     def speculative_stats(self) -> Optional[Dict[str, float]]:
         """Fetch accumulated speculative-decode counters (None if the
@@ -595,8 +672,9 @@ class WhisperGenerator:
     def _draft_cross_kv(self, seg: np.ndarray, opts: GenerationOptions):
         """Per-segment draft encode + cross K/V for speculative decoding
         (None when no draft is configured or the mode can't use it — the
-        draft encoder is a wasted launch under beam search)."""
-        if self.draft is None or opts.num_beams != 1:
+        draft encoder is a wasted launch under beam search, and a
+        below-break-even draft is disabled by the acceptance bailout)."""
+        if self.draft is None or opts.num_beams != 1 or self._spec_bailed:
             return None
         return self.draft._cross_kv_fn(self.draft._encode(jnp.asarray(seg)))
 

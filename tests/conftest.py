@@ -11,6 +11,18 @@ jax.config before any backend is initialized.
 """
 
 import os
+import tempfile
+
+# Isolate the persistent XLA compile cache for this test session: the
+# in-process CLI tests call run_cli() -> enable_persistent_cache(), which
+# flips the GLOBAL jax_compilation_cache_dir for the remainder of the
+# pytest process.  Left at the default (~/.cache/ecw_xla_cache) every later
+# test writes into a directory shared with concurrently-running bench/sweep
+# processes — which segfaulted JAX's cache write mid-suite (round-3 judge
+# run).  A fresh per-session tmpdir keeps all writes inside the sandbox.
+os.environ.setdefault(
+    "ECW_COMPILE_CACHE", tempfile.mkdtemp(prefix="ecw_test_xla_cache_")
+)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

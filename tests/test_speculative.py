@@ -68,6 +68,15 @@ def models():
     return target, draft
 
 
+@pytest.fixture(autouse=True)
+def _no_bailout(monkeypatch):
+    """Random tiny-vocab drafts sit at ~1 token/window, which would trip
+    the acceptance auto-bailout mid-test and silently turn the speculative
+    parity tests into plain-vs-plain; disable it here (the bailout has its
+    own dedicated test below)."""
+    monkeypatch.setenv("ECW_SPEC_MIN_TPW", "0")
+
+
 def _opts(**kw):
     base = dict(
         decoder_start_token_id=3,
@@ -338,6 +347,38 @@ def test_spec_beam_ignores_draft(models):
 
     np.testing.assert_array_equal(run(plain), run(spec))
     assert spec.speculative_stats() is None  # spec path never ran
+
+
+def test_spec_acceptance_bailout(models, monkeypatch):
+    """Below-break-even acceptance (random draft ≈1 token/window < the
+    measured 3.2 break-even, docs/PERF.md) must auto-disable the draft;
+    output stays identical (fallback IS plain greedy), the draft encoder
+    stops launching, and swap_params re-arms the measurement."""
+    monkeypatch.setenv("ECW_SPEC_MIN_TPW", "3.2")
+    monkeypatch.setattr(WhisperGenerator, "_SPEC_BAILOUT_WINDOWS", 4)
+    monkeypatch.setattr(WhisperGenerator, "_SPEC_BAILOUT_EVERY", 1)
+    plain, spec = _pair(models, speculative_k=4)
+    rng = np.random.default_rng(12)
+    mel = rng.standard_normal((2, 8, 130), dtype=np.float32)
+    opts = _opts(
+        num_beams=1, max_target_positions=40, return_timestamps=True,
+        condition_on_prev_tokens=True, prev_sot_token_id=101,
+        max_initial_timestamp_index=10,
+    )
+    out_s = spec.generate(mel, opts)
+    assert spec._spec_bailed
+    np.testing.assert_array_equal(plain.generate(mel, opts), out_s)
+    assert spec._draft_cross_kv(mel, opts) is None  # draft never launches now
+
+    # new weights → fresh measurement window
+    (tcfg, tparams), _ = models
+    spec.swap_params(tparams)
+    assert not spec._spec_bailed and spec.speculative_stats() is None
+
+    # a draft at full acceptance (the target itself) must NOT bail
+    _, spec_self = _pair(models, speculative_k=4, draft_params=(tcfg, tparams))
+    spec_self.generate(mel, opts)
+    assert not spec_self._spec_bailed
 
 
 def test_draft_vocab_mismatch_rejected(models):

@@ -78,6 +78,24 @@ def test_vocab_scale_row():
     _check(x, 10)
 
 
+def test_resolve_topk_impl_dims_conditional(monkeypatch):
+    """Default "auto" picks iterative below d_model=1024 (tiny/base/small,
+    where the vocab sort dominated) and the lax.top_k sort at medium+
+    (where the round-3 sweep measured iterative slightly negative:
+    15.67x vs 16.1x).  Explicit env values force either path."""
+    from enhance_cb_whisper_tpu.decoding.generate import _resolve_topk_impl
+
+    monkeypatch.delenv("ECW_BEAM_TOPK", raising=False)
+    assert _resolve_topk_impl(384) == "iterative"  # whisper-tiny
+    assert _resolve_topk_impl(768) == "iterative"  # whisper-small
+    assert _resolve_topk_impl(1024) == "sort"      # whisper-medium
+    assert _resolve_topk_impl(1280) == "sort"      # whisper-large
+    monkeypatch.setenv("ECW_BEAM_TOPK", "iterative")
+    assert _resolve_topk_impl(1280) == "iterative"
+    monkeypatch.setenv("ECW_BEAM_TOPK", "sort")
+    assert _resolve_topk_impl(384) == "sort"
+
+
 # ----------------------------------------------------------------- e2e A/B
 
 transformers = pytest.importorskip("transformers")
