@@ -300,12 +300,26 @@ def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None)
         TO_LANGUAGE_CODE,
     )
 
-    language = str(model_args.get("language", "english")).lower()
-    lang_code = TO_LANGUAGE_CODE.get(language, language)
-    lang_token = tokenizer.convert_tokens_to_ids(f"<|{lang_code}|>")
-    assert lang_token != tokenizer.convert_tokens_to_ids("<|__unk__|>"), (
-        f"language {language!r} does not resolve to a whisper language token"
-    )
+    language = model_args.get("language", "english")
+    lang_ids: tuple = ()
+    if language is None:
+        # `language: null` → per-utterance auto-detection from the first
+        # 30 s window (HF _set_language_and_task/detect_language semantics,
+        # pba_whisper.py:276-291); needs the generation config's lang_to_id
+        lang_token = None
+        lang_to_id = getattr(hf_gc, "lang_to_id", None)
+        assert lang_to_id, (
+            "language: null requires generation_config.lang_to_id for "
+            "language detection (multilingual whisper checkpoints ship it)"
+        )
+        lang_ids = tuple(sorted(lang_to_id.values()))
+    else:
+        language = str(language).lower()
+        lang_code = TO_LANGUAGE_CODE.get(language, language)
+        lang_token = tokenizer.convert_tokens_to_ids(f"<|{lang_code}|>")
+        assert lang_token != tokenizer.convert_tokens_to_ids("<|__unk__|>"), (
+            f"language {language!r} does not resolve to a whisper language token"
+        )
     task_token = tokenizer.convert_tokens_to_ids("<|transcribe|>")
     return GenerationOptions(
         # budget math + decode length derive from the MODEL's positional
@@ -316,6 +330,9 @@ def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None)
         ),
         decoder_start_token_id=hf_gc.decoder_start_token_id,
         language_token_id=lang_token,
+        lang_token_ids=lang_ids,
+        # the reference always passes task='transcribe' (cb_whisper.py:169),
+        # so the task token stays even under language auto-detection
         task_token_id=task_token,
         no_timestamps_token_id=hf_gc.no_timestamps_token_id,
         prev_sot_token_id=getattr(hf_gc, "prev_sot_token_id", None)

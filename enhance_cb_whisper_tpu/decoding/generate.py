@@ -55,6 +55,12 @@ class GenerationOptions:
 
     decoder_start_token_id: int = 50258  # <|startoftranscript|>
     language_token_id: Optional[int] = None  # e.g. <|en|>
+    # full language token set (generation_config.lang_to_id values): when
+    # language_token_id is None and this is non-empty, the language is
+    # DETECTED per utterance from the first 30 s window (HF
+    # _retrieve_init_tokens -> detect_language semantics; the reference
+    # inherits them, pba_whisper.py:276-291)
+    lang_token_ids: Tuple[int, ...] = ()
     task_token_id: Optional[int] = None  # <|transcribe|>
     no_timestamps_token_id: int = 50363
     prev_sot_token_id: Optional[int] = 50361  # <|startofprev|>
@@ -74,15 +80,29 @@ class GenerationOptions:
     no_speech_token_id: int = 50362  # <|nospeech|>
     max_target_positions: int = 448
 
-    def init_tokens(self) -> List[int]:
+    def init_tokens(self, detected_lang_id: Optional[int] = None) -> List[int]:
+        """[sot, lang?, task?, no_ts?] — ``detected_lang_id`` fills the
+        language slot when ``language_token_id`` is unset (auto-detection);
+        matching HF, no task token is implied by detection (HF appends
+        transcribe only when language/task are EXPLICIT,
+        generation_whisper.py _retrieve_init_tokens)."""
         toks = [self.decoder_start_token_id]
-        if self.language_token_id is not None:
-            toks.append(self.language_token_id)
+        lang = (
+            self.language_token_id
+            if self.language_token_id is not None
+            else detected_lang_id
+        )
+        if lang is not None:
+            toks.append(lang)
         if self.task_token_id is not None:
             toks.append(self.task_token_id)
         if not self.return_timestamps:
             toks.append(self.no_timestamps_token_id)
         return toks
+
+    @property
+    def needs_lang_detection(self) -> bool:
+        return self.language_token_id is None and len(self.lang_token_ids) > 0
 
 
 def _compression_ratio(tokens: Sequence[int], vocab_size: int) -> float:
@@ -131,6 +151,9 @@ class _LongformRow:
     seek: int = 0
     segments: List[dict] = dataclasses.field(default_factory=list)
     condition: bool = False
+    # language token detected from this row's FIRST window (auto-detect
+    # mode only; None = not yet detected / detection off)
+    lang_token_id: Optional[int] = None
 
     @property
     def done(self) -> bool:
@@ -390,6 +413,41 @@ class WhisperGenerator:
         # as traced arguments (see __init__: closure capture would embed
         # them as HLO literals)
         return {"cross_kv": cross_kv, "attn_mask": attn_t, "params": self.params}
+
+    def _detect_language_ids(
+        self, cross_kv, batch: int, opts: GenerationOptions
+    ) -> np.ndarray:
+        """Per-row language token ids from one [sot] prefill over the given
+        cross K/V — HF ``detect_language`` semantics (the reference inherits
+        them via ``_set_language_and_task``, pba_whisper.py:276-291;
+        transformers generation_whisper.py: decoder input = [sot], last-
+        position logits masked to ``lang_to_id`` values, argmax).  Reuses
+        the standard prefill executable (smallest prompt bucket), so
+        detection adds no new compile when decoding also runs."""
+        max_length = opts.max_target_positions
+        bucket = min(self._bucket(1), max_length)
+        padded = np.full((batch, bucket), opts.pad_token_id, dtype=np.int32)
+        padded[:, 0] = opts.decoder_start_token_id
+        pmask = np.ones((batch, 1), dtype=np.int32)
+        ctx = self._make_ctx(cross_kv, pmask, max_length, 1)
+        _, first_logits = self._prefill(jnp.asarray(padded), 1, ctx, max_length)
+        logits = np.asarray(first_logits.astype(jnp.float32))
+        # argmax over the language subset == HF's -inf mask + full argmax;
+        # ascending ids preserve argmax's lowest-index tie order
+        lang_ids = np.asarray(sorted(opts.lang_token_ids), dtype=np.int64)
+        return lang_ids[np.argmax(logits[:, lang_ids], axis=-1)]
+
+    def detect_language(
+        self, input_features: np.ndarray, opts: GenerationOptions
+    ) -> np.ndarray:
+        """Public surface mirroring HF ``model.detect_language``: language
+        token id per batch row, detected from the first 30 s window."""
+        seg = np.asarray(input_features, dtype=np.float32)[
+            :, :, : self.n_segment_frames
+        ]
+        segs = np.stack([self._pad_segment(seg[i : i + 1])[0] for i in range(seg.shape[0])])
+        cross_kv = self._cross_kv_fn(self._encode(jnp.asarray(segs)))
+        return self._detect_language_ids(cross_kv, seg.shape[0], opts)
 
     def _processors(self, opts: GenerationOptions) -> LogitsProcessorConfig:
         return LogitsProcessorConfig(
@@ -659,10 +717,15 @@ class WhisperGenerator:
         else:
             prompt_ids = []
 
-        decoder_ids = np.asarray([prompt_ids + opts.init_tokens()], dtype=np.int64)
         if enc is None:
             enc = self._encode(jnp.asarray(padded_seg))
         cross_kv = self._cross_kv_fn(enc)
+        detected = None
+        if opts.needs_lang_detection:
+            detected = int(self._detect_language_ids(cross_kv, 1, opts)[0])
+        decoder_ids = np.asarray(
+            [prompt_ids + opts.init_tokens(detected)], dtype=np.int64
+        )
         seqs, _, _ = self._decode_prompted(
             cross_kv, decoder_ids, None, opts, return_timestamps=opts.return_timestamps,
             draft_cross_kv=self._draft_cross_kv(padded_seg, opts),
@@ -775,8 +838,37 @@ class WhisperGenerator:
         use_prev = prev_enabled and any(
             p is not None and len(p) > 0 for p in prev_tokens
         )
+
+        if enc is None:
+            enc = self._encode(jnp.asarray(seg))
+        cross_kv = self._cross_kv_fn(enc)
+
+        # language auto-detection (language=None + lang_to_id set): each
+        # row is detected ONCE, on its own first window (seek == 0 —
+        # frames [0:3000], exactly HF's detect_language operand), then the
+        # token rides the row for the rest of its utterance.  Packed mode
+        # admits rows at different windows; detection stays per-row exact,
+        # so transcripts remain schedule-independent (PARITY #25).
+        init_tokens: Any = opts.init_tokens()
+        if opts.needs_lang_detection:
+            todo = [
+                j for j, r in enumerate(rows)
+                if r is not None and r.lang_token_id is None
+            ]
+            if todo:
+                detected = self._detect_language_ids(cross_kv, len(rows), opts)
+                for j in todo:
+                    rows[j].lang_token_id = int(detected[j])
+            # vacant slots decode a zero mel and are discarded — any valid
+            # language token keeps their prompt row the same width
+            fill = sorted(opts.lang_token_ids)[0]
+            init_tokens = [
+                opts.init_tokens(fill if r is None else r.lang_token_id)
+                for r in rows
+            ]
+
         decoder_ids, attn = prepare_decoder_input_ids(
-            init_tokens=opts.init_tokens(),
+            init_tokens=init_tokens,
             keywords_tokens=keywords_tokens,
             prev_tokens_per_batch=prev_tokens if use_prev else None,
             condition_on_prev=condition_any,
@@ -786,10 +878,6 @@ class WhisperGenerator:
             fixed_width=fixed_prompt,
             fixed_keywords=fixed_keywords,
         )
-
-        if enc is None:
-            enc = self._encode(jnp.asarray(seg))
-        cross_kv = self._cross_kv_fn(enc)
 
         cond_local = [False if r is None else r.condition for r in rows]
         seqs, scores, should_skip = self._generate_with_fallback(

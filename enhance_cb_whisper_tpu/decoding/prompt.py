@@ -77,6 +77,19 @@ def _pad_fixed(
     return out
 
 
+def _init_rows(init_tokens, cur_bsz: int) -> np.ndarray:
+    """Init-token block as [B, n]: a flat sequence is shared by every row;
+    a sequence of per-row sequences (language auto-detection — rows carry
+    different language tokens but identical widths) is used as-is."""
+    if len(init_tokens) and isinstance(init_tokens[0], (list, tuple, np.ndarray)):
+        arr = np.asarray([list(t) for t in init_tokens], dtype=np.int64)
+        assert arr.shape[0] == cur_bsz, (arr.shape, cur_bsz)
+        return arr
+    return np.tile(
+        np.asarray(list(init_tokens), dtype=np.int64)[None, :], (cur_bsz, 1)
+    )
+
+
 def prepare_decoder_input_ids(
     init_tokens: Sequence[int],
     keywords_tokens: Sequence[Sequence[int]],
@@ -128,9 +141,7 @@ def prepare_decoder_input_ids(
             for p in (prev_tokens_per_batch or [[]] * cur_bsz)
         ]
         prev = _pad_fixed(prevs, pad_token_id, max(w_prev, 0))
-        init = np.tile(
-            np.asarray(list(init_tokens), dtype=np.int64)[None, :], (cur_bsz, 1)
-        )
+        init = _init_rows(init_tokens, cur_bsz)
         if prev_sot_token_id is not None:
             has_ctx = np.asarray(
                 [
@@ -144,7 +155,7 @@ def prepare_decoder_input_ids(
             bos = np.zeros((cur_bsz, 0), dtype=np.int64)
         ids = np.concatenate([bos, kw, prev, init], axis=1)
         return ids, (ids != pad_token_id).astype(np.int64)
-    init = np.tile(np.asarray(list(init_tokens), dtype=np.int64)[None, :], (cur_bsz, 1))
+    init = _init_rows(init_tokens, cur_bsz)
 
     any_kw = any(len(t) > 0 for t in keywords_tokens)
     has_prev = (
