@@ -22,7 +22,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RESULTS = "/tmp/sweep_results.jsonl"
+RESULTS = os.environ.get("ECW_SWEEP_RESULTS", "/tmp/sweep_results.jsonl")
 PROBE_TIMEOUT = 240  # relay hangs (not fails) when down; bound the probe
 STAGE_TIMEOUT = 7200
 RETRY_SLEEP = 300  # between health probes while the relay is down
