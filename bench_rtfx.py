@@ -279,9 +279,27 @@ def main():
     decode_once()
     compile_s = time.perf_counter() - t0
 
+    # ECW_RTFX_PROFILE=<dir>: capture a device trace of the timed run and
+    # print the per-op breakdown (runtime/profiler.py) — how the beam-5
+    # bottleneck is attributed at real dims (VERDICT r3 next #3)
+    profile_dir = os.environ.get("ECW_RTFX_PROFILE", "")
     t0 = time.perf_counter()
-    decode_once()
+    if profile_dir:
+        from enhance_cb_whisper_tpu.runtime.profiler import (
+            device_op_breakdown,
+            trace,
+        )
+
+        with trace(profile_dir):
+            decode_once()
+    else:
+        decode_once()
     wall = time.perf_counter() - t0
+    if profile_dir:
+        total, ops = device_op_breakdown(profile_dir)
+        print(f"# total device s: {total:.3f} (wall {wall:.3f})")
+        for o in ops[:40]:
+            print(f"# {o['seconds']*1e3:9.2f} ms x{o['count']:6d}  {o['name'][:90]}")
     if packed or hetero:
         seconds = float(seconds)  # corpus-level RTFx: total audio / wall
     else:

@@ -24,6 +24,7 @@ Weight layout convention (HF names, jax-native layouts):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -734,6 +735,81 @@ def _ancestry_attention(
     return attn.reshape(Bi * Kb, 1, H, Dh)
 
 
+def _attention_split(
+    q: jax.Array,  # [B, 1, H, Dh] (already scaled)
+    k_cache: jax.Array,  # [B, T, H, Dh] — slot `index` STALE (strict-masked)
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, 1, H, Dh] — the current token's K/V
+    v_new: jax.Array,
+    mask: jax.Array,  # broadcastable [B, H, 1, T], True=keep; STRICT (< index)
+) -> jax.Array:
+    """Decode-step attention that reads the cache WITHOUT writing it first.
+
+    The in-place cache path (decoder_forward, single-token steps) defers
+    the K/V cache write to ONE tiny dynamic_update_slice outside the layer
+    scan; the current token's K/V therefore isn't in the cache yet and is
+    attended via an extra concatenated score column.  Exact (the same set
+    of exponentials enters the softmax; only the summation order differs
+    at f32 rounding level)."""
+    scores_c = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+    )
+    scores_c = jnp.where(mask, scores_c, jnp.finfo(jnp.float32).min)
+    score_n = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_new, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(
+        jnp.concatenate([scores_c, score_n], axis=-1), axis=-1
+    ).astype(v_cache.dtype)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs[..., :-1], v_cache
+    ) + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:], v_new)
+
+
+def _ancestry_attention_split(
+    q: jax.Array,  # [B·K, 1, H, Dh] (already scaled)
+    k_cache: jax.Array,  # [B·K, T, H, Dh] (rows UNPERMUTED; slot index stale)
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B·K, 1, H, Dh]
+    v_new: jax.Array,
+    beam_onehot: jax.Array,  # [B, K, K', T]
+    mask: jax.Array,  # [B·K or 1, 1, 1, T], True=keep; STRICT (< index)
+) -> jax.Array:
+    """`_ancestry_attention` with the deferred-write current-token column.
+
+    History slots resolve through the ancestry one-hot as before; the
+    current token always lives in the row's OWN physical slot (each beam
+    row appends in place, ancestry at the current slot is identity), so
+    its score/value bypass the selector."""
+    Bi, Kb, Kp, T = beam_onehot.shape
+    H, Dh = q.shape[2], q.shape[3]
+    qb = q.reshape(Bi, Kb, H, Dh)
+    kb = k_cache.reshape(Bi, Kp, T, H, Dh)
+    vb = v_cache.reshape(Bi, Kp, T, H, Dh)
+    scores = jnp.einsum(
+        "bkhd,bpthd->bhkpt", qb, kb, preferred_element_type=jnp.float32
+    )
+    sel = beam_onehot.astype(jnp.float32)
+    scores = jnp.einsum("bhkpt,bkpt->bhkt", scores, sel)
+    if mask.shape[0] == 1:
+        m = mask[:, :, 0, :][:, :, None, :]  # [1, 1, 1, T]
+    else:
+        m = mask.reshape(Bi, Kb, 1, T).transpose(0, 2, 1, 3)  # [Bi, 1, Kb, T]
+    scores = jnp.where(m, scores, jnp.finfo(jnp.float32).min)
+    score_n = jnp.einsum(
+        "bkhd,bkhd->bhk", qb, k_new.reshape(Bi, Kb, H, Dh),
+        preferred_element_type=jnp.float32,
+    )  # own-row current token
+    probs = jax.nn.softmax(
+        jnp.concatenate([scores, score_n[..., None]], axis=-1), axis=-1
+    ).astype(v_cache.dtype)  # [Bi, H, Kb, T+1]
+    w2 = jnp.einsum("bhkt,bkpt->bhkpt", probs[..., :T], beam_onehot.astype(v_cache.dtype))
+    attn = jnp.einsum("bhkpt,bpthd->bkhd", w2, vb) + jnp.einsum(
+        "bhk,bkhd->bkhd", probs[..., T], v_new.reshape(Bi, Kb, H, Dh)
+    )
+    return attn.reshape(Bi * Kb, 1, H, Dh)
+
+
 def _decoder_layer(
     p: Dict[str, Any],
     x: jax.Array,
@@ -744,6 +820,7 @@ def _decoder_layer(
     cache_index: Optional[jax.Array],
     cross_mask: Optional[jax.Array] = None,
     beam_onehot: Optional[jax.Array] = None,
+    inplace_cache: bool = False,  # defer the cache write (self_mask STRICT)
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     head_dim = x.shape[-1] // num_heads
 
@@ -752,6 +829,33 @@ def _decoder_layer(
     q = _split_heads(_linear(p["self_attn"]["q_proj"], h), num_heads) * (head_dim**-0.5)
     k = _split_heads(_linear(p["self_attn"]["k_proj"], h), num_heads)
     v = _split_heads(_linear(p["self_attn"]["v_proj"], h), num_heads)
+    if inplace_cache:
+        # in-place KV cache (single-token decode): do NOT rebuild the
+        # [B, T, H, Dh] slabs here — the whole-slab dynamic_update_slice
+        # plus the layer-scan's ys restack copied the ENTIRE cache every
+        # step (profiled at ~50% of beam-decode device time at
+        # whisper-medium, docs/PERF.md).  The layer returns just the
+        # current token's K/V; decoder_forward commits all layers with one
+        # tiny dynamic_update_slice the while-loop carry can alias.
+        kc = cache_layer["k"].astype(q.dtype)
+        vc = cache_layer["v"].astype(q.dtype)
+        if beam_onehot is not None:
+            attn = _ancestry_attention_split(
+                q, kc, vc, k.astype(q.dtype), v.astype(q.dtype),
+                beam_onehot, self_mask,
+            )
+        else:
+            attn = _attention_split(
+                q, kc, vc, k.astype(q.dtype), v.astype(q.dtype), self_mask
+            )
+        new_cache_layer = {
+            "k": k.astype(cache_layer["k"].dtype),
+            "v": v.astype(cache_layer["v"].dtype),
+        }
+        x = x + _linear(p["self_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
+        return _decoder_layer_tail(
+            p, x, cross_kv, num_heads, cross_mask
+        ), new_cache_layer
     if cache_layer is not None:
         if jnp.ndim(cache_index) == 1:
             # per-row positions (speculative decoding: rows accept different
@@ -782,6 +886,18 @@ def _decoder_layer(
     else:
         attn = _attention(q, k.astype(q.dtype), v.astype(q.dtype), self_mask)
     x = x + _linear(p["self_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
+    return _decoder_layer_tail(p, x, cross_kv, num_heads, cross_mask), new_cache_layer
+
+
+def _decoder_layer_tail(
+    p: Dict[str, Any],
+    x: jax.Array,
+    cross_kv: Dict[str, jax.Array],
+    num_heads: int,
+    cross_mask: Optional[jax.Array],
+) -> jax.Array:
+    """Cross attention + MLP (shared by both self-attention cache paths)."""
+    head_dim = x.shape[-1] // num_heads
 
     # cross attention (precomputed K/V)
     h = _layer_norm(p["encoder_attn_layer_norm"], x)
@@ -806,7 +922,7 @@ def _decoder_layer(
     # mlp
     h = _layer_norm(p["final_layer_norm"], x)
     h = jax.nn.gelu(_linear(p["fc1"], h), approximate=False)
-    return x + _linear(p["fc2"], h), new_cache_layer
+    return x + _linear(p["fc2"], h)
 
 
 def decoder_forward(
@@ -890,7 +1006,52 @@ def decoder_forward(
         # updated cache comes back as the scan's ys (same stacked layout)
         heads = config.decoder_attention_heads
 
-        if cache is not None:
+        # single-token decode steps use the IN-PLACE cache protocol: the
+        # layers read the (stale-at-`offset`) cache from xs and return only
+        # the current token's K/V; one [L, B, 1, H, Dh]
+        # dynamic_update_slice after the scan commits every layer at once.
+        # The old protocol (each layer rebuilds its full slab, the scan
+        # restacks all of them as ys) copied the ENTIRE cache twice per
+        # step — profiled at ~50% of beam-decode device time at
+        # whisper-medium (docs/PERF.md).  ECW_CACHE_INPLACE=0 restores the
+        # old lowering for A/B.
+        inplace = (
+            cache is not None
+            and t == 1
+            and not per_row
+            and os.environ.get("ECW_CACHE_INPLACE", "1") != "0"
+        )
+        if inplace:
+            # strict causal mask over cache slots: slot `offset` (the
+            # current token, stale in the cache) comes from the split
+            # attention's extra column instead
+            strict = key_pos[None, :] < query_pos[:, None]
+            strict = strict[None, None]  # [1, 1, 1, max_len]
+            if attention_mask is not None:
+                strict = jnp.logical_and(
+                    strict, attention_mask[:, None, None, :].astype(bool)
+                )
+
+            def body(h, xs):
+                layer_p, ckv, cl = xs
+                h, new_kv = _decoder_layer(
+                    layer_p, h, ckv, heads, strict, cl, offset, cross_mask,
+                    beam_onehot, inplace_cache=True,
+                )
+                return h, new_kv
+
+            x, new_kv = jax.lax.scan(
+                body, x, (p["layers"], cross_kv, cache["layers"])
+            )
+            new_layers = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["layers"]["k"], new_kv["k"], (0, 0, offset, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["layers"]["v"], new_kv["v"], (0, 0, offset, 0, 0)
+                ),
+            }
+        elif cache is not None:
             def body(h, xs):
                 layer_p, ckv, cl = xs
                 h, new_cl = _decoder_layer(

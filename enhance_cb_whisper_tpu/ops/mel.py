@@ -21,6 +21,7 @@ in the reference.  A Pallas-fused variant lives in :mod:`.mel_pallas`.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -116,7 +117,21 @@ def log_mel_spectrogram(
     The caller pads/truncates to a fixed window (e.g. 30 s → 3000 frames);
     the dynamic-range max is taken over the full spectrogram exactly like
     WhisperFeatureExtractor.
+
+    ``ECW_MEL=pallas`` routes fixed 30 s [B, N_SAMPLES] batches through the
+    fused Pallas kernel (:mod:`.mel_pallas`) on TPU — parity-tested; A/B it
+    with ``tools/bench_mel.py`` before adopting (the flash-attention rule:
+    a kernel ships only with a measured win).
     """
+    if (
+        os.environ.get("ECW_MEL", "") == "pallas"
+        and getattr(audio, "ndim", 0) == 2
+        and audio.shape[-1] == N_SAMPLES
+        and jax.default_backend() != "cpu"
+    ):
+        from .mel_pallas import log_mel_spectrogram_pallas
+
+        return log_mel_spectrogram_pallas(audio, n_mels)
     frames = _frame(audio.astype(jnp.float32), N_FFT, HOP_LENGTH)
     cos_m, sin_m = _dft_matrices()
     re = jnp.einsum("...tn,nk->...tk", frames, cos_m, precision="highest")
