@@ -1,0 +1,250 @@
+"""Composed serving benchmark: the whole stack in ONE number (VERDICT r3 #8).
+
+whisper-medium, one v5e chip:
+  100k-keyword open-vocab retrieval (paper-2 LEF int8 catalog) over each
+  utterance's first window  →  shortlisted keywords become the utterance's
+  hotword DB  →  live `TranscriptionService` (continuous-batching packed
+  scheduler, `slots` wide) decodes the longform audio with per-segment
+  catalog spotting + biased prompts, int8 decoder+vocab bf16 serving mode.
+
+This is the deployment composition of everything measured piecemeal in
+BASELINE.md (packed 9.5x scheduling win, int8 decode, 16k kw/s int8
+catalog) against the reference's batch-1 Python loop
+(/root/reference/src/model/cb_whisper.py:82-149).
+
+Prints ONE JSON line: utterances/hour/chip, corpus RTFx, p50/p95
+submit->result latency, retrieval ms/utt.  Random weights — worst-case
+full-length decode per segment (real checkpoints stop at eos and run
+several times faster).
+
+Knobs: ECW_SRV_SLOTS (4), ECW_SRV_UTTS (8), ECW_SRV_CAT_N (100352),
+ECW_SRV_MODEL (medium).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from enhance_cb_whisper_tpu.runtime.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from enhance_cb_whisper_tpu.catalog import KeywordCatalog
+    from enhance_cb_whisper_tpu.decoding import GenerationOptions
+    from enhance_cb_whisper_tpu.efficient_kws import (
+        EfficientKWSConfig,
+        EfficientKWSModel,
+    )
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_projected_score_fn
+    from enhance_cb_whisper_tpu.models import ResNetConfig
+    from enhance_cb_whisper_tpu.models.cb_whisper import CBWhisper, CBWhisperConfig
+    from enhance_cb_whisper_tpu.models.kws import KWSModel
+    from enhance_cb_whisper_tpu.models.whisper import (
+        WhisperConfig,
+        encoder_kws_stack,
+        init_whisper_params,
+        stack_whisper_params,
+    )
+    from enhance_cb_whisper_tpu.ops.mel import HOP_LENGTH, N_SAMPLES, log_mel_spectrogram
+    from enhance_cb_whisper_tpu.runtime.serving import TranscriptionService
+
+    slots = int(os.environ.get("ECW_SRV_SLOTS", "4"))
+    n_utts = int(os.environ.get("ECW_SRV_UTTS", "8"))
+    cat_n = int(os.environ.get("ECW_SRV_CAT_N", "100352"))
+    model_size = os.environ.get("ECW_SRV_MODEL", "medium")
+
+    rng = np.random.default_rng(0)
+    if model_size == "medium":
+        config = WhisperConfig(
+            vocab_size=51865, num_mel_bins=80, d_model=1024,
+            encoder_layers=24, encoder_attention_heads=16,
+            decoder_layers=24, decoder_attention_heads=16,
+            encoder_ffn_dim=4096, decoder_ffn_dim=4096,
+            max_source_positions=1500, max_target_positions=448,
+        )
+        n_slabs, kws_layer_slice = 12, (10, 22)
+    else:  # tiny smoke mode
+        config = WhisperConfig(
+            vocab_size=51865, num_mel_bins=80, d_model=384,
+            encoder_layers=4, encoder_attention_heads=6,
+            decoder_layers=4, decoder_attention_heads=6,
+            encoder_ffn_dim=1536, decoder_ffn_dim=1536,
+            max_source_positions=1500, max_target_positions=448,
+        )
+        n_slabs, kws_layer_slice = 4, (1, 5)
+    params = init_whisper_params(rng, config)
+
+    # ---- paper-2 open-vocab retrieval stage (LEF int8, pre-projected reps)
+    L_lef, U, T_K, chunk = 3, 64, 75, 128
+    lef_cfg = EfficientKWSConfig(
+        n_layers=L_lef, embedding_dim=config.d_model, learn_features=True,
+        proj_mlp=True, proj_mlp_units=U, frames_conv=True,
+        resnet_version="resnet-50",
+    )
+    lef = EfficientKWSModel(lef_cfg, dtype=jnp.bfloat16)
+    t_u = config.max_source_positions
+    utt0 = rng.standard_normal((1, L_lef, t_u, config.d_model)).astype(np.float32)
+    utt_mask = np.ones((1, L_lef, t_u), np.float32)
+    lef_vars = lef.init(
+        jax.random.PRNGKey(0),
+        rng.standard_normal((2, L_lef, 150, config.d_model)).astype(np.float32),
+        utt0, np.ones((2, L_lef, 150), np.float32), utt_mask,
+    )
+    lef_catalog = {
+        "kwd": jnp.asarray(
+            rng.standard_normal((cat_n, L_lef, T_K, U)).astype(np.float32),
+            jnp.bfloat16,
+        ),
+        "kwd_mask": jnp.asarray(np.ones((cat_n, L_lef, T_K), np.float32), jnp.bfloat16),
+        "mask": jnp.asarray(np.ones((cat_n,), np.float32)),
+        "num_keywords": cat_n,
+        "chunk": chunk,
+    }
+    from enhance_cb_whisper_tpu.efficient_kws.model import masked_sims
+    from enhance_cb_whisper_tpu.models.quant import (
+        calibrate_act_scales,
+        quantize_efficient_classifier,
+    )
+
+    qparams = quantize_efficient_classifier(lef_vars, lef_cfg.resnet_config())
+    utt_p, utt_mask_p = lef.apply(
+        lef_vars, jnp.asarray(utt0), jnp.asarray(utt_mask),
+        train=False, method=EfficientKWSModel.project,
+    )
+    sims0 = masked_sims(
+        lef_catalog["kwd"][:chunk].astype(jnp.float32), utt_p,
+        lef_catalog["kwd_mask"][:chunk].astype(jnp.float32), utt_mask_p,
+    )
+    act_scales = calibrate_act_scales(
+        lef_cfg.resnet_config(), qparams, sims0
+    )["act_scales"]
+    lef_score = make_projected_score_fn(
+        lef, chunk=chunk,
+        quantized_params=jax.device_put(qparams), act_scales=act_scales,
+    )
+
+    # first-window encoder stack for retrieval (the extraction program at
+    # batch 1; explicit-params jit arg keeps the HLO relay-sized)
+    stacked = stack_whisper_params(jax.tree.map(jnp.asarray, params))
+    lo = kws_layer_slice[0]
+
+    @jax.jit
+    def first_window_stack(p, wav_mel):
+        stacks = encoder_kws_stack(
+            p, wav_mel, config,
+            layer_slice=(lo, lo + L_lef),
+            valid_frames=jnp.full((wav_mel.shape[0],), t_u, jnp.int32),
+            dtype=jnp.bfloat16,
+        )
+        return stacks.astype(jnp.float32)
+
+    def retrieve(mel_first):  # [1, n_mels, 3000] -> probs over 100k catalog
+        stack = first_window_stack(stacked, jnp.asarray(mel_first))
+        return lef_score(
+            lef_vars, lef_catalog, stack,
+            jnp.ones((1, L_lef, t_u), jnp.float32),
+        )
+
+    # ---- CB-Whisper serving module (paper-1 per-segment spotting catalog)
+    n_kw = 100
+    stacks_kw = [
+        rng.standard_normal((n_slabs, int(rng.integers(4, 20)), config.d_model)).astype(np.float32)
+        for _ in range(n_kw)
+    ]
+    stacks_kw = [s / np.linalg.norm(s, axis=-1, keepdims=True) for s in stacks_kw]
+    catalog = KeywordCatalog.from_arrays(
+        [f"kw{i}" for i in range(n_kw)], stacks_kw, group_size=50
+    )
+    kws_cfg = ResNetConfig.from_version("resnet-18", num_channels=n_slabs)
+    kws = KWSModel(kws_cfg)
+    kws_vars = kws.init(
+        jax.random.PRNGKey(0), np.zeros((1, n_slabs, 150, 750), np.float32)
+    )
+    opts = GenerationOptions(
+        num_beams=1, return_timestamps=True, condition_on_prev_tokens=True
+    )
+    module = CBWhisper(
+        dtype=jnp.bfloat16, vocab_int8=True, decoder_int8=True,
+        config=CBWhisperConfig(), whisper_config=config, whisper_params=params,
+        kws_model=kws, kws_variables=kws_vars, catalog=catalog,
+        generation_options=opts,
+        prompt_ids_fn=lambda text: [50361] + [100 + (ord(c) % 1000) for c in text][:8],
+        decode_fn=lambda toks: " ".join(map(str, toks)),
+        kws_layer_slice=kws_layer_slice,
+    )
+
+    # ---- corpus: heterogeneous lengths (the packed scheduler's workload)
+    pattern = [120, 30, 90, 60]
+    lengths = (pattern * ((n_utts + 3) // 4))[:n_utts]
+
+    def make_mel(sec):
+        audio = (rng.standard_normal(16000 * sec) * 0.05).astype(np.float32)
+        target = ((audio.size + HOP_LENGTH - 1) // HOP_LENGTH) * HOP_LENGTH
+        padded = np.zeros((target,), np.float32)
+        padded[: audio.size] = audio
+        return np.asarray(log_mel_spectrogram(padded[None]))
+
+    mels = [make_mel(s) for s in lengths]
+    first_windows = [m[:, :, : N_SAMPLES // HOP_LENGTH] for m in mels]
+    first_windows = [
+        np.pad(m, ((0, 0), (0, 0), (0, N_SAMPLES // HOP_LENGTH - m.shape[-1])))
+        for m in first_windows
+    ]
+
+    # ---- warm every compile path once (retrieval + service decode)
+    t0 = time.perf_counter()
+    np.asarray(retrieve(first_windows[0]))
+    svc = TranscriptionService(module, slots=slots)
+    warm_t = [svc.submit(m) for m in mels]
+    for t in warm_t:
+        svc.result(t)
+    compile_s = time.perf_counter() - t0
+
+    # ---- measured run: retrieval + submit per utterance, latency per ticket
+    svc2 = TranscriptionService(module, slots=slots)
+    t_start = time.perf_counter()
+    retr_ms, submit_t, tickets = [], [], []
+    for i in range(n_utts):
+        r0 = time.perf_counter()
+        probs = np.asarray(retrieve(first_windows[i]))
+        top = np.argsort(probs)[-16:]  # shortlist (unused by the random DB,
+        #                                but the work is the real pipeline's)
+        retr_ms.append((time.perf_counter() - r0) * 1e3)
+        submit_t.append(time.perf_counter())
+        tickets.append(svc2.submit(mels[i]))
+        del top
+    lat = []
+    for i, t in enumerate(tickets):
+        svc2.result(t)
+        lat.append(time.perf_counter() - submit_t[i])
+    wall = time.perf_counter() - t_start
+    svc2.close()
+    svc.close()
+
+    audio_s = float(sum(lengths))
+    print(json.dumps({
+        "metric": "serving_utterances_per_hour",
+        "value": round(n_utts / wall * 3600.0, 1),
+        "unit": "utt/h/chip",
+        "corpus_rtfx": round(audio_s / wall, 2),
+        "p50_latency_s": round(float(np.percentile(lat, 50)), 2),
+        "p95_latency_s": round(float(np.percentile(lat, 95)), 2),
+        "retrieval_ms_per_utt": round(float(np.mean(retr_ms)), 1),
+        "catalog_n": cat_n,
+        "slots": slots,
+        "utts": n_utts,
+        "audio_s": audio_s,
+        "compile_seconds": round(compile_s, 1),
+        "model": model_size,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,11 @@ SWEEP = [
     (32, False, True, 10),
     (64, False, True, 6),
     (128, False, True, 4),
+    # round-4: larger batches WITHOUT remat (the remat round showed b128
+    # fits; does plain b96/b128 beat the b32 optimum once XLA schedules
+    # the bigger working set?)
+    (96, False, False, 5),
+    (128, False, False, 4),
 ]
 
 which = os.environ.get("TRAIN_SWEEP", "")  # e.g. "32,False" or "64,False,remat"
@@ -85,5 +90,21 @@ for batch_size, cl, remat, n_steps in SWEEP:
     print(f"{key}: {exps:8.1f} ex/s  {wall*1e3:7.1f} ms/step  "
           f"{tflops:6.1f} TFLOP/s  MFU {mfu*100:5.1f}%  (compile {compile_s:.0f}s)",
           flush=True)
+
+    if os.environ.get("TRAIN_PROFILE"):
+        # per-op device-time breakdown of THIS config (pipeline 4 steps
+        # inside the trace so per-launch overhead is visible but small)
+        from enhance_cb_whisper_tpu.runtime.profiler import (
+            device_op_breakdown, trace,
+        )
+
+        with trace("/tmp/train_trace"):
+            for i in range(4):
+                p, s, o, m = step(p, s, o, batch, jax.random.fold_in(rng, 100 + i), 0.0, 0.0)
+            np.asarray(m["class_loss"])
+        total, ops = device_op_breakdown("/tmp/train_trace")
+        print(f"# total device s: {total:.3f} over 4 steps")
+        for op in ops[:35]:
+            print(f"# {op['seconds']*1e3:9.2f} ms x{op['count']:6d}  {op['name'][:90]}")
 
 print({k: (round(v[0], 1), round(v[2], 3)) for k, v in results.items()})
