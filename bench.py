@@ -139,9 +139,13 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
         with trace(profile_dir):
             np.asarray(batched(variables, cat_dev, utt_j, w)[0])
         total, ops_ = device_op_breakdown(profile_dir)
-        print(f"# total device s: {total:.3f} per launch")
-        for o_ in ops_[:30]:
-            print(f"# {o_['seconds']*1e3:9.2f} ms x{o_['count']:6d}  {o_['name'][:90]}")
+        lines = [f"# total device s: {total:.3f} per launch"] + [
+            f"# {o_['seconds']*1e3:9.2f} ms x{o_['count']:6d}  {o_['name'][:90]}"
+            for o_ in ops_[:30]
+        ]
+        print("\n".join(lines))
+        with open(os.path.join(profile_dir, "breakdown.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
     return UTT_BATCH * catalog.num_padded / dt, (flops / dt if flops else None)
 
 

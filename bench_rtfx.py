@@ -214,6 +214,9 @@ def main():
         # ECW_RTFX_DECODER=int8: weight-only int8 for every decoder-layer
         # linear in the decode loop (halves the per-step layer-weight read)
         decoder_int8=os.environ.get("ECW_RTFX_DECODER", "") == "int8",
+        # ECW_RTFX_KVCACHE=int8: int8 self-attention KV cache (approximate;
+        # halves the per-step cache read that dominates batched beam decode)
+        kv_cache_int8=os.environ.get("ECW_RTFX_KVCACHE", "") == "int8",
         draft=draft,
         speculative_k=int(os.environ.get("ECW_RTFX_SPEC_K", "8")),
         config=CBWhisperConfig(),
@@ -297,9 +300,15 @@ def main():
     wall = time.perf_counter() - t0
     if profile_dir:
         total, ops = device_op_breakdown(profile_dir)
-        print(f"# total device s: {total:.3f} (wall {wall:.3f})")
-        for o in ops[:40]:
-            print(f"# {o['seconds']*1e3:9.2f} ms x{o['count']:6d}  {o['name'][:90]}")
+        lines = [f"# total device s: {total:.3f} (wall {wall:.3f})"] + [
+            f"# {o['seconds']*1e3:9.2f} ms x{o['count']:6d}  {o['name'][:90]}"
+            for o in ops[:40]
+        ]
+        print("\n".join(lines))
+        # the sweep runner keeps only JSON/last stdout lines — persist the
+        # breakdown next to the trace
+        with open(os.path.join(profile_dir, "breakdown.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
     if packed or hetero:
         seconds = float(seconds)  # corpus-level RTFx: total audio / wall
     else:

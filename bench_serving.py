@@ -181,7 +181,8 @@ def main():
     )
 
     # ---- corpus: heterogeneous lengths (the packed scheduler's workload)
-    pattern = [120, 30, 90, 60]
+    base = int(os.environ.get("ECW_SRV_SECONDS", "120"))
+    pattern = [base, base // 4, base * 3 // 4, base // 2]
     lengths = (pattern * ((n_utts + 3) // 4))[:n_utts]
 
     def make_mel(sec):

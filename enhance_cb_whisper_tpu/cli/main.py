@@ -440,6 +440,10 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         dtype=_compute_dtype(model_args),
         vocab_int8=bool(model_args.get("vocab_int8", False)),
         decoder_int8=bool(model_args.get("decoder_int8", False)),
+        # kv_cache_int8: int8 self-attention KV cache (APPROXIMATE —
+        # per-token scales; qualify with tools/validate_approx.py); halves
+        # the dominant per-step cache read of batched beam decode
+        kv_cache_int8=bool(model_args.get("kv_cache_int8", False)),
         # draft_ckpt: speculative greedy decoding (e.g. whisper-tiny or a
         # distilled checkpoint drafting for the flagship) — emitted tokens
         # stay identical to plain greedy (decoding/speculative.py)

@@ -173,6 +173,7 @@ class WhisperGenerator:
         scan_layers: bool = True,
         vocab_int8: bool = False,
         decoder_int8: bool = False,
+        kv_cache_int8: bool = False,
         draft: Optional[Tuple["WhisperConfig", Dict[str, Any]]] = None,
         speculative_k: int = 8,
     ):
@@ -274,7 +275,7 @@ class WhisperGenerator:
             ``prompt_len`` — this keeps the loop body uniform."""
             batch = prompt_padded.shape[0]
             cache = init_cache(cfg, batch, max_length, dtype=dtype,
-                               stacked=scan_layers)
+                               stacked=scan_layers, kv_int8=kv_cache_int8)
             with jax.default_matmul_precision(matmul_precision):
                 logits, cache = decoder_forward(
                     ctx["params"],
@@ -302,10 +303,22 @@ class WhisperGenerator:
         self._prefill = _prefill
         self._vocab_int8 = bool(vocab_int8)
         self._decoder_int8 = bool(decoder_int8)
+        # int8 self-attention KV cache (serving approximation): halves the
+        # dominant per-step cache read of batched beam decode.  Requires
+        # scan-over-layers; incompatible with the speculative per-row cache
+        # protocol (checked below).
+        self._kv_cache_int8 = bool(kv_cache_int8)
+        if kv_cache_int8 and not scan_layers:
+            raise ValueError("kv_cache_int8 requires scan_layers=True")
 
         # ---- speculative decoding (optional draft model)
         self.speculative_k = int(speculative_k)
         self.draft: Optional["WhisperGenerator"] = None
+        if draft is not None and kv_cache_int8:
+            raise ValueError(
+                "kv_cache_int8 is incompatible with speculative decoding "
+                "(the chunked verify uses per-row cache indices)"
+            )
         if draft is not None:
             draft_config, draft_params = draft
             if draft_config.vocab_size != config.vocab_size:

@@ -71,6 +71,7 @@ class CBWhisper:
         dtype: Any = jnp.float32,
         vocab_int8: bool = False,
         decoder_int8: bool = False,
+        kv_cache_int8: bool = False,
         draft: Optional[Tuple[WhisperConfig, Dict[str, Any]]] = None,
         speculative_k: int = 8,
     ):
@@ -88,7 +89,8 @@ class CBWhisper:
 
         self.generator = WhisperGenerator(
             whisper_config, whisper_params, dtype=dtype, vocab_int8=vocab_int8,
-            decoder_int8=decoder_int8, draft=draft, speculative_k=speculative_k,
+            decoder_int8=decoder_int8, kv_cache_int8=kv_cache_int8,
+            draft=draft, speculative_k=speculative_k,
         )
         self.encoder_params = (
             stack_whisper_params(jax.tree.map(jnp.asarray, encoder_params))

@@ -640,11 +640,29 @@ def encoder_kws_stack(
 
 def init_cache(
     config: WhisperConfig, batch: int, max_len: int, dtype: Any = jnp.float32,
-    stacked: bool = False,
+    stacked: bool = False, kv_int8: bool = False,
 ) -> Dict[str, Any]:
+    """``kv_int8`` (stacked only): the K/V slabs are stored int8 with
+    per-token (per layer, per row) f32 scales — halves the dominant
+    per-step cache read of batched beam decode vs bf16.  APPROXIMATE
+    (8-bit K/V rounding; the per-token scale is exact w.r.t. the stored
+    representation since it factors out of the q·k dot product and folds
+    into the softmax weights on the value side).  Serving lever — qualify
+    with tools/validate_approx.py like the other int8 modes."""
     head_dim = config.d_model // config.decoder_attention_heads
     shape = (batch, max_len, config.decoder_attention_heads, head_dim)
-    if stacked:
+    if kv_int8:
+        if not stacked:
+            raise ValueError("kv_int8 cache requires scan-over-layers (stacked)")
+        lshape = (config.decoder_layers,) + shape
+        sshape = (config.decoder_layers, batch, max_len)
+        layers = {
+            "k": jnp.zeros(lshape, jnp.int8),
+            "v": jnp.zeros(lshape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+        }
+    elif stacked:
         lshape = (config.decoder_layers,) + shape
         layers = {"k": jnp.zeros(lshape, dtype), "v": jnp.zeros(lshape, dtype)}
     else:
@@ -653,6 +671,19 @@ def init_cache(
             for _ in range(config.decoder_layers)
         ]
     return {"index": jnp.zeros((), dtype=jnp.int32), "layers": layers}
+
+
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-token int8: x [B, t, H, Dh] → (int8 same shape, scale [B, t]).
+
+    The scale is per (row, token) over all heads/dims, so dequantization
+    factors out of attention contractions exactly: q·(s·k8) = s·(q·k8)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[:, :, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
 
 
 def precompute_cross_kv(
@@ -742,6 +773,8 @@ def _attention_split(
     k_new: jax.Array,  # [B, 1, H, Dh] — the current token's K/V
     v_new: jax.Array,
     mask: jax.Array,  # broadcastable [B, H, 1, T], True=keep; STRICT (< index)
+    k_scale: Optional[jax.Array] = None,  # [B, T] per-token int8 dequant
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode-step attention that reads the cache WITHOUT writing it first.
 
@@ -750,20 +783,29 @@ def _attention_split(
     scan; the current token's K/V therefore isn't in the cache yet and is
     attended via an extra concatenated score column.  Exact (the same set
     of exponentials enters the softmax; only the summation order differs
-    at f32 rounding level)."""
+    at f32 rounding level).  With ``k_scale``/``v_scale`` the cache slabs
+    are int8 and the per-token scale factors out of the contractions:
+    q·(s·k8) = s·(q·k8) on the score side, (p·s)·v8 on the value side."""
+    cdt = q.dtype
     scores_c = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k_cache.astype(cdt),
+        preferred_element_type=jnp.float32,
     )
+    if k_scale is not None:
+        scores_c = scores_c * k_scale[:, None, None, :]
     scores_c = jnp.where(mask, scores_c, jnp.finfo(jnp.float32).min)
     score_n = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k_new, preferred_element_type=jnp.float32
     )
     probs = jax.nn.softmax(
         jnp.concatenate([scores_c, score_n], axis=-1), axis=-1
-    ).astype(v_cache.dtype)
+    )
+    probs_c = probs[..., :-1]
+    if v_scale is not None:
+        probs_c = probs_c * v_scale[:, None, None, :]
     return jnp.einsum(
-        "bhqk,bkhd->bqhd", probs[..., :-1], v_cache
-    ) + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:], v_new)
+        "bhqk,bkhd->bqhd", probs_c.astype(cdt), v_cache.astype(cdt)
+    ) + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:].astype(cdt), v_new)
 
 
 def _ancestry_attention_split(
@@ -774,22 +816,29 @@ def _ancestry_attention_split(
     v_new: jax.Array,
     beam_onehot: jax.Array,  # [B, K, K', T]
     mask: jax.Array,  # [B·K or 1, 1, 1, T], True=keep; STRICT (< index)
+    k_scale: Optional[jax.Array] = None,  # [B·K, T] per-token int8 dequant
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """`_ancestry_attention` with the deferred-write current-token column.
 
     History slots resolve through the ancestry one-hot as before; the
     current token always lives in the row's OWN physical slot (each beam
     row appends in place, ancestry at the current slot is identity), so
-    its score/value bypass the selector."""
+    its score/value bypass the selector.  int8 per-token cache scales fold
+    INTO the one-hot selector (exactly one physical row is selected per
+    slot, so scaling the selector scales the selected product)."""
     Bi, Kb, Kp, T = beam_onehot.shape
     H, Dh = q.shape[2], q.shape[3]
+    cdt = q.dtype
     qb = q.reshape(Bi, Kb, H, Dh)
-    kb = k_cache.reshape(Bi, Kp, T, H, Dh)
-    vb = v_cache.reshape(Bi, Kp, T, H, Dh)
+    kb = k_cache.reshape(Bi, Kp, T, H, Dh).astype(cdt)
+    vb = v_cache.reshape(Bi, Kp, T, H, Dh).astype(cdt)
     scores = jnp.einsum(
         "bkhd,bpthd->bhkpt", qb, kb, preferred_element_type=jnp.float32
     )
     sel = beam_onehot.astype(jnp.float32)
+    if k_scale is not None:
+        sel = sel * k_scale.reshape(Bi, Kp, T)[:, None, :, :]
     scores = jnp.einsum("bhkpt,bkpt->bhkt", scores, sel)
     if mask.shape[0] == 1:
         m = mask[:, :, 0, :][:, :, None, :]  # [1, 1, 1, T]
@@ -802,10 +851,13 @@ def _ancestry_attention_split(
     )  # own-row current token
     probs = jax.nn.softmax(
         jnp.concatenate([scores, score_n[..., None]], axis=-1), axis=-1
-    ).astype(v_cache.dtype)  # [Bi, H, Kb, T+1]
-    w2 = jnp.einsum("bhkt,bkpt->bhkpt", probs[..., :T], beam_onehot.astype(v_cache.dtype))
+    )  # [Bi, H, Kb, T+1]
+    sel_v = beam_onehot.astype(jnp.float32)
+    if v_scale is not None:
+        sel_v = sel_v * v_scale.reshape(Bi, Kp, T)[:, None, :, :]
+    w2 = jnp.einsum("bhkt,bkpt->bhkpt", probs[..., :T], sel_v).astype(cdt)
     attn = jnp.einsum("bhkpt,bpthd->bkhd", w2, vb) + jnp.einsum(
-        "bhk,bkhd->bkhd", probs[..., T], v_new.reshape(Bi, Kb, H, Dh)
+        "bhk,bkhd->bkhd", probs[..., T].astype(cdt), v_new.reshape(Bi, Kb, H, Dh)
     )
     return attn.reshape(Bi * Kb, 1, H, Dh)
 
@@ -837,21 +889,32 @@ def _decoder_layer(
         # whisper-medium, docs/PERF.md).  The layer returns just the
         # current token's K/V; decoder_forward commits all layers with one
         # tiny dynamic_update_slice the while-loop carry can alias.
-        kc = cache_layer["k"].astype(q.dtype)
-        vc = cache_layer["v"].astype(q.dtype)
+        int8_cache = "k_scale" in cache_layer
+        ks = cache_layer["k_scale"] if int8_cache else None
+        vs = cache_layer["v_scale"] if int8_cache else None
         if beam_onehot is not None:
             attn = _ancestry_attention_split(
-                q, kc, vc, k.astype(q.dtype), v.astype(q.dtype),
-                beam_onehot, self_mask,
+                q, cache_layer["k"], cache_layer["v"],
+                k.astype(q.dtype), v.astype(q.dtype),
+                beam_onehot, self_mask, k_scale=ks, v_scale=vs,
             )
         else:
             attn = _attention_split(
-                q, kc, vc, k.astype(q.dtype), v.astype(q.dtype), self_mask
+                q, cache_layer["k"], cache_layer["v"],
+                k.astype(q.dtype), v.astype(q.dtype), self_mask,
+                k_scale=ks, v_scale=vs,
             )
-        new_cache_layer = {
-            "k": k.astype(cache_layer["k"].dtype),
-            "v": v.astype(cache_layer["v"].dtype),
-        }
+        if int8_cache:
+            k_q, k_s = _quantize_kv(k)
+            v_q, v_s = _quantize_kv(v)
+            new_cache_layer = {
+                "k": k_q, "v": v_q, "k_scale": k_s, "v_scale": v_s,
+            }
+        else:
+            new_cache_layer = {
+                "k": k.astype(cache_layer["k"].dtype),
+                "v": v.astype(cache_layer["v"].dtype),
+            }
         x = x + _linear(p["self_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
         return _decoder_layer_tail(
             p, x, cross_kv, num_heads, cross_mask
@@ -862,6 +925,11 @@ def _decoder_layer(
             # token counts, so each row's chunk starts at its own slot) —
             # a batched scatter instead of one dynamic_update_slice;
             # out-of-range slots (a row parked at max_length) are dropped
+            if "k_scale" in cache_layer:
+                raise ValueError(
+                    "int8 KV cache does not support per-row cache indices "
+                    "(speculative decoding) — use a bf16 cache there"
+                )
             b_sz, t_sz = x.shape[0], x.shape[1]
             rows = jnp.arange(b_sz)[:, None]
             slots = cache_index[:, None] + jnp.arange(t_sz)[None, :]
@@ -869,6 +937,26 @@ def _decoder_layer(
                 k.astype(cache_layer["k"].dtype), mode="drop")
             v = cache_layer["v"].at[rows, slots].set(
                 v.astype(cache_layer["v"].dtype), mode="drop")
+        elif "k_scale" in cache_layer:
+            # int8 KV cache, multi-token write (prompt prefill): quantize
+            # per token, store int8 + scales, attend over the DEQUANTIZED
+            # updated slab (prefill happens once per segment — the bf16
+            # materialization here is not the hot path)
+            k_q, k_s = _quantize_kv(k)
+            v_q, v_s = _quantize_kv(v)
+            k_slab = jax.lax.dynamic_update_slice(
+                cache_layer["k"], k_q, (0, cache_index, 0, 0))
+            v_slab = jax.lax.dynamic_update_slice(
+                cache_layer["v"], v_q, (0, cache_index, 0, 0))
+            k_sc = jax.lax.dynamic_update_slice(
+                cache_layer["k_scale"], k_s, (0, cache_index))
+            v_sc = jax.lax.dynamic_update_slice(
+                cache_layer["v_scale"], v_s, (0, cache_index))
+            new_cache_layer = {
+                "k": k_slab, "v": v_slab, "k_scale": k_sc, "v_scale": v_sc,
+            }
+            k = k_slab.astype(q.dtype) * k_sc[:, :, None, None].astype(q.dtype)
+            v = v_slab.astype(q.dtype) * v_sc[:, :, None, None].astype(q.dtype)
         else:
             k = jax.lax.dynamic_update_slice(
                 cache_layer["k"], k.astype(cache_layer["k"].dtype),
@@ -876,7 +964,8 @@ def _decoder_layer(
             v = jax.lax.dynamic_update_slice(
                 cache_layer["v"], v.astype(cache_layer["v"].dtype),
                 (0, cache_index, 0, 0))
-        new_cache_layer = {"k": k, "v": v}
+        if "k_scale" not in cache_layer:
+            new_cache_layer = {"k": k, "v": v}
     else:
         new_cache_layer = None
     if beam_onehot is not None:
@@ -1051,6 +1140,13 @@ def decoder_forward(
                     cache["layers"]["v"], new_kv["v"], (0, 0, offset, 0, 0)
                 ),
             }
+            if "k_scale" in cache["layers"]:
+                new_layers["k_scale"] = jax.lax.dynamic_update_slice(
+                    cache["layers"]["k_scale"], new_kv["k_scale"], (0, 0, offset)
+                )
+                new_layers["v_scale"] = jax.lax.dynamic_update_slice(
+                    cache["layers"]["v_scale"], new_kv["v_scale"], (0, 0, offset)
+                )
         elif cache is not None:
             def body(h, xs):
                 layer_p, ckv, cl = xs

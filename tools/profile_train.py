@@ -103,8 +103,12 @@ for batch_size, cl, remat, n_steps in SWEEP:
                 p, s, o, m = step(p, s, o, batch, jax.random.fold_in(rng, 100 + i), 0.0, 0.0)
             np.asarray(m["class_loss"])
         total, ops = device_op_breakdown("/tmp/train_trace")
-        print(f"# total device s: {total:.3f} over 4 steps")
-        for op in ops[:35]:
-            print(f"# {op['seconds']*1e3:9.2f} ms x{op['count']:6d}  {op['name'][:90]}")
+        lines = [f"# total device s: {total:.3f} over 4 steps"] + [
+            f"# {op['seconds']*1e3:9.2f} ms x{op['count']:6d}  {op['name'][:90]}"
+            for op in ops[:35]
+        ]
+        print("\n".join(lines))
+        with open("/tmp/train_trace/breakdown.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
 
 print({k: (round(v[0], 1), round(v[2], 3)) for k, v in results.items()})
