@@ -1121,32 +1121,54 @@ def decoder_forward(
                     strict, attention_mask[:, None, None, :].astype(bool)
                 )
 
-            def body(h, xs):
-                layer_p, ckv, cl = xs
+            # the cache rides the scan CARRY (the standard JAX decode-cache
+            # idiom): each iteration dynamic-slices its layer's slab out
+            # for the attention read and commits the current token's K/V
+            # with a tiny in-carry dynamic_update_slice.  A first attempt
+            # put the cache on xs and committed with ONE post-scan DUS —
+            # XLA would not alias a buffer read by the nested scan, so
+            # every step still paid a full-cache copy (profiled 712 ms ×2
+            # per 462-step launch at medium beam-5); carry DUS aliases.
+            n_layers = cache["layers"]["k"].shape[0]
+            scale_keys = [k_ for k_ in ("k_scale", "v_scale")
+                          if k_ in cache["layers"]]
+
+            def body(carry, xs):
+                h = carry[0]
+                slabs = dict(zip(["k", "v"] + scale_keys, carry[1:]))
+                layer_p, ckv, i = xs
+                cl = {
+                    name: jax.lax.dynamic_index_in_dim(
+                        buf, i, axis=0, keepdims=False
+                    )
+                    for name, buf in slabs.items()
+                }
                 h, new_kv = _decoder_layer(
                     layer_p, h, ckv, heads, strict, cl, offset, cross_mask,
                     beam_onehot, inplace_cache=True,
                 )
-                return h, new_kv
+                slabs["k"] = jax.lax.dynamic_update_slice(
+                    slabs["k"], new_kv["k"][None], (i, 0, offset, 0, 0)
+                )
+                slabs["v"] = jax.lax.dynamic_update_slice(
+                    slabs["v"], new_kv["v"][None], (i, 0, offset, 0, 0)
+                )
+                for sk in scale_keys:
+                    slabs[sk] = jax.lax.dynamic_update_slice(
+                        slabs[sk], new_kv[sk][None], (i, 0, offset)
+                    )
+                return (h, *[slabs[n] for n in ["k", "v"] + scale_keys]), None
 
-            x, new_kv = jax.lax.scan(
-                body, x, (p["layers"], cross_kv, cache["layers"])
+            init = (
+                x,
+                *[cache["layers"][n] for n in ["k", "v"] + scale_keys],
             )
-            new_layers = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["layers"]["k"], new_kv["k"], (0, 0, offset, 0, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["layers"]["v"], new_kv["v"], (0, 0, offset, 0, 0)
-                ),
-            }
-            if "k_scale" in cache["layers"]:
-                new_layers["k_scale"] = jax.lax.dynamic_update_slice(
-                    cache["layers"]["k_scale"], new_kv["k_scale"], (0, 0, offset)
-                )
-                new_layers["v_scale"] = jax.lax.dynamic_update_slice(
-                    cache["layers"]["v_scale"], new_kv["v_scale"], (0, 0, offset)
-                )
+            carry, _ = jax.lax.scan(
+                body, init,
+                (p["layers"], cross_kv, jnp.arange(n_layers, dtype=jnp.int32)),
+            )
+            x = carry[0]
+            new_layers = dict(zip(["k", "v"] + scale_keys, carry[1:]))
         elif cache is not None:
             def body(h, xs):
                 layer_p, ckv, cl = xs
