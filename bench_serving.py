@@ -52,7 +52,7 @@ def main():
         init_whisper_params,
         stack_whisper_params,
     )
-    from enhance_cb_whisper_tpu.ops.mel import HOP_LENGTH, N_SAMPLES, log_mel_spectrogram
+    from enhance_cb_whisper_tpu.ops.mel import HOP_LENGTH, log_mel_spectrogram
     from enhance_cb_whisper_tpu.runtime.serving import TranscriptionService
 
     slots = int(os.environ.get("ECW_SRV_SLOTS", "4"))
@@ -70,19 +70,22 @@ def main():
             max_source_positions=1500, max_target_positions=448,
         )
         n_slabs, kws_layer_slice = 12, (10, 22)
-    else:  # tiny smoke mode
+    else:  # tiny smoke mode (ECW_SRV_MSP/MTP shrink the program for CPU CI)
         config = WhisperConfig(
             vocab_size=51865, num_mel_bins=80, d_model=384,
             encoder_layers=4, encoder_attention_heads=6,
             decoder_layers=4, decoder_attention_heads=6,
             encoder_ffn_dim=1536, decoder_ffn_dim=1536,
-            max_source_positions=1500, max_target_positions=448,
+            max_source_positions=int(os.environ.get("ECW_SRV_MSP", "1500")),
+            max_target_positions=int(os.environ.get("ECW_SRV_MTP", "448")),
         )
         n_slabs, kws_layer_slice = 4, (1, 5)
     params = init_whisper_params(rng, config)
 
     # ---- paper-2 open-vocab retrieval stage (LEF int8, pre-projected reps)
-    L_lef, U, T_K, chunk = 3, 64, 75, 128
+    L_lef, U = 3, 64
+    T_K = int(os.environ.get("ECW_SRV_TK", "75"))
+    chunk = int(os.environ.get("ECW_SRV_CHUNK", "128"))
     lef_cfg = EfficientKWSConfig(
         n_layers=L_lef, embedding_dim=config.d_model, learn_features=True,
         proj_mlp=True, proj_mlp_units=U, frames_conv=True,
@@ -153,26 +156,30 @@ def main():
         )
 
     # ---- CB-Whisper serving module (paper-1 per-segment spotting catalog)
-    n_kw = 100
+    n_kw = int(os.environ.get("ECW_SRV_NKW", "100"))
+    kws_h = int(os.environ.get("ECW_SRV_KWS_H", "150"))
+    kws_w = int(os.environ.get("ECW_SRV_KWS_W", "750"))
     stacks_kw = [
         rng.standard_normal((n_slabs, int(rng.integers(4, 20)), config.d_model)).astype(np.float32)
         for _ in range(n_kw)
     ]
     stacks_kw = [s / np.linalg.norm(s, axis=-1, keepdims=True) for s in stacks_kw]
     catalog = KeywordCatalog.from_arrays(
-        [f"kw{i}" for i in range(n_kw)], stacks_kw, group_size=50
+        [f"kw{i}" for i in range(n_kw)], stacks_kw, group_size=min(50, n_kw)
     )
     kws_cfg = ResNetConfig.from_version("resnet-18", num_channels=n_slabs)
     kws = KWSModel(kws_cfg)
     kws_vars = kws.init(
-        jax.random.PRNGKey(0), np.zeros((1, n_slabs, 150, 750), np.float32)
+        jax.random.PRNGKey(0), np.zeros((1, n_slabs, kws_h, kws_w), np.float32)
     )
     opts = GenerationOptions(
-        num_beams=1, return_timestamps=True, condition_on_prev_tokens=True
+        num_beams=1, return_timestamps=True, condition_on_prev_tokens=True,
+        max_target_positions=config.max_target_positions,
     )
     module = CBWhisper(
         dtype=jnp.bfloat16, vocab_int8=True, decoder_int8=True,
-        config=CBWhisperConfig(), whisper_config=config, whisper_params=params,
+        config=CBWhisperConfig(kws_features_size=(kws_h, kws_w)),
+        whisper_config=config, whisper_params=params,
         kws_model=kws, kws_variables=kws_vars, catalog=catalog,
         generation_options=opts,
         prompt_ids_fn=lambda text: [50361] + [100 + (ord(c) % 1000) for c in text][:8],
@@ -193,9 +200,10 @@ def main():
         return np.asarray(log_mel_spectrogram(padded[None]))
 
     mels = [make_mel(s) for s in lengths]
-    first_windows = [m[:, :, : N_SAMPLES // HOP_LENGTH] for m in mels]
+    seg_frames = 2 * config.max_source_positions  # 30 s at reference dims
+    first_windows = [m[:, :, :seg_frames] for m in mels]
     first_windows = [
-        np.pad(m, ((0, 0), (0, 0), (0, N_SAMPLES // HOP_LENGTH - m.shape[-1])))
+        np.pad(m, ((0, 0), (0, 0), (0, seg_frames - m.shape[-1])))
         for m in first_windows
     ]
 
