@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -25,8 +26,11 @@ N_LAYERS = 12
 DIM = 1024
 OUT = (150, 750)
 N_KEYWORDS = 128
-CHUNK = 8       # r2 sweep (bf16, v5e): chunk 8 > 16 > 32 at every batch
-UTT_BATCH = 16  # 4107 pairs/s vs 3689 at 8 (bf16 sweep, /tmp-less: BASELINE.md)
+# r2 sweep (bf16, v5e): chunk 8 > 16 > 32 at every batch; utt_batch 16 >
+# 8, 32.  ECW_BENCH_{CHUNK,UTT_BATCH} re-sweep them (the int8 program's
+# cost structure differs — ~65% requantize elementwise, docs/PERF.md)
+CHUNK = int(os.environ.get("ECW_BENCH_CHUNK", "8"))
+UTT_BATCH = int(os.environ.get("ECW_BENCH_UTT_BATCH", "16"))
 
 
 def _make_stacks(rng, n):

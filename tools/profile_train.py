@@ -43,6 +43,8 @@ SWEEP = [
     # the bigger working set?)
     (96, False, False, 5),
     (128, False, False, 4),
+    (192, False, False, 4),
+    (256, False, False, 3),
 ]
 
 which = os.environ.get("TRAIN_SWEEP", "")  # e.g. "32,False" or "64,False,remat"
