@@ -35,7 +35,8 @@ import numpy as np
 
 
 def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
-                            tp: bool = False, packed: bool = False):
+                            tp: bool = False, packed: bool = False,
+                            kv_int8: bool = False, lang_detect: bool = False):
     """Mesh-parallel batched longform CB-Whisper decode.
 
     Builds a tiny random Whisper + ResNet KWS + keyword catalog, runs the
@@ -82,6 +83,9 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
     wparams = init_whisper_params(nprng, wcfg)
     opts = GenerationOptions(
         decoder_start_token_id=3, language_token_id=None, task_token_id=None,
+        # language auto-detection mode: per-row [sot] prefill over the
+        # first window, argmax over this token set (decoding/generate.py)
+        lang_token_ids=(40, 41, 42) if lang_detect else (),
         no_timestamps_token_id=50, prev_sot_token_id=49,
         eos_token_id=2, pad_token_id=0,
         suppress_tokens=(), begin_suppress_tokens=(),
@@ -125,6 +129,7 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
 
     def build():
         return CBWhisper(
+            kv_cache_int8=kv_int8,
             config=CBWhisperConfig(
                 kws_features_size=(32, 48), keywords_per_group=8,
             ),
@@ -342,6 +347,19 @@ def main(n_devices: int) -> None:
     ], "packed mesh serving decode diverged from the single-device run"
     print("packed mesh serving decode ok:",
           [len(s) for s in ref_pk["segments"]])
+
+    # ---- 7. round-4 serving levers on the mesh: int8 self-attention KV
+    #         cache (per-token scales riding the sharded cache pytree) +
+    #         per-row language auto-detection (each slot detects on its
+    #         OWN first window), through the packed scheduler — still
+    #         schedule/sharding-independent
+    ref_q, got_q = flagship_longform_stage(
+        mesh, packed=True, kv_int8=True, lang_detect=True, num_beams=1
+    )
+    assert [s.tolist() for s in got_q["sequences"]] == [
+        s.tolist() for s in ref_q["sequences"]
+    ], "int8-KV + language-detect packed decode diverged across the mesh"
+    print("packed int8-kv + language-detect mesh decode ok")
 
     print(f"dryrun_multichip({n_devices}) passed")
 
