@@ -1095,15 +1095,12 @@ def decoder_forward(
         # updated cache comes back as the scan's ys (same stacked layout)
         heads = config.decoder_attention_heads
 
-        # single-token decode steps use the IN-PLACE cache protocol: the
-        # layers read the (stale-at-`offset`) cache from xs and return only
-        # the current token's K/V; one [L, B, 1, H, Dh]
-        # dynamic_update_slice after the scan commits every layer at once.
-        # The old protocol (each layer rebuilds its full slab, the scan
-        # restacks all of them as ys) copied the ENTIRE cache twice per
-        # step — profiled at ~50% of beam-decode device time at
-        # whisper-medium (docs/PERF.md).  ECW_CACHE_INPLACE=0 restores the
-        # old lowering for A/B.
+        # single-token decode steps use the IN-PLACE cache protocol (see
+        # the carry comment below): the old protocol — each layer rebuilds
+        # its full slab, the scan restacks all of them as ys — copied the
+        # ENTIRE cache twice per step, profiled at ~50% of beam-decode
+        # device time at whisper-medium (docs/PERF.md).
+        # ECW_CACHE_INPLACE=0 restores the old lowering for A/B.
         inplace = (
             cache is not None
             and t == 1
