@@ -91,7 +91,16 @@ def bench_tpu(stacks, utt, dtype="bfloat16"):
         # weights on device once; scales baked as compile-time constants —
         # otherwise every launch re-uploads them through the relay
         variables = jax.device_put(qparams)
-        kws_apply = make_quantized_kws_apply(cfg, act_scales=scales)
+        # ECW_QUANT_FLOAT="stem,stage_0" keeps those parts bf16 (mixed
+        # boundary: the requant elementwise is ~65% of the all-int8
+        # program and stem+stage_0 hold ~52% of the activation bytes for
+        # ~22% of the conv FLOPs — docs/PERF.md)
+        float_stages = tuple(
+            s for s in os.environ.get("ECW_QUANT_FLOAT", "").split(",") if s
+        )
+        kws_apply = make_quantized_kws_apply(
+            cfg, act_scales=scales, float_stages=float_stages
+        )
     else:
         def kws_apply(v, x):
             return model.apply(v, x.astype(compute_dtype)).logits

@@ -126,6 +126,7 @@ def _forward(
     pixel_values: jax.Array,
     channels_last: bool,
     record: Optional[Dict[str, jax.Array]],
+    float_stages: frozenset = frozenset(),
 ):
     """Shared topology walker.
 
@@ -134,9 +135,26 @@ def _forward(
     ``record`` a dict   -> f32 forward with the *dequantized* folded
     weights, recording ``max|x|`` at every activation-quantization site
     (the calibration pass; logits are returned but secondary).
+
+    ``float_stages`` (e.g. ``{"stem", "stage_0"}``) runs those parts with
+    the dequantized folded weights in the compute dtype and NO activation
+    quantization — the mixed-precision boundary.  Motivation (round-4
+    profile, docs/PERF.md): ~65% of the all-int8 program is the per-site
+    activation requantization, pure elementwise HBM traffic proportional
+    to activation bytes; the stem + stage_0 hold ~52% of the activation
+    elements but only ~22% of the conv FLOPs (and their 64-channel convs
+    under-fill the 128-lane MXU, so int8 buys them the least).  Skipping
+    quantization there trades a small MXU loss for the biggest requant
+    saving.
     """
     scales = qparams.get("act_scales") if record is None else None
     static = scales is not None
+
+    def in_float(name: str) -> bool:
+        if record is not None or not float_stages:
+            return False
+        stage = name.rsplit("_block_", 1)[0] if "_block_" in name else name
+        return stage in float_stages
     # static mode keeps intermediates bf16 (half the HBM traffic); the
     # dynamic fallback and calibration run f32
     cdt = jnp.bfloat16 if static else jnp.float32
@@ -178,6 +196,20 @@ def _forward(
             y = (z.astype(jnp.float32) * (s_x * qc["s_w"]) + qc["b"]).astype(cdt)
         return jax.nn.relu(y) if act else y
 
+    def convf(xf, qc, stride, kernel_size, act):
+        """Dequantized-folded-weight conv in the compute dtype (the
+        mixed-precision float path; weight dequant is weight-sized, XLA
+        CSEs it once per launch)."""
+        pad = kernel_size // 2
+        w = (qc["wq"].astype(jnp.float32) * qc["s_w"]).astype(cdt)
+        z = jax.lax.conv_general_dilated(
+            xf.astype(cdt), w, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=_conv_dn(xf.shape, w.shape),
+            preferred_element_type=jnp.float32,
+        )
+        y = (z + qc["b"]).astype(cdt)
+        return jax.nn.relu(y) if act else y
+
     def chain(xr, s_x, qc, stride, kernel_size, site):
         """conv + ReLU + quantize-for-the-next-conv.  (A variant that folds
         the requantization into the conv epilogue — emitting the next conv's
@@ -195,9 +227,25 @@ def _forward(
             return (xr.astype(jnp.float32) * s_x).astype(cdt)
         return x
 
+    def float_input(x, pre_quantized):
+        if pre_quantized is not None:  # int8 pooled stem feeding a float block
+            xr, s_x = pre_quantized
+            return (xr.astype(jnp.float32) * s_x).astype(cdt)
+        return x
+
     def bottleneck(x, name, stride, pre_quantized=None):
-        xr, s_x = pre_quantized if pre_quantized is not None else quant(f"{name}.in", x)
         qb = qparams[name]
+        if in_float(name):
+            x = float_input(x, pre_quantized)
+            residual = (
+                convf(x, qb["shortcut"], stride, 1, act=False)
+                if "shortcut" in qb else x
+            )
+            h = convf(x, qb["layer_0"], 1, 1, act=True)
+            h = convf(h, qb["layer_1"], stride, 3, act=True)
+            h = convf(h, qb["layer_2"], 1, 1, act=False)
+            return jax.nn.relu(h + residual)
+        xr, s_x = pre_quantized if pre_quantized is not None else quant(f"{name}.in", x)
         residual = block_residual(x, xr, s_x, qb, stride, pre_quantized)
         hr, s_h = chain(xr, s_x, qb["layer_0"], 1, 1, f"{name}.a")
         hr, s_h = chain(hr, s_h, qb["layer_1"], stride, 3, f"{name}.b")
@@ -205,17 +253,29 @@ def _forward(
         return jax.nn.relu(h + residual)
 
     def basic(x, name, stride, pre_quantized=None):
-        xr, s_x = pre_quantized if pre_quantized is not None else quant(f"{name}.in", x)
         qb = qparams[name]
+        if in_float(name):
+            x = float_input(x, pre_quantized)
+            residual = (
+                convf(x, qb["shortcut"], stride, 1, act=False)
+                if "shortcut" in qb else x
+            )
+            h = convf(x, qb["layer_0"], stride, 3, act=True)
+            h = convf(h, qb["layer_1"], 1, 3, act=False)
+            return jax.nn.relu(h + residual)
+        xr, s_x = pre_quantized if pre_quantized is not None else quant(f"{name}.in", x)
         residual = block_residual(x, xr, s_x, qb, stride, pre_quantized)
         hr, s_h = chain(xr, s_x, qb["layer_0"], stride, 3, f"{name}.a")
         h = conv(hr, s_h, qb["layer_1"], 1, 3, act=False)
         return jax.nn.relu(h + residual)
 
     # stem
-    xr, s_x = quant("input", x)
-    x = conv(xr, s_x, qparams["embedder"], 2, 7, act=True)
-    if record is None and static:
+    if in_float("stem"):
+        x = convf(x, qparams["embedder"], 2, 7, act=True)
+    else:
+        xr, s_x = quant("input", x)
+        x = conv(xr, s_x, qparams["embedder"], 2, 7, act=True)
+    if record is None and static and not in_float("stage_0"):
         # quantization is monotonic, so it commutes with max-pool: quantize
         # the stem output first and pool int8 (1/4 the f32 pool traffic).
         # stage_0_block_0's input site therefore reuses the stem scale.
@@ -254,6 +314,7 @@ def quantized_apply(
     qparams: Dict[str, Any],
     pixel_values: jax.Array,
     channels_last: bool = False,
+    float_stages=(),
 ):
     """int8 forward matching `ResNetClassifier.__call__` (eval mode).
 
@@ -261,8 +322,13 @@ def quantized_apply(
     similarity maps) unless ``channels_last``.  Runs the fast static-scale
     path when ``qparams['act_scales']`` exists (see
     :func:`calibrate_act_scales`), else per-example dynamic quantization.
+    ``float_stages`` (e.g. ``("stem", "stage_0")``) keeps those parts in
+    the compute dtype — the mixed-precision boundary (see `_forward`).
     """
-    return _forward(config, qparams, pixel_values, channels_last, record=None)
+    return _forward(
+        config, qparams, pixel_values, channels_last, record=None,
+        float_stages=frozenset(float_stages),
+    )
 
 
 def calibrate_act_scales(
@@ -290,6 +356,7 @@ def make_quantized_kws_apply(
     config: ResNetConfig,
     channels_last: bool = False,
     act_scales: Optional[Dict[str, float]] = None,
+    float_stages=(),
 ):
     """Adapter with the `kws_apply(variables, images) -> logits` signature
     expected by `catalog.make_catalog_score_fn`; `variables` is the pytree
@@ -302,9 +369,13 @@ def make_quantized_kws_apply(
     remote relay — they are not re-uploaded per launch.  `device_put` the
     weight pytree once for the same reason."""
 
+    fs = frozenset(float_stages)
+
     def kws_apply(qparams, images):
         if act_scales is not None:
             qparams = {**qparams, "act_scales": act_scales}
-        return quantized_apply(config, qparams, images, channels_last=channels_last)
+        return quantized_apply(
+            config, qparams, images, channels_last=channels_last, float_stages=fs
+        )
 
     return kws_apply

@@ -231,3 +231,60 @@ def test_quantized_channels_last():
     a = quantized_apply(cfg, qparams, x)
     b = quantized_apply(cfg, qparams, np.transpose(x, (0, 2, 3, 1)), channels_last=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("layer_type", ["bottleneck", "basic"])
+@pytest.mark.parametrize("float_stages", [("stem", "stage_0"), ("stage_1",), ("stem", "stage_0", "stage_1", "stage_2", "stage_3")])
+def test_quantized_float_stages(layer_type, float_stages):
+    """Mixed quantization boundary (float_stages): accuracy must be at
+    least as good as all-int8 (fewer quantization sites), and the
+    all-float configuration must track the fp32 model to bf16 tolerance —
+    it runs the folded dequantized weights with no activation
+    quantization at all."""
+    cfg = _small_config(layer_type)
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((16, N_LAYERS, *OUT)).astype(np.float32)
+    variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x[:1]), seed=7)
+    ref_p = np.asarray(
+        jax.nn.softmax(model.apply(variables, x).logits, axis=-1)
+    )
+
+    qparams = quantize_resnet_classifier(variables, cfg)
+    calib = rng.standard_normal((8, N_LAYERS, *OUT)).astype(np.float32)
+    qparams = calibrate_act_scales(cfg, qparams, calib)
+    q = quantized_apply(cfg, qparams, x, float_stages=float_stages)
+    q_p = np.asarray(jax.nn.softmax(q, axis=-1))
+
+    all_float = len(float_stages) == 5
+    tol = 0.02 if all_float else 0.08
+    assert np.max(np.abs(ref_p - q_p)) < tol
+    decided = np.abs(ref_p[:, 1] - ref_p[:, 0]) > 0.02
+    assert decided.sum() >= 8
+    assert np.array_equal(
+        np.argmax(ref_p[decided], -1), np.argmax(q_p[decided], -1)
+    )
+
+
+def test_quantized_float_stages_boundary_int8_pool():
+    """float stem + quantized stages: the int8 stem pool shortcut is taken
+    from the bf16 stem output; float stage_0 + quantized stage_1 crosses
+    the boundary mid-network.  Both must agree with the plain int8 path to
+    quantization-noise tolerance."""
+    cfg = _small_config("bottleneck")
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((8, N_LAYERS, *OUT)).astype(np.float32)
+    variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x[:1]), seed=9)
+    qparams = quantize_resnet_classifier(variables, cfg)
+    qparams = calibrate_act_scales(
+        cfg, qparams, rng.standard_normal((8, N_LAYERS, *OUT)).astype(np.float32)
+    )
+    base = np.asarray(
+        jax.nn.softmax(quantized_apply(cfg, qparams, x), axis=-1)
+    )
+    for fs in [("stem",), ("stage_0",), ("stem", "stage_0")]:
+        mixed = np.asarray(
+            jax.nn.softmax(quantized_apply(cfg, qparams, x, float_stages=fs), axis=-1)
+        )
+        assert np.max(np.abs(base - mixed)) < 0.08, fs
