@@ -11,18 +11,20 @@ jax.config before any backend is initialized.
 """
 
 import os
-import tempfile
 
-# Isolate the persistent XLA compile cache for this test session: the
+# Disable the persistent XLA compile cache for the test session: the
 # in-process CLI tests call run_cli() -> enable_persistent_cache(), which
 # flips the GLOBAL jax_compilation_cache_dir for the remainder of the
-# pytest process.  Left at the default (~/.cache/ecw_xla_cache) every later
-# test writes into a directory shared with concurrently-running bench/sweep
-# processes — which segfaulted JAX's cache write mid-suite (round-3 judge
-# run).  A fresh per-session tmpdir keeps all writes inside the sandbox.
-os.environ.setdefault(
-    "ECW_COMPILE_CACHE", tempfile.mkdtemp(prefix="ecw_test_xla_cache_")
-)
+# pytest process.  Round 3's fix sandboxed the directory to a per-session
+# tmpdir (a shared ~/.cache dir raced by concurrent sweeps segfaulted the
+# cache WRITE), but round 4 reproduced a segfault in the cache READ
+# (jax compilation_cache.py:get_executable_and_time) ~70% into the suite
+# with a fully PRIVATE single-process cache dir — the crash is inside
+# JAX's cache deserialization under long-suite conditions, not our race.
+# CPU test compiles are cheap; the cache buys nothing here and is the
+# suite's only segfault source — force it off.  Tests that exercise the
+# cache machinery itself pass an explicit directory.
+os.environ.setdefault("ECW_COMPILE_CACHE", "off")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
