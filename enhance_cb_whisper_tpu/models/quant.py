@@ -36,6 +36,7 @@ against the fp32 model in both modes.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -43,6 +44,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from .resnet import ResNetConfig
+
+
+def _default_pallas_1x1() -> frozenset:
+    """Stage set routed through the Pallas fused s8 matmul+requant kernel
+    (:mod:`..ops.matmul_s8`) for 1×1 convs.
+
+    ``ECW_S8_PALLAS="stage_2,stage_3"`` selects stages; ``""``/``"0"``
+    disables.  Microbench (tools/bench_s8_matmul.py, round 4): the kernel
+    wins 1.151× over the XLA conv+requant chain at C=512 and loses
+    (0.973×) at C=256 — deep stages qualify.  The DEFAULT stays empty
+    until the full-scorer on-chip A/B wins (the flash-attention rule:
+    kernels ship only with a measured end-to-end win)."""
+    raw = os.environ.get("ECW_S8_PALLAS", "")
+    if raw in ("", "0", "none"):
+        return frozenset()
+    return frozenset(s for s in raw.split(",") if s)
 
 _EPS = 1e-5  # flax.linen.BatchNorm epsilon used throughout models/resnet.py
 
@@ -127,6 +144,7 @@ def _forward(
     channels_last: bool,
     record: Optional[Dict[str, jax.Array]],
     float_stages: frozenset = frozenset(),
+    pallas_1x1: frozenset = frozenset(),
 ):
     """Shared topology walker.
 
@@ -219,6 +237,35 @@ def _forward(
         h = conv(xr, s_x, qc, stride, kernel_size, act=True)
         return quant(site, h)
 
+    def pmm(xr, s_x, qc, s_out, relu, residual=None, res_scale=None):
+        """1×1 conv as the Pallas fused s8 matmul+requant
+        (ops/matmul_s8.py): s8 codes in → s8 codes at ``s_out`` directly,
+        the whole dequant→bias→ReLU→requant epilogue in registers
+        (1 B in + 1 B out per element vs the XLA chain's 6 B)."""
+        from ..ops.matmul_s8 import matmul_s8_requant, matmul_s8_requant_reference
+
+        b, h, w, c = xr.shape
+        n = qc["wq"].shape[-1]
+        scale_v = (s_x * qc["s_w"] / s_out).astype(jnp.float32)
+        bias_v = qc["b"] / s_out
+        kwargs = dict(
+            relu=relu,
+            residual=None if residual is None else residual.reshape(b * h * w, n),
+            res_scale=res_scale,
+        )
+        if (b * h * w) % 8:  # kernel wants M%8; XLA fallback is exact-enough
+            y = matmul_s8_requant_reference(
+                xr.reshape(b * h * w, c), qc["wq"].reshape(c, n),
+                scale_v, bias_v, **kwargs,
+            )
+        else:
+            y = matmul_s8_requant(
+                xr.reshape(b * h * w, c), qc["wq"].reshape(c, n),
+                scale_v, bias_v,
+                interpret=jax.default_backend() == "cpu", **kwargs,
+            )
+        return y.reshape(b, h, w, n)
+
     def block_residual(x, xr, s_x, qb, stride, pre_quantized):
         if "shortcut" in qb:
             return conv(xr, s_x, qb["shortcut"], stride, 1, act=False)
@@ -251,6 +298,36 @@ def _forward(
         hr, s_h = chain(hr, s_h, qb["layer_1"], stride, 3, f"{name}.b")
         h = conv(hr, s_h, qb["layer_2"], 1, 1, act=False)
         return jax.nn.relu(h + residual)
+
+    def bottleneck_pallas(x, name, stride, pre_quantized, next_site):
+        """Bottleneck with its 1×1 convs on the Pallas fused s8 kernel.
+
+        layer_0 (the 1×1 reduce) emits int8 at the ``.a`` scale with the
+        whole requant epilogue in registers.  Non-shortcut blocks
+        (stride 1, in==out channels) additionally fuse the TAIL —
+        layer_2 + residual-add + ReLU + requantization to the NEXT
+        block's input scale — into one kernel when the next block also
+        runs this path (``next_site``), so the block consumes AND
+        produces int8 codes and the only remaining elementwise requant
+        is the ``.b`` site after the 3×3.  Shortcut blocks keep the XLA
+        float tail (their residual is a strided conv output, not codes)."""
+        qb = qparams[name]
+        xr, s_x = pre_quantized if pre_quantized is not None else quant(f"{name}.in", x)
+        s_a = jnp.float32(scales[f"{name}.a"])
+        hr = pmm(xr, s_x, qb["layer_0"], s_a, relu=True)
+        hr, s_b = chain(hr, s_a, qb["layer_1"], stride, 3, f"{name}.b")
+        if "shortcut" in qb:
+            residual = conv(xr, s_x, qb["shortcut"], stride, 1, act=False)
+            h = conv(hr, s_b, qb["layer_2"], 1, 1, act=False)
+            return jax.nn.relu(h + residual), None
+        if next_site is not None:
+            s_next = jnp.float32(scales[next_site])
+            out = pmm(hr, s_b, qb["layer_2"], s_next, relu=True,
+                      residual=xr, res_scale=s_x / s_next)
+            return None, (out, s_next)
+        h = conv(hr, s_b, qb["layer_2"], 1, 1, act=False)
+        residual = (xr.astype(jnp.float32) * s_x).astype(cdt)
+        return jax.nn.relu(h + residual), None
 
     def basic(x, name, stride, pre_quantized=None):
         qb = qparams[name]
@@ -294,16 +371,45 @@ def _forward(
         pooled_q = None
 
     block_fn = bottleneck if config.layer_type == "bottleneck" else basic
+
+    plan = []
     for stage_idx, depth in enumerate(config.depths):
         first_stride = 2 if (stage_idx > 0 or config.downsample_in_first_stage) else 1
         for block_idx in range(depth):
-            name = f"stage_{stage_idx}_block_{block_idx}"
-            # stage_0_block_0 in static mode consumes the already-int8
-            # pooled stem output instead of re-quantizing
-            pre = pooled_q if stage_idx == 0 and block_idx == 0 else None
-            x = block_fn(
-                x, name, first_stride if block_idx == 0 else 1, pre_quantized=pre
+            plan.append(
+                (f"stage_{stage_idx}_block_{block_idx}",
+                 first_stride if block_idx == 0 else 1)
             )
+
+    use_pallas = (
+        record is None and static and bool(pallas_1x1)
+        and config.layer_type == "bottleneck"
+    )
+
+    def pallas_block(name: str) -> bool:
+        if not use_pallas or in_float(name):
+            return False
+        if name.rsplit("_block_", 1)[0] not in pallas_1x1:
+            return False
+        qb = qparams[name]  # the kernel wants K, N multiples of 128
+        return all(
+            qb[l]["wq"].shape[-2] % 128 == 0 and qb[l]["wq"].shape[-1] % 128 == 0
+            for l in ("layer_0", "layer_2")
+        )
+
+    xq = None  # int8 (codes, scale) handed between fused pallas blocks
+    for idx, (name, stride) in enumerate(plan):
+        # stage_0_block_0 in static mode consumes the already-int8 pooled
+        # stem output instead of re-quantizing; later blocks consume the
+        # previous pallas block's fused-tail codes when present
+        pre = pooled_q if idx == 0 else xq
+        xq = None
+        if pallas_block(name):
+            nxt = plan[idx + 1][0] if idx + 1 < len(plan) else None
+            next_site = f"{nxt}.in" if nxt is not None and pallas_block(nxt) else None
+            x, xq = bottleneck_pallas(x, name, stride, pre, next_site)
+        else:
+            x = block_fn(x, name, stride, pre_quantized=pre)
 
     features = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
     return features @ qparams["classifier"]["kernel"] + qparams["classifier"]["bias"]
@@ -315,6 +421,7 @@ def quantized_apply(
     pixel_values: jax.Array,
     channels_last: bool = False,
     float_stages=(),
+    pallas_1x1=None,
 ):
     """int8 forward matching `ResNetClassifier.__call__` (eval mode).
 
@@ -324,10 +431,14 @@ def quantized_apply(
     :func:`calibrate_act_scales`), else per-example dynamic quantization.
     ``float_stages`` (e.g. ``("stem", "stage_0")``) keeps those parts in
     the compute dtype — the mixed-precision boundary (see `_forward`).
+    ``pallas_1x1`` selects stages whose bottleneck 1×1 convs run the
+    Pallas fused s8 matmul+requant kernel (``None`` → ``ECW_S8_PALLAS``).
     """
     return _forward(
         config, qparams, pixel_values, channels_last, record=None,
         float_stages=frozenset(float_stages),
+        pallas_1x1=_default_pallas_1x1() if pallas_1x1 is None
+        else frozenset(pallas_1x1),
     )
 
 
@@ -357,6 +468,7 @@ def make_quantized_kws_apply(
     channels_last: bool = False,
     act_scales: Optional[Dict[str, float]] = None,
     float_stages=(),
+    pallas_1x1=None,
 ):
     """Adapter with the `kws_apply(variables, images) -> logits` signature
     expected by `catalog.make_catalog_score_fn`; `variables` is the pytree
@@ -370,12 +482,14 @@ def make_quantized_kws_apply(
     weight pytree once for the same reason."""
 
     fs = frozenset(float_stages)
+    p1 = _default_pallas_1x1() if pallas_1x1 is None else frozenset(pallas_1x1)
 
     def kws_apply(qparams, images):
         if act_scales is not None:
             qparams = {**qparams, "act_scales": act_scales}
         return quantized_apply(
-            config, qparams, images, channels_last=channels_last, float_stages=fs
+            config, qparams, images, channels_last=channels_last,
+            float_stages=fs, pallas_1x1=p1,
         )
 
     return kws_apply

@@ -288,3 +288,111 @@ def test_quantized_float_stages_boundary_int8_pool():
             jax.nn.softmax(quantized_apply(cfg, qparams, x, float_stages=fs), axis=-1)
         )
         assert np.max(np.abs(base - mixed)) < 0.08, fs
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused s8 1x1 path (ECW_S8_PALLAS / quantized_apply(pallas_1x1=...))
+# ---------------------------------------------------------------------------
+
+
+def _pallas_config():
+    """stage_1 channels are 128-multiples (the Pallas s8 kernel's alignment
+    requirement); depths (1, 3) exercise every fusion shape: the shortcut
+    block (partial fusion, float tail), a fused int8-residual tail handing
+    codes straight to the next block, and the final block's float tail."""
+    return ResNetConfig(
+        num_channels=N_LAYERS,
+        embedding_size=32,
+        hidden_sizes=(128, 512),
+        depths=(1, 3),
+        layer_type="bottleneck",
+        num_labels=2,
+    )
+
+
+def test_quantized_pallas_1x1_matches_plain_int8():
+    """The Pallas fused 1x1 path (interpret mode on CPU) must track the
+    plain static-int8 path to epilogue-rounding tolerance (the kernel
+    keeps f32 where the XLA chain rounds through bf16) and agree on the
+    decisions outside near-ties."""
+    cfg = _pallas_config()
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((8, N_LAYERS, 32, 32)).astype(np.float32)
+    variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x[:1]), seed=11)
+    qparams = quantize_resnet_classifier(variables, cfg)
+    qparams = calibrate_act_scales(
+        cfg, qparams, rng.standard_normal((8, N_LAYERS, 32, 32)).astype(np.float32)
+    )
+    base = quantized_apply(cfg, qparams, x, pallas_1x1=())
+    pal = quantized_apply(cfg, qparams, x, pallas_1x1=("stage_1",))
+    base_p = np.asarray(jax.nn.softmax(base, axis=-1))
+    pal_p = np.asarray(jax.nn.softmax(pal, axis=-1))
+    assert np.max(np.abs(base_p - pal_p)) < 0.05
+    decided = np.abs(base_p[:, 1] - base_p[:, 0]) > 0.02
+    assert decided.sum() >= 4  # the check must actually bite
+    assert np.array_equal(
+        np.argmax(base_p[decided], -1), np.argmax(pal_p[decided], -1)
+    )
+    # and both must still track the fp32 model
+    ref_p = np.asarray(
+        jax.nn.softmax(model.apply(variables, x).logits, axis=-1)
+    )
+    assert np.max(np.abs(ref_p - pal_p)) < 0.08
+
+
+def test_quantized_pallas_alignment_fallback():
+    """Stages whose 1x1 channels are not 128-multiples silently fall back
+    to the plain int8 path — requesting pallas everywhere on the small
+    config must be a no-op (bit-identical logits)."""
+    cfg = _small_config("bottleneck")
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((4, N_LAYERS, *OUT)).astype(np.float32)
+    variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x[:1]), seed=12)
+    qparams = quantize_resnet_classifier(variables, cfg)
+    qparams = calibrate_act_scales(
+        cfg, qparams, rng.standard_normal((4, N_LAYERS, *OUT)).astype(np.float32)
+    )
+    base = np.asarray(quantized_apply(cfg, qparams, x, pallas_1x1=()))
+    pal = np.asarray(
+        quantized_apply(
+            cfg, qparams, x,
+            pallas_1x1=("stem", "stage_0", "stage_1", "stage_2", "stage_3"),
+        )
+    )
+    np.testing.assert_array_equal(base, pal)
+
+
+def test_quantized_pallas_respects_float_stages():
+    """float_stages wins over pallas_1x1 on the same stage: the result is
+    bit-identical to the float_stages-only run."""
+    cfg = _pallas_config()
+    model = KWSModel(cfg)
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((4, N_LAYERS, 32, 32)).astype(np.float32)
+    variables = _randomize_bn(model.init(jax.random.PRNGKey(0), x[:1]), seed=13)
+    qparams = quantize_resnet_classifier(variables, cfg)
+    qparams = calibrate_act_scales(
+        cfg, qparams, rng.standard_normal((4, N_LAYERS, 32, 32)).astype(np.float32)
+    )
+    a = np.asarray(
+        quantized_apply(cfg, qparams, x, float_stages=("stage_1",), pallas_1x1=())
+    )
+    b = np.asarray(
+        quantized_apply(
+            cfg, qparams, x, float_stages=("stage_1",), pallas_1x1=("stage_1",)
+        )
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_stage_env_resolver(monkeypatch):
+    from enhance_cb_whisper_tpu.models.quant import _default_pallas_1x1
+
+    monkeypatch.delenv("ECW_S8_PALLAS", raising=False)
+    assert _default_pallas_1x1() == frozenset()
+    monkeypatch.setenv("ECW_S8_PALLAS", "stage_2,stage_3")
+    assert _default_pallas_1x1() == frozenset({"stage_2", "stage_3"})
+    monkeypatch.setenv("ECW_S8_PALLAS", "0")
+    assert _default_pallas_1x1() == frozenset()
