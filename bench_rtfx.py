@@ -214,6 +214,10 @@ def main():
         # ECW_RTFX_DECODER=int8: weight-only int8 for every decoder-layer
         # linear in the decode loop (halves the per-step layer-weight read)
         decoder_int8=os.environ.get("ECW_RTFX_DECODER", "") == "int8",
+        # ECW_RTFX_XKV=int8: int8 cross-attention K/V (approximate; halves
+        # the per-step 1500-frame cross-K/V slab read — quantized once per
+        # segment, read every decode step)
+        cross_kv_int8=os.environ.get("ECW_RTFX_XKV", "") == "int8",
         # ECW_RTFX_KVCACHE=int8: int8 self-attention KV cache (approximate;
         # halves the per-step cache read that dominates batched beam decode)
         kv_cache_int8=os.environ.get("ECW_RTFX_KVCACHE", "") == "int8",

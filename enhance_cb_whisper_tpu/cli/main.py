@@ -444,6 +444,10 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         # per-token scales; qualify with tools/validate_approx.py); halves
         # the dominant per-step cache read of batched beam decode
         kv_cache_int8=bool(model_args.get("kv_cache_int8", False)),
+        # cross_kv_int8: int8 cross-attention K/V (APPROXIMATE — same
+        # per-token exact-scale-factoring scheme; halves the per-step
+        # 1500-frame cross-K/V slab read)
+        cross_kv_int8=bool(model_args.get("cross_kv_int8", False)),
         # draft_ckpt: speculative greedy decoding (e.g. whisper-tiny or a
         # distilled checkpoint drafting for the flagship) — emitted tokens
         # stay identical to plain greedy (decoding/speculative.py)

@@ -174,6 +174,7 @@ class WhisperGenerator:
         vocab_int8: bool = False,
         decoder_int8: bool = False,
         kv_cache_int8: bool = False,
+        cross_kv_int8: bool = False,
         draft: Optional[Tuple["WhisperConfig", Dict[str, Any]]] = None,
         speculative_k: int = 8,
     ):
@@ -236,7 +237,10 @@ class WhisperGenerator:
         @jax.jit
         def _cross_kv(p, enc):
             with jax.default_matmul_precision(matmul_precision):
-                return precompute_cross_kv(p, enc, cfg)
+                # int8 cross K/V (serving approximation): quantized once
+                # per segment here, read int8 every decode step — halves
+                # the per-step 1500-frame cross-K/V slab read
+                return precompute_cross_kv(p, enc, cfg, int8=cross_kv_int8)
 
         def _decode_step(tokens, cache, ctx):
             with jax.default_matmul_precision(matmul_precision):
@@ -310,6 +314,11 @@ class WhisperGenerator:
         self._kv_cache_int8 = bool(kv_cache_int8)
         if kv_cache_int8 and not scan_layers:
             raise ValueError("kv_cache_int8 requires scan_layers=True")
+        # int8 cross-attention K/V (serving approximation, same per-token
+        # exact-scale-factoring scheme as the self-attention cache)
+        self._cross_kv_int8 = bool(cross_kv_int8)
+        if cross_kv_int8 and not scan_layers:
+            raise ValueError("cross_kv_int8 requires scan_layers=True")
 
         # ---- speculative decoding (optional draft model)
         self.speculative_k = int(speculative_k)
@@ -1124,13 +1133,16 @@ class WhisperGenerator:
     def _take_rows(tree, rows: List[int]):
         """Slice the batch axis of a cross-KV/attn pytree: K/V leaves are
         [B, T, H, Dh] (unrolled) or [L, B, T, H, Dh] (stacked) — the batch
-        axis sits at ndim-4 either way; 2-D leaves (prompt/attn masks) slice
-        their leading axis."""
+        axis sits at ndim-4 either way; 3-D leaves are the stacked int8
+        per-token scales [L, B, T] (batch axis 1); 2-D leaves (prompt/attn
+        masks) slice their leading axis."""
         idx = np.asarray(rows)
 
         def take(x):
             if hasattr(x, "ndim") and x.ndim >= 4:
                 return jnp.take(x, jnp.asarray(idx), axis=x.ndim - 4)
+            if hasattr(x, "ndim") and x.ndim == 3:
+                return jnp.take(x, jnp.asarray(idx), axis=1)
             if hasattr(x, "ndim") and x.ndim == 2:
                 return x[idx]
             return x

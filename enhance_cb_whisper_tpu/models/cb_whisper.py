@@ -72,6 +72,7 @@ class CBWhisper:
         vocab_int8: bool = False,
         decoder_int8: bool = False,
         kv_cache_int8: bool = False,
+        cross_kv_int8: bool = False,
         draft: Optional[Tuple[WhisperConfig, Dict[str, Any]]] = None,
         speculative_k: int = 8,
     ):
@@ -90,6 +91,7 @@ class CBWhisper:
         self.generator = WhisperGenerator(
             whisper_config, whisper_params, dtype=dtype, vocab_int8=vocab_int8,
             decoder_int8=decoder_int8, kv_cache_int8=kv_cache_int8,
+            cross_kv_int8=cross_kv_int8,
             draft=draft, speculative_k=speculative_k,
         )
         self.encoder_params = (

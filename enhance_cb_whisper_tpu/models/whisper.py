@@ -116,15 +116,27 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
 
 def _attention(
     q: jax.Array,  # [B, Tq, H, Dh] (already scaled)
-    k: jax.Array,  # [B, Tk, H, Dh]
-    v: jax.Array,  # [B, Tk, H, Dh]
+    k: jax.Array,  # [B, Tk, H, Dh] (int8 when k_scale is given)
+    v: jax.Array,  # [B, Tk, H, Dh] (int8 when v_scale is given)
     mask: Optional[jax.Array] = None,  # broadcastable to [B, H, Tq, Tk], True=keep
+    k_scale: Optional[jax.Array] = None,  # [B, Tk] per-token int8 dequant
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    """With ``k_scale``/``v_scale`` the K/V operands are int8 codes and the
+    per-token scale factors out of the contractions exactly (q·(s·k8) =
+    s·(q·k8); on the value side it folds into the softmax weights) — only
+    the int8 bytes leave HBM, the convert fuses into the operand load."""
+    kq = k.astype(q.dtype) if k.dtype != q.dtype else k
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, kq, preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        scores = scores * k_scale[:, None, None, :]
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, None, None, :]
+    vq = v.astype(q.dtype) if v.dtype != q.dtype else v
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vq.dtype), vq)
 
 
 def _mha(
@@ -307,7 +319,9 @@ def _quantize_linear_params(p: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # linears that run INSIDE the per-token decode loop.  encoder_attn k/v are
-# deliberately absent: they only run once per segment (precompute_cross_kv)
+# deliberately absent: they only run once per segment (precompute_cross_kv);
+# the cross-K/V SLAB the loop re-reads has its own opt-in int8 mode
+# (cross_kv_int8 — precompute_cross_kv(int8=True))
 _DECODE_LOOP_LINEARS = (
     ("self_attn", "q_proj"), ("self_attn", "k_proj"),
     ("self_attn", "v_proj"), ("self_attn", "out_proj"),
@@ -687,7 +701,8 @@ def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def precompute_cross_kv(
-    params: Dict[str, Any], encoder_out: jax.Array, config: WhisperConfig
+    params: Dict[str, Any], encoder_out: jax.Array, config: WhisperConfig,
+    int8: bool = False,
 ):
     """Cross-attention K/V depend only on the encoder output; compute once
     per segment instead of per decode step.
@@ -696,6 +711,14 @@ def precompute_cross_kv(
     [L, D, D] weight — a single (B·T, D)×(D, L·D) matmul that fills the MXU
     far better than 24 small ones.  Returns a stacked {"k","v"} dict with a
     leading layer axis (list of per-layer dicts in unrolled layout).
+
+    ``int8`` (stacked only, serving approximation): store K/V as int8 with
+    per-(layer, row, token) f32 scales — halves the per-step cross-K/V
+    read, which is the 1500-frame-per-layer slab every decode step re-reads
+    (beam-shared, so ~T_enc·D·2·L bytes per batch item per step).  The
+    scale factors out of the attention contractions exactly
+    (:func:`_attention`); only the 8-bit K/V rounding is approximate.
+    Quantization cost is once per segment, off the decode loop.
     """
     h = config.decoder_attention_heads
     layers = params["decoder"]["layers"]
@@ -706,10 +729,20 @@ def precompute_cross_kv(
         v = jnp.einsum("btd,ldo->lbto", encoder_out, p["v_proj"]["weight"].astype(dt))
         v = v + p["v_proj"]["bias"].astype(dt)[:, None, None, :]
         l, b, t, d = k.shape
-        return {
-            "k": k.reshape(l, b, t, h, d // h),
-            "v": v.reshape(l, b, t, h, d // h),
-        }
+        k = k.reshape(l, b, t, h, d // h)
+        v = v.reshape(l, b, t, h, d // h)
+        if int8:
+            k8, ks = _quantize_kv(k.reshape(l * b, t, h, d // h))
+            v8, vs = _quantize_kv(v.reshape(l * b, t, h, d // h))
+            return {
+                "k": k8.reshape(l, b, t, h, d // h),
+                "v": v8.reshape(l, b, t, h, d // h),
+                "k_scale": ks.reshape(l, b, t),
+                "v_scale": vs.reshape(l, b, t),
+            }
+        return {"k": k, "v": v}
+    if int8:
+        raise ValueError("int8 cross K/V requires scan-over-layers (stacked params)")
     out = []
     for layer in layers:
         p = layer["encoder_attn"]
@@ -988,11 +1021,18 @@ def _decoder_layer_tail(
     """Cross attention + MLP (shared by both self-attention cache paths)."""
     head_dim = x.shape[-1] // num_heads
 
-    # cross attention (precomputed K/V)
+    # cross attention (precomputed K/V; int8 codes + per-token scales when
+    # the generator runs the cross_kv_int8 serving mode — the scales factor
+    # out of the contractions inside _attention, so the slabs stay int8 in
+    # HBM and only the 8-bit rounding approximates)
     h = _layer_norm(p["encoder_attn_layer_norm"], x)
     q = _split_heads(_linear(p["encoder_attn"]["q_proj"], h), num_heads) * (head_dim**-0.5)
-    k_c = cross_kv["k"].astype(q.dtype)
-    v_c = cross_kv["v"].astype(q.dtype)
+    ks = cross_kv.get("k_scale")
+    vs = cross_kv.get("v_scale")
+    k_c, v_c = cross_kv["k"], cross_kv["v"]
+    if ks is None:
+        k_c = k_c.astype(q.dtype)
+        v_c = v_c.astype(q.dtype)
     if q.shape[0] != k_c.shape[0]:
         # beam search: every beam of a batch item attends the SAME encoder
         # output, so the K/V stay at batch size and the beam dim folds into
@@ -1002,10 +1042,10 @@ def _decoder_layer_tail(
         # dominant per-step HBM read (the 1500-frame K/V) by num_beams x.
         reps = q.shape[0] // k_c.shape[0]
         q_folded = q.reshape(k_c.shape[0], reps * q.shape[1], *q.shape[2:])
-        attn = _attention(q_folded, k_c, v_c, cross_mask)
+        attn = _attention(q_folded, k_c, v_c, cross_mask, k_scale=ks, v_scale=vs)
         attn = attn.reshape(*q.shape)
     else:
-        attn = _attention(q, k_c, v_c, cross_mask)
+        attn = _attention(q, k_c, v_c, cross_mask, k_scale=ks, v_scale=vs)
     x = x + _linear(p["encoder_attn"]["out_proj"], attn.reshape(*attn.shape[:2], -1))
 
     # mlp
