@@ -178,6 +178,11 @@ def main():
     )
     module = CBWhisper(
         dtype=jnp.bfloat16, vocab_int8=True, decoder_int8=True,
+        # round-4 serving levers, on by request (ECW_SRV_KV8 / ECW_SRV_XKV8);
+        # the int8 catalog scorer additionally honours ECW_S8_PALLAS via
+        # models/quant.py's env default
+        kv_cache_int8=os.environ.get("ECW_SRV_KV8", "") == "1",
+        cross_kv_int8=os.environ.get("ECW_SRV_XKV8", "") == "1",
         config=CBWhisperConfig(kws_features_size=(kws_h, kws_w)),
         whisper_config=config, whisper_params=params,
         kws_model=kws, kws_variables=kws_vars, catalog=catalog,

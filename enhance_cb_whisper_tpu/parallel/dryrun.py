@@ -36,7 +36,8 @@ import numpy as np
 
 def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
                             tp: bool = False, packed: bool = False,
-                            kv_int8: bool = False, lang_detect: bool = False):
+                            kv_int8: bool = False, xkv_int8: bool = False,
+                            lang_detect: bool = False):
     """Mesh-parallel batched longform CB-Whisper decode.
 
     Builds a tiny random Whisper + ResNet KWS + keyword catalog, runs the
@@ -130,6 +131,7 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
     def build():
         return CBWhisper(
             kv_cache_int8=kv_int8,
+            cross_kv_int8=xkv_int8,
             config=CBWhisperConfig(
                 kws_features_size=(32, 48), keywords_per_group=8,
             ),
@@ -350,11 +352,14 @@ def main(n_devices: int) -> None:
 
     # ---- 7. round-4 serving levers on the mesh: int8 self-attention KV
     #         cache (per-token scales riding the sharded cache pytree) +
+    #         int8 cross-attention K/V (rank-3 scale leaves sharded over
+    #         data alongside the rank-5 slabs) +
     #         per-row language auto-detection (each slot detects on its
     #         OWN first window), through the packed scheduler — still
     #         schedule/sharding-independent
     ref_q, got_q = flagship_longform_stage(
-        mesh, packed=True, kv_int8=True, lang_detect=True, num_beams=1
+        mesh, packed=True, kv_int8=True, xkv_int8=True, lang_detect=True,
+        num_beams=1
     )
     assert [s.tolist() for s in got_q["sequences"]] == [
         s.tolist() for s in ref_q["sequences"]
