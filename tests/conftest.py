@@ -34,3 +34,29 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Periodic compiled-cache clearing: three independent full-suite segfaults
+# (round-3 judge run + two round-4 runs) all landed ~70-90% into the suite
+# INSIDE XLA:CPU compile paths (persistent-cache write, persistent-cache
+# read, and - with the persistent cache off - backend_compile_and_load
+# itself), while the affected tests pass when run alone.  The common factor
+# is per-process accumulation across the suite's ~2000 compiled programs.
+# Dropping JAX's executable caches every N tests bounds that accumulation;
+# the recompiles cost a few % wall time on CPU.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+_CLEAR_EVERY = int(os.environ.get("ECW_TEST_CLEAR_CACHES_EVERY", "40"))
+_test_count = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    yield
+    _test_count["n"] += 1
+    if _CLEAR_EVERY and _test_count["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+        gc.collect()
