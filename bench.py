@@ -261,10 +261,16 @@ def main():
     # amortizes the big remote compile across runs
     dtype = os.environ.get("ECW_BENCH_DTYPE", "int8")
     ours, flops_per_s = bench_tpu(stacks, utt, dtype=dtype)
-    try:
-        baseline = bench_reference_cpu(stacks, utt)
-    except Exception:
-        baseline = None
+    # ECW_BENCH_CPU_BASELINE=0 skips the torch-CPU reference loop: on this
+    # 1-core box it adds minutes per run and its wall time (hence
+    # vs_baseline) swings wildly under sweep contention — A/B sweeps only
+    # compare the TPU value
+    baseline = None
+    if os.environ.get("ECW_BENCH_CPU_BASELINE", "1") != "0":
+        try:
+            baseline = bench_reference_cpu(stacks, utt)
+        except Exception:
+            baseline = None
 
     from enhance_cb_whisper_tpu.runtime.flops import device_peak_flops
 
