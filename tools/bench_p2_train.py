@@ -99,6 +99,29 @@ def main():
         "mfu_pct": mfu,
     }), flush=True)
 
+    if os.environ.get("ECW_P2_PROFILE"):
+        # per-op device-time breakdown (the 19.6% LEF MFU's bound is
+        # undiagnosed — round-5 input)
+        from enhance_cb_whisper_tpu.runtime.profiler import (
+            device_op_breakdown, trace,
+        )
+
+        tdir = os.environ["ECW_P2_PROFILE"]
+        with trace(tdir):
+            for _ in range(3):
+                params, batch_stats, opt_state, metrics = step(
+                    params, batch_stats, opt_state, dbatch, key
+                )
+            float(np.asarray(metrics["loss"]))
+        total, ops = device_op_breakdown(tdir)
+        lines = [f"# total device s: {total:.3f} over 3 steps"] + [
+            f"# {op['seconds']*1e3:9.2f} ms x{op['count']:6d}  {op['name'][:90]}"
+            for op in ops[:30]
+        ]
+        print("\n".join(lines), flush=True)
+        with open(f"{tdir}/breakdown.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
 
 if __name__ == "__main__":
     main()
