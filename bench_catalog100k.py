@@ -126,6 +126,25 @@ def main():
         )
     )
 
+    if os.environ.get("ECW_CAT_PROFILE"):
+        # per-op device-time breakdown of one scoring launch (the int8
+        # catalog's 41%-of-peak bound has never been profiled)
+        from enhance_cb_whisper_tpu.runtime.profiler import (
+            device_op_breakdown, trace,
+        )
+
+        tdir = os.environ["ECW_CAT_PROFILE"]
+        with trace(tdir):
+            np.asarray(score(variables, catalog, utt_j, utt_mask_j))
+        total, ops = device_op_breakdown(tdir)
+        lines = [f"# total device s: {total:.3f} per launch"] + [
+            f"# {op['seconds']*1e3:9.2f} ms x{op['count']:6d}  {op['name'][:90]}"
+            for op in ops[:30]
+        ]
+        print("\n".join(lines), flush=True)
+        with open(f"{tdir}/breakdown.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
 
 if __name__ == "__main__":
     main()
