@@ -10,6 +10,10 @@ launch (efficient_kws/catalog.py).  Knobs:
                  first chunk's real similarity maps
   ECW_CAT_CHUNK  lax.map chunk size (default 128, the on-chip sweep optimum)
   ECW_CAT_N      catalog size (default 100352)
+  ECW_CAT_SHORTLIST  K>0 switches to the two-stage cascade scorer
+                 (make_cascade_score_fn: MaxSim proxy over all N keywords,
+                 exact classifier on the static top-K shortlist only —
+                 approximate, throughput counts all N keywords ranked)
 
 Prints ONE JSON line.  Random weights/reps — shapes, program structure and
 arithmetic match the real config (configs/efficient_kws/train-LEF-expanded.yaml).
@@ -34,12 +38,18 @@ def main():
         EfficientKWSConfig,
         EfficientKWSModel,
     )
-    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_projected_score_fn
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import (
+        make_cascade_score_fn,
+        make_projected_score_fn,
+    )
     from enhance_cb_whisper_tpu.runtime.flops import device_peak_flops, estimate_flops
 
     N = int(os.environ.get("ECW_CAT_N", "100352"))
     chunk = int(os.environ.get("ECW_CAT_CHUNK", "128"))
     mode = os.environ.get("ECW_CAT_DTYPE", "bfloat16")
+    # ECW_CAT_SHORTLIST=K switches to the two-stage cascade (MaxSim proxy
+    # over all N, exact classifier on the static top-K only)
+    shortlist = int(os.environ.get("ECW_CAT_SHORTLIST", "0"))
     L, D, U, T_K, T_U = 3, 1024, 64, 75, 1500
 
     config = EfficientKWSConfig(
@@ -85,12 +95,18 @@ def main():
             catalog["kwd_mask"][:chunk].astype(jnp.float32), utt_mask_p,
         )
         scales = calibrate_act_scales(config.resnet_config(), qparams, sims)["act_scales"]
-        score = make_projected_score_fn(
-            model, chunk=chunk,
-            quantized_params=jax.device_put(qparams), act_scales=scales,
+        qkw = dict(quantized_params=jax.device_put(qparams), act_scales=scales)
+        score = (
+            make_cascade_score_fn(model, chunk=chunk, shortlist=shortlist, **qkw)
+            if shortlist
+            else make_projected_score_fn(model, chunk=chunk, **qkw)
         )
     else:
-        score = make_projected_score_fn(model, chunk=chunk)
+        score = (
+            make_cascade_score_fn(model, chunk=chunk, shortlist=shortlist)
+            if shortlist
+            else make_projected_score_fn(model, chunk=chunk)
+        )
 
     utt_j, utt_mask_j = jnp.asarray(utt), jnp.asarray(utt_mask)
     t0 = time.perf_counter()
@@ -120,6 +136,7 @@ def main():
                 "seconds_per_utterance": round(dt, 2),
                 "dtype": mode,
                 "chunk": chunk,
+                "shortlist": shortlist or None,
                 "compile_seconds": round(compile_s, 1),
                 "mfu": round(flops / dt / peak, 4) if flops else None,
             }

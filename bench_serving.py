@@ -128,10 +128,22 @@ def main():
     act_scales = calibrate_act_scales(
         lef_cfg.resnet_config(), qparams, sims0
     )["act_scales"]
-    lef_score = make_projected_score_fn(
-        lef, chunk=chunk,
-        quantized_params=jax.device_put(qparams), act_scales=act_scales,
-    )
+    # ECW_SRV_SHORTLIST=K: two-stage cascade retrieval (MaxSim proxy over
+    # the full catalog, exact int8 classifier on the top-K only) — attacks
+    # the measured serving bound (catalog scoring = 77% of serving time)
+    srv_shortlist = int(os.environ.get("ECW_SRV_SHORTLIST", "0"))
+    if srv_shortlist:
+        from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
+
+        lef_score = make_cascade_score_fn(
+            lef, chunk=chunk, shortlist=srv_shortlist,
+            quantized_params=jax.device_put(qparams), act_scales=act_scales,
+        )
+    else:
+        lef_score = make_projected_score_fn(
+            lef, chunk=chunk,
+            quantized_params=jax.device_put(qparams), act_scales=act_scales,
+        )
 
     # first-window encoder stack for retrieval (the extraction program at
     # batch 1; explicit-params jit arg keeps the HLO relay-sized)

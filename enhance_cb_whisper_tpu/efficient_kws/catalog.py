@@ -74,20 +74,11 @@ def project_catalog(
     }
 
 
-def make_projected_score_fn(
-    model: EfficientKWSModel,
-    chunk: int = 128,
-    quantized_params=None,
-    act_scales=None,
-):
-    """Returns jitted ``score(variables, catalog, utt, utt_mask) ->
-    probs [N_pad]`` (utt: [1, L, T, D] raw features).
-
-    ``quantized_params`` (from `models.quant.quantize_efficient_classifier`,
-    `jax.device_put` it once) switches the ResNet+head to int8 inference;
-    pass calibrated ``act_scales`` so they bake in as compile-time
-    constants (see models/quant.py — the projection stack and similarity
-    einsum stay float)."""
+def _make_chunk_classifier(model, quantized_params, act_scales):
+    """The exact per-chunk classifier shared by the full and cascade
+    scorers: ``chunk_fn(variables, utt_p, utt_mask_p)((kwd, kwd_mask)) ->
+    probs [chunk]`` (float path = classify_projected; int8 path =
+    masked_sims + quantized ResNet apply)."""
     if quantized_params is not None:
         from ..models.quant import make_quantized_kws_apply
 
@@ -95,11 +86,7 @@ def make_projected_score_fn(
             model.config.resnet_config(), act_scales=act_scales
         )
 
-    def score(variables, catalog, utt, utt_mask):
-        utt_p, utt_mask_p = model.apply(
-            variables, utt, utt_mask, train=False, method=EfficientKWSModel.project
-        )
-
+    def bind(variables, utt_p, utt_mask_p):
         def chunk_fn(args):
             kwd, kwd_mask = args
             if quantized_params is not None:
@@ -115,15 +102,136 @@ def make_projected_score_fn(
                 )
             return jax.nn.softmax(logits, -1)[:, 1]
 
+        return chunk_fn
+
+    return bind
+
+
+def _chunked(catalog_arr, chunk):
+    n = catalog_arr.shape[0]
+    return catalog_arr.reshape(n // chunk, chunk, *catalog_arr.shape[1:])
+
+
+def make_projected_score_fn(
+    model: EfficientKWSModel,
+    chunk: int = 128,
+    quantized_params=None,
+    act_scales=None,
+):
+    """Returns jitted ``score(variables, catalog, utt, utt_mask) ->
+    probs [N_pad]`` (utt: [1, L, T, D] raw features).
+
+    ``quantized_params`` (from `models.quant.quantize_efficient_classifier`,
+    `jax.device_put` it once) switches the ResNet+head to int8 inference;
+    pass calibrated ``act_scales`` so they bake in as compile-time
+    constants (see models/quant.py — the projection stack and similarity
+    einsum stay float)."""
+    bind = _make_chunk_classifier(model, quantized_params, act_scales)
+
+    def score(variables, catalog, utt, utt_mask):
+        utt_p, utt_mask_p = model.apply(
+            variables, utt, utt_mask, train=False, method=EfficientKWSModel.project
+        )
+        chunk_fn = bind(variables, utt_p, utt_mask_p)
+
         n_pad = catalog["kwd"].shape[0]
         assert n_pad % chunk == 0, (
             f"catalog rows ({n_pad}) must be a multiple of chunk ({chunk}) — "
             "build the catalog with project_catalog(chunk=...) or pad it"
         )
-        n_chunks = n_pad // chunk
-        kwd = catalog["kwd"].reshape(n_chunks, chunk, *catalog["kwd"].shape[1:])
-        km = catalog["kwd_mask"].reshape(n_chunks, chunk, *catalog["kwd_mask"].shape[1:])
-        probs = jax.lax.map(chunk_fn, (kwd, km))
+        probs = jax.lax.map(
+            chunk_fn, (_chunked(catalog["kwd"], chunk), _chunked(catalog["kwd_mask"], chunk))
+        )
         return probs.reshape(-1) * catalog["mask"]
+
+    return jax.jit(score)
+
+
+def maxsim_proxy(kwd, utt_p, kwd_mask, utt_mask_p):
+    """Stage-1 cascade score: MaxSim retrieval proxy, NO ResNet.
+
+    For each keyword frame take its best cosine match over the utterance
+    frames (max over T_u), average over the keyword's valid frames
+    (mean over T_k), average over layers — the standard late-interaction
+    retrieval score (the reference has no cascade; its per-keyword
+    classifier forward IS the score, src/model/model.py:78-93).  Shares
+    masked_sims with the exact classifier so stage 1 sees exactly the
+    similarity maps stage 2 would.  Returns [chunk] float32."""
+    from .model import masked_sims
+
+    sims = masked_sims(kwd, utt_p, kwd_mask, utt_mask_p)  # [c, L, T_k, T_u] f32
+    if utt_mask_p is not None:
+        # finite sentinel, not -inf: fully-masked keyword rows would
+        # otherwise produce -inf * 0 = nan in the masked mean below
+        sims = jnp.where(utt_mask_p[:, :, None, :] > 0, sims, -1e30)
+    best = jnp.max(sims, axis=-1)  # [c, L, T_k]
+    if kwd_mask is not None:
+        best = jnp.where(kwd_mask > 0, best, 0.0)
+        denom = jnp.maximum(jnp.sum(kwd_mask, axis=-1), 1.0)  # [c, L]
+        per_layer = jnp.sum(best, axis=-1) / denom
+    else:
+        per_layer = jnp.mean(best, axis=-1)
+    return jnp.mean(per_layer, axis=-1)
+
+
+def make_cascade_score_fn(
+    model: EfficientKWSModel,
+    chunk: int = 128,
+    shortlist: int = 2048,
+    quantized_params=None,
+    act_scales=None,
+):
+    """Two-stage cascade scorer for massive catalogs: a cheap MaxSim proxy
+    (:func:`maxsim_proxy`, reductions over the similarity maps — no ResNet)
+    ranks ALL keywords, then the EXACT chunked classifier runs only on the
+    static top-``shortlist`` rows.  Returns jitted ``score(variables,
+    catalog, utt, utt_mask) -> probs [N_pad]`` where shortlisted rows carry
+    the classifier probability (bit-identical to the full scorer's) and
+    everything else is exactly 0.0.
+
+    Rationale: the composed serving flagship is bounded by the 100k-catalog
+    scorer (77% of serving time, BASELINE.md) and that scorer's cost is
+    ~all ResNet forwards; at shortlist=2048 the cascade runs 2% of them.
+    Approximate (proxy recall < 1), opt-in — characterize recall@K on your
+    corpus first (tests/test_efficient_catalog.py plants matches; the
+    synthetic harness is tools/validate_approx.py's pattern)."""
+    assert shortlist % chunk == 0, (
+        f"shortlist ({shortlist}) must be a multiple of chunk ({chunk}) so "
+        "stage 2 reuses the full scorer's compiled chunk shape"
+    )
+    bind = _make_chunk_classifier(model, quantized_params, act_scales)
+
+    def score(variables, catalog, utt, utt_mask):
+        utt_p, utt_mask_p = model.apply(
+            variables, utt, utt_mask, train=False, method=EfficientKWSModel.project
+        )
+
+        n_pad = catalog["kwd"].shape[0]
+        assert n_pad % chunk == 0 and shortlist <= n_pad
+
+        # stage 1: proxy over the full catalog (chunked to bound VMEM)
+        def proxy_fn(args):
+            kwd, kwd_mask = args
+            return maxsim_proxy(kwd, utt_p, kwd_mask, utt_mask_p)
+
+        proxy = jax.lax.map(
+            proxy_fn, (_chunked(catalog["kwd"], chunk), _chunked(catalog["kwd_mask"], chunk))
+        ).reshape(-1)
+        proxy = jnp.where(catalog["mask"] > 0, proxy, -jnp.inf)
+        # one 1-D top-k over [N_pad] per utterance — negligible next to the
+        # ResNet work it prunes (the [rows, V] beam-decode top-k lesson,
+        # decoding/topk.py, does not bite at this shape/frequency)
+        _, idx = jax.lax.top_k(proxy, shortlist)
+
+        # stage 2: exact classifier on the shortlist only
+        kwd_s = jnp.take(catalog["kwd"], idx, axis=0)
+        km_s = jnp.take(catalog["kwd_mask"], idx, axis=0)
+        chunk_fn = bind(variables, utt_p, utt_mask_p)
+        probs_s = jax.lax.map(
+            chunk_fn, (_chunked(kwd_s, chunk), _chunked(km_s, chunk))
+        ).reshape(-1)
+
+        probs = jnp.zeros((n_pad,), probs_s.dtype).at[idx].set(probs_s)
+        return probs * catalog["mask"]
 
     return jax.jit(score)

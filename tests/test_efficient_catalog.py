@@ -116,3 +116,103 @@ def test_projected_score_fn_rejects_unpadded_catalog():
     score = make_projected_score_fn(model, chunk=4)
     with pytest.raises(AssertionError, match="multiple of chunk"):
         score(variables, catalog, jnp.asarray(utt), jnp.ones((1, 2, 40)))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage cascade scorer (MaxSim proxy -> exact classifier on the top-K)
+# ---------------------------------------------------------------------------
+
+
+def _cascade_fixture(variant="LE", n_groups=8, seed=3):
+    config = EfficientKWSConfig(
+        n_layers=L, embedding_dim=D, learn_features=True, proj_mlp=True,
+        proj_mlp_units=U, frames_conv=variant == "LEF", resnet_version="resnet-18",
+    )
+    model = EfficientKWSModel(config)
+    rng = np.random.default_rng(seed)
+    groups = _groups(rng, n_groups=n_groups, g=4, tk=16)
+    utt = rng.standard_normal((1, L, 64, D), dtype=np.float32)
+    utt_mask = np.ones((1, L, 64), np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), groups[0]["kwd"], utt, groups[0]["kwd_mask"], utt_mask
+    )
+    catalog = project_catalog(model, variables, groups, chunk=4)
+    return model, variables, groups, catalog, utt, utt_mask
+
+
+@pytest.mark.parametrize("variant", ["LE", "LEF"])
+def test_cascade_full_shortlist_matches_full_scorer(variant):
+    """shortlist == N_pad must reproduce the full scorer bit-for-bit (the
+    scatter is a permutation, stage 2 is the same compiled chunk_fn)."""
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
+
+    model, variables, _, catalog, utt, utt_mask = _cascade_fixture(variant)
+    full = make_projected_score_fn(model, chunk=4)
+    casc = make_cascade_score_fn(model, chunk=4, shortlist=catalog["kwd"].shape[0])
+    want = np.asarray(full(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+    got = np.asarray(casc(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_cascade_planted_match_survives_shortlist():
+    """A keyword whose frames are embedded verbatim in the utterance must be
+    shortlisted by the MaxSim proxy (projected cosine ~1 beats random noise)
+    and carry the full scorer's exact probability; pruned rows are exactly 0;
+    at most `shortlist` rows are nonzero."""
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
+
+    model, variables, groups, catalog, utt, utt_mask = _cascade_fixture("LE")
+    # plant keyword 5 (group 1, row 1) inside the utterance at frames 20:36
+    planted = 5
+    kwd_feats = groups[1]["kwd"][1]  # [L, 16, D]
+    groups[1]["kwd_mask"][1] = 1.0
+    utt = np.array(utt)
+    utt[0, :, 20:36, :] = kwd_feats
+    catalog = project_catalog(model, variables, groups, chunk=4)
+
+    full = make_projected_score_fn(model, chunk=4)
+    casc = make_cascade_score_fn(model, chunk=4, shortlist=8)
+    want = np.asarray(full(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+    got = np.asarray(casc(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+
+    nonzero = np.flatnonzero(got)
+    assert len(nonzero) <= 8
+    assert planted in nonzero, "MaxSim proxy failed to shortlist the planted match"
+    np.testing.assert_allclose(got[nonzero], want[nonzero], rtol=1e-6, atol=1e-7)
+    assert np.all(got[np.setdiff1d(np.arange(len(got)), nonzero)] == 0.0)
+
+
+def test_cascade_int8_stage2_matches_full_int8():
+    """Cascade with the int8 classifier: shortlisted rows must equal the full
+    int8 scorer's probabilities (same quantized chunk_fn)."""
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
+    from enhance_cb_whisper_tpu.efficient_kws.model import masked_sims
+    from enhance_cb_whisper_tpu.models.quant import (
+        calibrate_act_scales,
+        quantize_efficient_classifier,
+    )
+
+    model, variables, _, catalog, utt, utt_mask = _cascade_fixture("LEF", seed=7)
+    qparams = quantize_efficient_classifier(variables, model.config.resnet_config())
+    utt_p, utt_mask_p = model.apply(
+        variables, utt, utt_mask, train=False, method=EfficientKWSModel.project
+    )
+    sims = masked_sims(catalog["kwd"][:4], utt_p, catalog["kwd_mask"][:4], utt_mask_p)
+    scales = calibrate_act_scales(model.config.resnet_config(), qparams, sims)["act_scales"]
+
+    kw = dict(quantized_params=jax.device_put(qparams), act_scales=scales)
+    full = make_projected_score_fn(model, chunk=4, **kw)
+    casc = make_cascade_score_fn(model, chunk=4, shortlist=8, **kw)
+    want = np.asarray(full(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+    got = np.asarray(casc(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+    nonzero = np.flatnonzero(got)
+    assert 0 < len(nonzero) <= 8
+    np.testing.assert_allclose(got[nonzero], want[nonzero], rtol=1e-6, atol=1e-7)
+
+
+def test_cascade_rejects_bad_shortlist():
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
+
+    model, *_ = _cascade_fixture("LE", n_groups=2)
+    with pytest.raises(AssertionError, match="multiple of chunk"):
+        make_cascade_score_fn(model, chunk=4, shortlist=6)

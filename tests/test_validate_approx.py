@@ -153,3 +153,64 @@ def test_cli_surface(fitted, tmp_path, capsys):
     line = [ln for ln in capsys.readouterr().out.splitlines()
             if ln.startswith("{")][-1]
     assert json.loads(line)["kws"]["utterances"] == 2
+
+
+def test_validate_cascade_report(tmp_path):
+    """--efficient_config: cascade-vs-full retrieval diff on a fitted tiny
+    paper-2 checkpoint (the test_cli fit recipe).  With shortlist == the
+    whole catalog the cascade must keep every accepted keyword."""
+    from fixtures import make_mls
+
+    from enhance_cb_whisper_tpu.cli.main import run_cli
+
+    root = tmp_path / "mls"
+    root.mkdir()
+    make_mls(str(root), languages=("English",))
+    run_dir = str(tmp_path / "run")
+    config = {
+        "seed_everything": 123,
+        "trainer": {"max_epochs": 1, "limit_train_batches": 2,
+                    "default_root_dir": run_dir},
+        "model": {
+            "class_path": "efficient_kws.model.KWSModel",
+            "init_args": {
+                "sampling": "random", "kw_type": "natural", "batch_size": 4,
+                "n_layers": 2, "embedding_dim": 8, "learn_features": True,
+                "proj_mlp": True, "proj_mlp_units": 4,
+                "resnet_version": "resnet-18", "features_size": [32, 64],
+                "pad_long_before_resize": True,
+            },
+        },
+        "data": {
+            "class_path": "efficient_kws.data_module.KWSDataMod",
+            "init_args": {
+                "train_info": [{"name": "mls", "root": str(root), "kw_type": "natural"}],
+                "val_info": [{"language": "English", "root": str(root), "kw_type": "natural"}],
+                "keywords_per_group": 2,
+                "languages": ["English"],
+            },
+        },
+    }
+    cfg = tmp_path / "lef.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(config, f)
+    run_cli(["fit", "--config", str(cfg)])
+    ckpt = os.path.join(run_dir, "checkpoints", "final")
+
+    report = validate_approx.validate_cascade(
+        str(cfg), ckpt, None, shortlist=4, max_utts=2, chunk=4
+    )
+    assert report, "no val dataset produced a cascade report"
+    for key, r in report.items():
+        assert r["utterances"] == 2
+        assert r["shortlist"] == 4
+        assert 0.0 <= r["recall_of_accepted"] <= 1.0
+        assert r["accepted_kept"] + r["accepted_missed"] >= 0
+
+    # full-catalog shortlist: nothing the exact scorer accepts can be missed
+    full = validate_approx.validate_cascade(
+        str(cfg), ckpt, None, shortlist=10_000, max_utts=2, chunk=4
+    )
+    for r in full.values():
+        assert r["accepted_missed"] == 0
+        assert r["recall_of_accepted"] == 1.0

@@ -17,6 +17,10 @@ eval CLIs consume) and it reports, as ONE JSON object:
                   extraction: /root/reference/src/utils.py:130-205).
 * ``entity_recall`` — the end metric, evaluated twice through the
                   cb-whisper eval path (kws_int8 off/on), plus the delta.
+* ``cascade``   — paper-2 cascade retrieval vs the full projected scorer
+                  (shortlisted rows are bit-identical, so every diff is a
+                  pruned keyword): recall of the exact scorer's accepted
+                  keywords, flip rate, top-1 misses — per val dataset.
 
 Usage (each section runs only when its inputs are given):
 
@@ -25,6 +29,8 @@ Usage (each section runs only when its inputs are given):
       [--set NAME=value ...] \
       [--encoder_ckpt <whisper ckpt dir> --audio <dir-or-file> ...] \
       [--cbwhisper_config <cb-whisper eval yaml> --cb_ckpt <ckpt>] \
+      [--efficient_config <paper-2 yaml> --efficient_ckpt <ckpt> \
+       --shortlist K] \
       [--max_utts N] [--calibration_batches N] [--out report.json]
 
 Smoke-tested on the synthetic fixtures (tests/test_validate_approx.py);
@@ -227,6 +233,113 @@ def validate_entity_recall(config_path, ckpt, placeholders):
     return out
 
 
+def validate_cascade(config_path, ckpt, placeholders, shortlist, max_utts,
+                     chunk=32):
+    """Cascade catalog retrieval vs the full projected scorer on a real
+    paper-2 corpus (the config's val datasets — MLSEvaluationDataset, the
+    open-vocab configuration the 100k catalogs serve).
+
+    Shortlisted rows are bit-identical to the full scorer by construction
+    (efficient_kws/catalog.py:make_cascade_score_fn), so every difference
+    IS a pruned keyword: report how much the MaxSim proxy prunes that the
+    exact classifier would have kept.  Reference scoring being
+    approximated: /root/reference/src/model/model.py:78-93 (per-keyword
+    classifier forward — the reference has no cascade)."""
+    from enhance_cb_whisper_tpu.cli.config import load_config
+    from enhance_cb_whisper_tpu.cli.main import filter_kwargs, get
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import (
+        make_cascade_score_fn,
+        make_projected_score_fn,
+        project_catalog,
+    )
+    from enhance_cb_whisper_tpu.efficient_kws.data import EfficientKWSDataMod
+    from enhance_cb_whisper_tpu.efficient_kws.model import (
+        EfficientKWSConfig,
+        EfficientKWSModel,
+    )
+
+    import jax.numpy as jnp
+
+    config = load_config(config_path, placeholders=placeholders or None)
+    model_args = get(config, "model.init_args", {}) or {}
+    data_args = dict(get(config, "data.init_args", {}) or {})
+    # same link_arguments as cli/main.py:_run_paper2
+    for key in (
+        "n_layers", "sampling", "resample_every_epoch", "batch_size",
+        "features_size", "pad_long_before_resize",
+        "learn_features", "load_embeddings", "kws_whisper_ckpt",
+    ):
+        if key in model_args:
+            data_args[key] = model_args[key]
+    data_args.setdefault("batch_size", 1)
+
+    model_config = EfficientKWSConfig(**filter_kwargs(model_args, EfficientKWSConfig))
+    model = EfficientKWSModel(model_config)
+    datamodule = EfficientKWSDataMod(**filter_kwargs(data_args, EfficientKWSDataMod))
+
+    ckpt_path = ckpt or config.get("ckpt_path")
+    assert ckpt_path, "cascade validation needs --efficient_ckpt or ckpt_path"
+    if os.path.isdir(ckpt_path):
+        from enhance_cb_whisper_tpu.runtime.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(ckpt_path)
+        variables = {"params": state["params"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+    else:
+        import torch
+
+        from enhance_cb_whisper_tpu.efficient_kws.torch_compat import (
+            load_torch_efficient_kws,
+        )
+
+        raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        variables = load_torch_efficient_kws(raw.get("state_dict", raw), model_config)
+
+    datamodule.setup("validate")
+    report = {}
+    for key, dataset in datamodule.val_dataset.items():
+        n = len(dataset) if max_utts is None else min(max_utts, len(dataset))
+        if n == 0:
+            continue
+        # the corpus keyword DB (shared across items, engine._eval_dataset)
+        catalog = project_catalog(model, variables, dataset[0]["groups"], chunk=chunk)
+        n_pad = catalog["kwd"].shape[0]
+        k = min(shortlist, n_pad) // chunk * chunk
+        if k == 0:
+            k = min(chunk, n_pad)
+        full = make_projected_score_fn(model, chunk=chunk)
+        casc = make_cascade_score_fn(model, chunk=chunk, shortlist=k)
+
+        kept, missed, dec, miss_top1, utts = 0, 0, 0, 0, 0
+        for i in range(n):
+            item = dataset[i]
+            utt = jnp.asarray(item["utt"][None])
+            utt_mask = jnp.asarray(item["utt_mask"][None])
+            mask = np.asarray(catalog["mask"]) > 0
+            p_full = np.asarray(full(variables, catalog, utt, utt_mask))
+            p_casc = np.asarray(casc(variables, catalog, utt, utt_mask))
+            pos = (p_full >= 0.5) & mask
+            surv = p_casc > 0
+            kept += int((pos & surv).sum())
+            missed += int((pos & ~surv).sum())
+            dec += int(mask.sum())
+            if pos.any() and not surv[int(np.argmax(p_full * mask))]:
+                miss_top1 += 1
+            utts += 1
+        report[key] = {
+            "utterances": utts,
+            "catalog_keywords": int(np.asarray(catalog["mask"]).sum()),
+            "shortlist": int(k),
+            "accepted_kept": kept,
+            "accepted_missed": missed,
+            "recall_of_accepted": float(kept / max(kept + missed, 1)),
+            "flip_rate_at_0.5": float(missed / max(dec, 1)),
+            "top1_missed_utterances": miss_top1,
+        }
+    return report
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--kws_config", help="paper-1 KWS eval YAML")
@@ -240,6 +353,13 @@ def main(argv=None):
                     help="encoder hidden-state slice, e.g. 10,22")
     ap.add_argument("--set", action="append", default=[], dest="sets",
                     help="NAME=value placeholder fills for the YAMLs")
+    ap.add_argument("--efficient_config", help="paper-2 (efficient_kws) YAML "
+                    "for cascade-retrieval validation")
+    ap.add_argument("--efficient_ckpt", help="paper-2 checkpoint "
+                    "(dir or Lightning .ckpt; overrides ckpt_path)")
+    ap.add_argument("--shortlist", type=int, default=2048,
+                    help="cascade top-K (rounded down to a chunk multiple)")
+    ap.add_argument("--cascade_chunk", type=int, default=32)
     ap.add_argument("--max_utts", type=int, default=None)
     ap.add_argument("--calibration_batches", type=int, default=4)
     ap.add_argument("--out", help="also write the JSON report here")
@@ -267,9 +387,14 @@ def main(argv=None):
         report["entity_recall"] = validate_entity_recall(
             args.cbwhisper_config, args.cb_ckpt, placeholders
         )
+    if args.efficient_config:
+        report["cascade"] = validate_cascade(
+            args.efficient_config, args.efficient_ckpt, placeholders,
+            args.shortlist, args.max_utts, chunk=args.cascade_chunk,
+        )
     if not report:
         ap.error("nothing to do: pass --kws_config, --encoder_ckpt+--audio, "
-                 "or --cbwhisper_config")
+                 "--cbwhisper_config, or --efficient_config")
     line = json.dumps(report)
     print(line)
     if args.out:
