@@ -137,6 +137,12 @@ def main():
                 "dtype": mode,
                 "chunk": chunk,
                 "shortlist": shortlist or None,
+                # cascade rows rank all N but exact-score only the shortlist;
+                # this distinct metric keeps sweep harvesting from conflating
+                # cascade and full-scorer rows under the headline name
+                "exact_scored_keywords_per_sec": (
+                    round(shortlist / dt, 2) if shortlist else None
+                ),
                 "compile_seconds": round(compile_s, 1),
                 "mfu": round(flops / dt / peak, 4) if flops else None,
             }

@@ -207,7 +207,12 @@ def make_cascade_score_fn(
         )
 
         n_pad = catalog["kwd"].shape[0]
-        assert n_pad % chunk == 0 and shortlist <= n_pad
+        assert n_pad % chunk == 0, (
+            f"catalog rows ({n_pad}) must be a multiple of chunk ({chunk})"
+        )
+        assert shortlist <= n_pad, (
+            f"shortlist ({shortlist}) exceeds catalog rows ({n_pad})"
+        )
 
         # stage 1: proxy over the full catalog (chunked to bound VMEM)
         def proxy_fn(args):

@@ -151,7 +151,9 @@ def test_cascade_full_shortlist_matches_full_scorer(variant):
     casc = make_cascade_score_fn(model, chunk=4, shortlist=catalog["kwd"].shape[0])
     want = np.asarray(full(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
     got = np.asarray(casc(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    # exact, not allclose: stage 2 IS the full scorer's chunk program run on
+    # gathered rows, and every per-row op is row-independent (ADVICE r4)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_cascade_planted_match_survives_shortlist():
@@ -178,7 +180,7 @@ def test_cascade_planted_match_survives_shortlist():
     nonzero = np.flatnonzero(got)
     assert len(nonzero) <= 8
     assert planted in nonzero, "MaxSim proxy failed to shortlist the planted match"
-    np.testing.assert_allclose(got[nonzero], want[nonzero], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(got[nonzero], want[nonzero])
     assert np.all(got[np.setdiff1d(np.arange(len(got)), nonzero)] == 0.0)
 
 
@@ -207,7 +209,7 @@ def test_cascade_int8_stage2_matches_full_int8():
     got = np.asarray(casc(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
     nonzero = np.flatnonzero(got)
     assert 0 < len(nonzero) <= 8
-    np.testing.assert_allclose(got[nonzero], want[nonzero], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(got[nonzero], want[nonzero])
 
 
 def test_cascade_rejects_bad_shortlist():

@@ -358,7 +358,8 @@ def main(argv=None):
     ap.add_argument("--efficient_ckpt", help="paper-2 checkpoint "
                     "(dir or Lightning .ckpt; overrides ckpt_path)")
     ap.add_argument("--shortlist", type=int, default=2048,
-                    help="cascade top-K (rounded down to a chunk multiple)")
+                    help="cascade top-K (rounded down to a chunk multiple; "
+                         "values below one chunk round UP to a single chunk)")
     ap.add_argument("--cascade_chunk", type=int, default=32)
     ap.add_argument("--max_utts", type=int, default=None)
     ap.add_argument("--calibration_batches", type=int, default=4)
