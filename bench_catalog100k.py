@@ -50,6 +50,9 @@ def main():
     # ECW_CAT_SHORTLIST=K switches to the two-stage cascade (MaxSim proxy
     # over all N, exact classifier on the static top-K only)
     shortlist = int(os.environ.get("ECW_CAT_SHORTLIST", "0"))
+    # ECW_CAT_PROXY: stage-1 proxy einsum dtype A/B (bfloat16 default —
+    # maxsim_proxy_fast; float32 = the legacy precision="highest" path)
+    proxy_dtype = os.environ.get("ECW_CAT_PROXY", "bfloat16")
     L, D, U, T_K, T_U = 3, 1024, 64, 75, 1500
 
     config = EfficientKWSConfig(
@@ -97,13 +100,15 @@ def main():
         scales = calibrate_act_scales(config.resnet_config(), qparams, sims)["act_scales"]
         qkw = dict(quantized_params=jax.device_put(qparams), act_scales=scales)
         score = (
-            make_cascade_score_fn(model, chunk=chunk, shortlist=shortlist, **qkw)
+            make_cascade_score_fn(model, chunk=chunk, shortlist=shortlist,
+                                  proxy_dtype=proxy_dtype, **qkw)
             if shortlist
             else make_projected_score_fn(model, chunk=chunk, **qkw)
         )
     else:
         score = (
-            make_cascade_score_fn(model, chunk=chunk, shortlist=shortlist)
+            make_cascade_score_fn(model, chunk=chunk, shortlist=shortlist,
+                                  proxy_dtype=proxy_dtype)
             if shortlist
             else make_projected_score_fn(model, chunk=chunk)
         )
@@ -137,6 +142,7 @@ def main():
                 "dtype": mode,
                 "chunk": chunk,
                 "shortlist": shortlist or None,
+                "proxy_dtype": proxy_dtype if shortlist else None,
                 # cascade rows rank all N but exact-score only the shortlist;
                 # this distinct metric keeps sweep harvesting from conflating
                 # cascade and full-scorer rows under the headline name

@@ -160,6 +160,12 @@ def maxsim_proxy(kwd, utt_p, kwd_mask, utt_mask_p):
     from .model import masked_sims
 
     sims = masked_sims(kwd, utt_p, kwd_mask, utt_mask_p)  # [c, L, T_k, T_u] f32
+    return _maxsim_reduce(sims, kwd_mask, utt_mask_p)
+
+
+def _maxsim_reduce(sims, kwd_mask, utt_mask_p):
+    """max over T_u -> masked mean over T_k -> mean over L (shared by the
+    exact-sims and fast proxy paths)."""
     if utt_mask_p is not None:
         # finite sentinel, not -inf: fully-masked keyword rows would
         # otherwise produce -inf * 0 = nan in the masked mean below
@@ -174,12 +180,37 @@ def maxsim_proxy(kwd, utt_p, kwd_mask, utt_mask_p):
     return jnp.mean(per_layer, axis=-1)
 
 
+def maxsim_proxy_fast(kwd, utt_n, kwd_mask, utt_mask_p, dtype=jnp.bfloat16):
+    """Bandwidth/MXU-lean stage-1 proxy: identical reduction structure to
+    :func:`maxsim_proxy`, but the cosine einsum runs at default precision in
+    ``dtype`` (bf16 MXU passes instead of the classifier path's
+    ``precision="highest"`` 6-pass f32 — a ranking heuristic does not need
+    3 extra decimal digits) and the utterance side arrives PRE-normalized
+    (``utt_n = _safe_normalize(utt_p)[0]``, computed once per utterance
+    instead of once per chunk iteration).  f32 accumulation; returns [chunk]
+    float32.  Stage-2 rescoring is exact either way — only shortlist
+    membership can differ from the f32 proxy (round-5 sweep: see
+    docs/PERF.md cascade section)."""
+    from .model import _safe_normalize
+
+    kwd_n = _safe_normalize(kwd, 1e-6).astype(dtype)
+    sims = jnp.einsum(
+        "lud,clkd->clku",
+        utt_n.astype(dtype),
+        kwd_n,
+        preferred_element_type=jnp.float32,
+    )
+    mask3 = utt_mask_p[:1] if utt_mask_p is not None else None
+    return _maxsim_reduce(sims, kwd_mask, mask3)
+
+
 def make_cascade_score_fn(
     model: EfficientKWSModel,
     chunk: int = 128,
     shortlist: int = 2048,
     quantized_params=None,
     act_scales=None,
+    proxy_dtype="bfloat16",
 ):
     """Two-stage cascade scorer for massive catalogs: a cheap MaxSim proxy
     (:func:`maxsim_proxy`, reductions over the similarity maps — no ResNet)
@@ -194,7 +225,13 @@ def make_cascade_score_fn(
     ~all ResNet forwards; at shortlist=2048 the cascade runs 2% of them.
     Approximate (proxy recall < 1), opt-in — characterize recall@K on your
     corpus first (tests/test_efficient_catalog.py plants matches; the
-    synthetic harness is tools/validate_approx.py's pattern)."""
+    synthetic harness is tools/validate_approx.py's pattern).
+
+    ``proxy_dtype``: "bfloat16" (default — :func:`maxsim_proxy_fast`, bf16
+    MXU einsum with the utterance normalized once per utterance) or
+    "float32" (:func:`maxsim_proxy` on the classifier's exact
+    precision="highest" sims).  Stage 2 is exact either way; the knob only
+    moves shortlist membership at the ranking margin."""
     assert shortlist % chunk == 0, (
         f"shortlist ({shortlist}) must be a multiple of chunk ({chunk}) so "
         "stage 2 reuses the full scorer's compiled chunk shape"
@@ -215,9 +252,19 @@ def make_cascade_score_fn(
         )
 
         # stage 1: proxy over the full catalog (chunked to bound VMEM)
-        def proxy_fn(args):
-            kwd, kwd_mask = args
-            return maxsim_proxy(kwd, utt_p, kwd_mask, utt_mask_p)
+        if proxy_dtype == "float32":
+            def proxy_fn(args):
+                kwd, kwd_mask = args
+                return maxsim_proxy(kwd, utt_p, kwd_mask, utt_mask_p)
+        else:
+            from .model import _safe_normalize
+
+            utt_n = _safe_normalize(utt_p, 1e-6)[0]  # once, outside the map
+            def proxy_fn(args):
+                kwd, kwd_mask = args
+                return maxsim_proxy_fast(
+                    kwd, utt_n, kwd_mask, utt_mask_p, dtype=jnp.dtype(proxy_dtype)
+                )
 
         proxy = jax.lax.map(
             proxy_fn, (_chunked(catalog["kwd"], chunk), _chunked(catalog["kwd_mask"], chunk))

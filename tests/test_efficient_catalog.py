@@ -212,6 +212,56 @@ def test_cascade_int8_stage2_matches_full_int8():
     np.testing.assert_array_equal(got[nonzero], want[nonzero])
 
 
+def test_fast_proxy_matches_exact_proxy_to_bf16_tolerance():
+    """maxsim_proxy_fast (bf16 einsum, pre-normalized utterance) must agree
+    with the precision='highest' f32 proxy to bf16 rounding — same reduction
+    structure, only the einsum precision differs."""
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import (
+        maxsim_proxy,
+        maxsim_proxy_fast,
+    )
+    from enhance_cb_whisper_tpu.efficient_kws.model import _safe_normalize
+
+    rng = np.random.default_rng(11)
+    c, tk, tu = 16, 12, 40
+    kwd = jnp.asarray(rng.standard_normal((c, L, tk, U)), jnp.float32)
+    utt = jnp.asarray(rng.standard_normal((1, L, tu, U)), jnp.float32)
+    kwd_mask = jnp.asarray((rng.random((c, L, tk)) > 0.2).astype(np.float32))
+    utt_mask = jnp.asarray((rng.random((1, L, tu)) > 0.1).astype(np.float32))
+
+    exact = np.asarray(maxsim_proxy(kwd, utt, kwd_mask, utt_mask))
+    utt_n = _safe_normalize(utt, 1e-6)[0]
+    fast = np.asarray(maxsim_proxy_fast(kwd, utt_n, kwd_mask, utt_mask))
+    np.testing.assert_allclose(fast, exact, atol=2e-2, rtol=0)
+    # ranking of well-separated scores is preserved
+    order_e = np.argsort(exact)[::-1]
+    order_f = np.argsort(fast)[::-1]
+    assert order_e[0] == order_f[0]
+
+
+def test_cascade_proxy_dtype_float32_planted_match():
+    """proxy_dtype='float32' keeps the legacy exact-sims stage 1: planted
+    match survives, shortlisted rows exactly match the full scorer."""
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
+
+    model, variables, groups, catalog, utt, utt_mask = _cascade_fixture("LE")
+    planted = 5
+    kwd_feats = groups[1]["kwd"][1]
+    groups[1]["kwd_mask"][1] = 1.0
+    utt = np.array(utt)
+    utt[0, :, 20:36, :] = kwd_feats
+    catalog = project_catalog(model, variables, groups, chunk=4)
+
+    full = make_projected_score_fn(model, chunk=4)
+    casc = make_cascade_score_fn(model, chunk=4, shortlist=8,
+                                 proxy_dtype="float32")
+    want = np.asarray(full(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+    got = np.asarray(casc(variables, catalog, jnp.asarray(utt), jnp.asarray(utt_mask)))
+    nonzero = np.flatnonzero(got)
+    assert planted in nonzero
+    np.testing.assert_array_equal(got[nonzero], want[nonzero])
+
+
 def test_cascade_rejects_bad_shortlist():
     from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
 
