@@ -359,7 +359,8 @@ def _compute_dtype(model_args):
     return jnp.dtype(model_args.get("compute_dtype", "float32"))
 
 
-def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
+def _run_cbwhisper(subcommand: str, config: Dict[str, Any],
+                   predictions_out=None):
     assert subcommand == "test", "CBWhisper supports the test subcommand (cb-whisper.py)"
     import dataclasses
 
@@ -486,6 +487,8 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any]):
         # continuous batching: finished utterances hand their batch slot to
         # the next one (CBWhisper.forward_packed; needs eval_batch_size > 1)
         packed=bool(model_args.get("eval_packed", False)),
+        # transcripts for the approximate-mode qualifier's diffing
+        predictions_out=predictions_out,
     )
 
 

@@ -504,6 +504,7 @@ class CBWhisper:
         rng: Optional[np.random.Generator] = None,
         batch_size: int = 1,
         packed: bool = False,
+        predictions_out: Optional[list] = None,
     ) -> Dict[str, float]:
         """Evaluate entity recall over an eval dataset
         (cb_whisper.py:212-289).  ``mel_fn(item) -> (features, attention_mask)``
@@ -513,7 +514,11 @@ class CBWhisper:
         streams the corpus through the continuous-batching scheduler
         (:meth:`forward_packed`, ``slots=batch_size``) — finished utterances
         hand their batch slot to the next one, so heterogeneous-length
-        corpora keep the device at full batch width."""
+        corpora keep the device at full batch width.
+
+        ``predictions_out``: optional list the per-utterance transcripts are
+        appended to (dataset order) — the approximate-mode qualifier
+        (tools/validate_approx.py) diffs transcripts across decode levers."""
         from ..audio.prefetch import prefetch
         from ..runtime.profiler import RTFxMeter
 
@@ -552,6 +557,8 @@ class CBWhisper:
             by_order = dict(self.forward_packed(_stream(), slots=batch_size))
             meter.stop(audio_seconds=audio_seconds[0])
             preds.extend(by_order[i] for i in range(len(by_order)))
+            if predictions_out is not None:
+                predictions_out.extend(preds)
             return self._finalize_test(
                 preds, refs, mentions, speakers, num_bootstraps, meter
             )
@@ -580,6 +587,8 @@ class CBWhisper:
                 if len(pending_items) == batch_size:
                     flush()
             flush()
+            if predictions_out is not None:
+                predictions_out.extend(preds)
             return self._finalize_test(
                 preds, refs, mentions, speakers, num_bootstraps, meter
             )
@@ -606,6 +615,8 @@ class CBWhisper:
             meter.stop(audio_seconds=n_frames / 100.0)
             self._collect_refs(item, refs, mentions, speakers)
 
+        if predictions_out is not None:
+            predictions_out.extend(preds)
         return self._finalize_test(preds, refs, mentions, speakers, num_bootstraps, meter)
 
     def _collect_refs(self, item, refs, mentions, speakers):

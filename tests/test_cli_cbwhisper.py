@@ -202,3 +202,63 @@ def test_cbwhisper_cli_serving_knobs(tmp_path, monkeypatch, whisper_ckpt, acl_ro
 
     assert built["dtype"] == jnp.bfloat16
     assert built["vocab_int8"] is True and built["decoder_int8"] is True
+
+
+def test_validate_decode_int8_kv_qualifier(tmp_path, monkeypatch, whisper_ckpt,
+                                           acl_root, kws_ckpt):
+    """tools/validate_approx.py::validate_decode — the decode-lever
+    qualifier (int8 KV cache vs exact) through the cb-whisper path reports
+    transcript-diff rate, similarity, and the entity-recall delta."""
+    import importlib.util
+    import os
+
+    gc = types.SimpleNamespace(
+        decoder_start_token_id=3, no_timestamps_token_id=100, eos_token_id=2,
+        pad_token_id=0, suppress_tokens=None, begin_suppress_tokens=None,
+        max_initial_timestamp_index=10, prev_sot_token_id=99,
+    )
+    monkeypatch.setattr(
+        transformers.WhisperTokenizer, "from_pretrained", classmethod(lambda cls, p: FakeTokenizer())
+    )
+    monkeypatch.setattr(
+        transformers.GenerationConfig, "from_pretrained", classmethod(lambda cls, p: gc)
+    )
+    monkeypatch.setattr(
+        cli_main, "_cbwhisper_kws_resnet",
+        lambda model_args: ResNetConfig(
+            num_channels=KW_LAYERS, embedding_size=8, hidden_sizes=(8, 16, 24, 32),
+            depths=(1, 1, 1, 1), num_labels=2,
+        ),
+    )
+    config = {
+        "model": {
+            "class_path": "model.cb_whisper.CBWhisper",
+            "init_args": {
+                "dataset": "acl", "split": "test", "root": acl_root,
+                "kw_type": "tts", "encoder_ckpt": whisper_ckpt,
+                "whisper_ckpt": whisper_ckpt, "kws_ckpt": kws_ckpt,
+                "language": "english", "prompt": True, "oracle": "kws",
+                "kws_features_size": [32, 48], "keywords_per_group": 2,
+                "kws_layer_slice": [1, 3], "num_bootstraps": 20,
+            },
+        },
+    }
+    cfg_path = tmp_path / "cb-decode.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "validate_approx", os.path.join(repo, "tools", "validate_approx.py")
+    )
+    va = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(va)
+
+    report = va.validate_decode(str(cfg_path), None, None, levers=("kv",))
+    assert set(report) == {"exact", "kv"}
+    kv = report["kv"]
+    assert 0.0 <= kv["transcript_diff_rate"] <= 1.0
+    assert 0.0 <= kv["transcript_similarity_mean"] <= 1.0
+    assert "entity_recall_delta" in kv
+    # int8 KV rounding is a small perturbation, not a rewrite
+    assert kv["transcript_similarity_mean"] > 0.5

@@ -17,6 +17,14 @@ eval CLIs consume) and it reports, as ONE JSON object:
                   extraction: /root/reference/src/utils.py:130-205).
 * ``entity_recall`` — the end metric, evaluated twice through the
                   cb-whisper eval path (kws_int8 off/on), plus the delta.
+* ``decode``    — the approximate DECODE levers (int8 self-KV cache /
+                  int8 cross-attention K/V, the beam/large serving
+                  recommendation): cb-whisper eval exact vs each lever,
+                  reporting transcript-diff rate, mean transcript
+                  similarity, and the entity-recall delta
+                  (``--decode_int8`` [+ ``--decode_levers kv,xkv,kv+xkv``];
+                  reference exact decode:
+                  /root/reference/src/model/pba_whisper.py:365-465).
 * ``cascade``   — paper-2 cascade retrieval vs the full projected scorer
                   (shortlisted rows are bit-identical, so every diff is a
                   pruned keyword): recall of the exact scorer's accepted
@@ -233,6 +241,63 @@ def validate_entity_recall(config_path, ckpt, placeholders):
     return out
 
 
+def validate_decode(config_path, ckpt, placeholders, levers=None):
+    """Qualify the APPROXIMATE decode levers (int8 self-KV cache, int8
+    cross-attention K/V — the modes BASELINE.md recommends for beam/large
+    serving) through the cb-whisper eval path: the eval runs once exact and
+    once per lever combination, and the report carries the transcript-diff
+    rate, a mean transcript similarity, and the entity-recall delta for
+    each (reference exact decode being approximated:
+    /root/reference/src/model/pba_whisper.py:365-465).
+
+    ``levers``: iterable of mode names from {"kv", "xkv", "kv+xkv"}
+    (default all three).  Exact (both off) always runs as the baseline."""
+    import difflib
+
+    from enhance_cb_whisper_tpu.cli.config import load_config
+    from enhance_cb_whisper_tpu.cli.main import _run_cbwhisper
+
+    mode_flags = {
+        "exact": {},
+        "kv": {"kv_cache_int8": True},
+        "xkv": {"cross_kv_int8": True},
+        "kv+xkv": {"kv_cache_int8": True, "cross_kv_int8": True},
+    }
+    modes = ["exact"] + [m for m in (levers or ("kv", "xkv", "kv+xkv"))
+                         if m in mode_flags and m != "exact"]
+
+    out, preds = {}, {}
+    for mode in modes:
+        config = load_config(config_path, placeholders=placeholders or None)
+        if ckpt:
+            config["ckpt_path"] = ckpt
+        init = config.setdefault("model", {}).setdefault("init_args", {})
+        init["kv_cache_int8"] = False
+        init["cross_kv_int8"] = False
+        init.update(mode_flags[mode])
+        p = []
+        res = _run_cbwhisper("test", config, predictions_out=p)
+        preds[mode] = p
+        out[mode] = {k: float(v) for k, v in res.items()
+                     if isinstance(v, (int, float))}
+
+    base = preds["exact"]
+    for mode in modes[1:]:
+        cur = preds[mode]
+        diffs = sum(a != b for a, b in zip(base, cur))
+        sim = [difflib.SequenceMatcher(None, a, b).ratio()
+               for a, b in zip(base, cur)]
+        out[mode]["transcript_diff_rate"] = diffs / max(len(base), 1)
+        out[mode]["transcript_similarity_mean"] = (
+            float(np.mean(sim)) if sim else 1.0
+        )
+        if "Entity Recall" in out["exact"]:
+            out[mode]["entity_recall_delta"] = (
+                out[mode]["Entity Recall"] - out["exact"]["Entity Recall"]
+            )
+    return out
+
+
 def validate_cascade(config_path, ckpt, placeholders, shortlist, max_utts,
                      chunk=32):
     """Cascade catalog retrieval vs the full projected scorer on a real
@@ -353,6 +418,12 @@ def main(argv=None):
                     help="encoder hidden-state slice, e.g. 10,22")
     ap.add_argument("--set", action="append", default=[], dest="sets",
                     help="NAME=value placeholder fills for the YAMLs")
+    ap.add_argument("--decode_int8", action="store_true",
+                    help="also qualify the int8 KV / cross-KV decode levers "
+                         "through the cb-whisper path (needs "
+                         "--cbwhisper_config)")
+    ap.add_argument("--decode_levers", default="kv,xkv,kv+xkv",
+                    help="comma list from {kv, xkv, kv+xkv}")
     ap.add_argument("--efficient_config", help="paper-2 (efficient_kws) YAML "
                     "for cascade-retrieval validation")
     ap.add_argument("--efficient_ckpt", help="paper-2 checkpoint "
@@ -387,6 +458,12 @@ def main(argv=None):
     if args.cbwhisper_config:
         report["entity_recall"] = validate_entity_recall(
             args.cbwhisper_config, args.cb_ckpt, placeholders
+        )
+    if args.decode_int8:
+        assert args.cbwhisper_config, "--decode_int8 needs --cbwhisper_config"
+        report["decode"] = validate_decode(
+            args.cbwhisper_config, args.cb_ckpt, placeholders,
+            levers=[x for x in args.decode_levers.split(",") if x],
         )
     if args.efficient_config:
         report["cascade"] = validate_cascade(
