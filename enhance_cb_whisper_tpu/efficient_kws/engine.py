@@ -55,6 +55,11 @@ class EfficientTrainConfig:
     beta_2: float = 0.99
     max_epochs: int = 200
     threshold: float = 0.5
+    # TPU-serving extension (fp32 stays the reference-parity default):
+    # "bfloat16" runs the projection MLP/Conv matmuls and the ResNet at MXU
+    # rate with f32 params, BatchNorm state, loss, and optimizer — the
+    # paper-1 recipe (train/kws_train.py, docs/PERF.md)
+    compute_dtype: str = "float32"
 
 
 class EfficientKWSEngine:
@@ -74,7 +79,11 @@ class EfficientKWSEngine:
         self.seed = seed
         self.ckpt_dir = ckpt_dir
         self.logger = logger or MetricsLogger()
-        self.model = EfficientKWSModel(model_config)
+        self.model = EfficientKWSModel(
+            model_config,
+            dtype=jnp.dtype(getattr(train_config, "compute_dtype", "float32")
+                            or "float32"),
+        )
 
         # audio-mode embedding producer (load_embeddings=False, reference
         # dataset.py:471-492): mel + frozen Whisper encoder run INSIDE the
@@ -83,8 +92,6 @@ class EfficientKWSEngine:
         self._embed_utterances = None
         self._whisper_params = None
         if whisper is not None:
-            import jax.numpy as jnp
-
             from ..models.whisper import encoder_kws_stack
             from ..ops.mel import log_mel_spectrogram
 

@@ -54,14 +54,16 @@ class PerLayerMLP(nn.Module):
     embedding_dim: int
     units: int
     n_layers: int
+    dtype: Any = None  # compute dtype (params stay f32); None = float32
 
     @nn.compact
     def __call__(self, x):  # [B, L, T, D] -> [B, L, T, units]
         outs = []
         for i in range(self.n_layers):
-            h = nn.Dense(self.embedding_dim // 2, name=f"proj_{i}_0")(x[:, i])
+            h = nn.Dense(self.embedding_dim // 2, name=f"proj_{i}_0",
+                         dtype=self.dtype)(x[:, i])
             h = nn.relu(h)
-            h = nn.Dense(self.units, name=f"proj_{i}_1")(h)
+            h = nn.Dense(self.units, name=f"proj_{i}_1", dtype=self.dtype)(h)
             outs.append(h)
         return jnp.stack(outs, axis=1)
 
@@ -69,18 +71,24 @@ class PerLayerMLP(nn.Module):
 class PerLayerTimeConv(nn.Module):
     units: int
     n_layers: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # [B, L, T, U] -> [B, L, ceil(T/2), U]
         outs = []
         for i in range(self.n_layers):
             h = nn.Conv(
-                self.units, (3,), strides=(1,), padding=[(1, 1)], name=f"conv_{i}"
+                self.units, (3,), strides=(1,), padding=[(1, 1)], name=f"conv_{i}",
+                dtype=self.dtype,
             )(x[:, i])
+            # BatchNorm stays in f32 (the bf16-compute/f32-state recipe —
+            # stats reductions are the numerically-required f32 part)
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=f"bn_{i}",
-            )(h)
+            )(h.astype(jnp.float32))
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
             h = nn.max_pool(h, (3,), strides=(2,), padding=[(1, 1)])
             outs.append(h)
         return jnp.stack(outs, axis=1)
@@ -150,10 +158,19 @@ class EfficientKWSModel(nn.Module):
         cfg = self.config
         self.model = ResNet(cfg.resnet_config(), dtype=self.dtype)
         self.classifier = nn.Dense(2, name="classifier")
+        # dtype=jnp.float32 (the default) keeps the projection stack in f32;
+        # bf16 runs the Dense/Conv matmuls — ~75% of the train-step FLOPs —
+        # at MXU rate with f32 params/BN (the paper-1 recipe, docs/PERF.md)
+        proj_dtype = None if self.dtype == jnp.float32 else self.dtype
         if cfg.learn_features and cfg.proj_mlp:
-            self.projector = PerLayerMLP(cfg.embedding_dim, cfg.proj_mlp_units, cfg.n_layers)
+            self.projector = PerLayerMLP(
+                cfg.embedding_dim, cfg.proj_mlp_units, cfg.n_layers,
+                dtype=proj_dtype,
+            )
             if cfg.frames_conv:
-                self.time_projector = PerLayerTimeConv(cfg.proj_mlp_units, cfg.n_layers)
+                self.time_projector = PerLayerTimeConv(
+                    cfg.proj_mlp_units, cfg.n_layers, dtype=proj_dtype
+                )
 
     def project(self, features: jax.Array, mask: Optional[jax.Array] = None,
                 train: bool = False):

@@ -181,3 +181,47 @@ def test_LEF_variant_matches_with_copied_weights():
             proj=proj, tconv=tconv, pool_masks=True,
         ).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bfloat16_compute_dtype_close_to_f32():
+    """Paper-2 bf16 training (EfficientTrainConfig.compute_dtype) keeps f32
+    params/BN/loss: same init as the f32 engine, one train step's loss
+    within bf16 rounding, params stay float32 and move."""
+    import jax.numpy as jnp
+
+    from enhance_cb_whisper_tpu.efficient_kws.engine import (
+        EfficientKWSEngine,
+        EfficientTrainConfig,
+    )
+
+    cfg = EfficientKWSConfig(
+        n_layers=L, embedding_dim=D, learn_features=True, proj_mlp=True,
+        proj_mlp_units=U, frames_conv=True, resnet_version="resnet-18",
+    )
+    rng = np.random.default_rng(5)
+    batch = {
+        "kwd_features": rng.standard_normal((4, L, 10, D)).astype(np.float32),
+        "utt_features": rng.standard_normal((4, L, 24, D)).astype(np.float32),
+        "kwd_mask": np.ones((4, L, 10), np.float32),
+        "utt_mask": np.ones((4, L, 24), np.float32),
+        "labels": np.array([0, 1, 1, 0]),
+    }
+    losses, moved = {}, {}
+    for dtype in ("float32", "bfloat16"):
+        engine = EfficientKWSEngine(
+            cfg, EfficientTrainConfig(compute_dtype=dtype), ckpt_dir=None
+        )
+        params, stats, opt = engine.init_state(batch)
+        step = engine.make_train_step()
+        p2, stats2, _, metrics = step(
+            params, stats, opt, batch, jax.random.PRNGKey(0)
+        )
+        losses[dtype] = float(np.asarray(metrics["loss"]))
+        leaves = jax.tree.leaves(p2)
+        assert all(l.dtype == jnp.float32 for l in leaves), "params must stay f32"
+        moved[dtype] = float(
+            sum(np.abs(np.asarray(a) - np.asarray(b)).sum()
+                for a, b in zip(jax.tree.leaves(params), leaves))
+        )
+    assert moved["bfloat16"] > 0
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.05)

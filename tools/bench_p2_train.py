@@ -9,7 +9,9 @@ examples/s and MFU (runtime/flops.py jaxpr counter — XLA's cost analysis
 under-reports loop bodies).
 
 Env: ECW_P2_BATCH (default 40), ECW_P2_STEPS (default 6),
-ECW_P2_VARIANT (LEF default; LE drops frames_conv; L drops projection).
+ECW_P2_VARIANT (LEF default; LE drops frames_conv; L drops projection),
+ECW_P2_DTYPE (float32 default; bfloat16 = MXU-rate projection+ResNet with
+f32 params/BN/loss — the paper-1 recipe).
 """
 
 import json
@@ -47,7 +49,12 @@ def main():
         proj_mlp_units=64, frames_conv=VARIANT == "LEF",
         resnet_version="resnet-50",
     )
-    engine = EfficientKWSEngine(cfg, EfficientTrainConfig())
+    engine = EfficientKWSEngine(
+        cfg,
+        EfficientTrainConfig(
+            compute_dtype=os.environ.get("ECW_P2_DTYPE", "float32")
+        ),
+    )
 
     rng = np.random.default_rng(0)
     feat_d = D if learn else L
@@ -97,6 +104,7 @@ def main():
         "batch": B,
         "compile_s": round(compile_s, 0),
         "mfu_pct": mfu,
+        "dtype": os.environ.get("ECW_P2_DTYPE", "float32"),
     }), flush=True)
 
     if os.environ.get("ECW_P2_PROFILE"):
