@@ -185,27 +185,6 @@ def main():
         if os.environ.get("ECW_RTFX_DTYPE", "float32") == "bfloat16"
         else jnp.float32
     )
-    # ECW_RTFX_SPEC=tiny|base: speculative greedy decoding with a random
-    # draft at those dims (ECW_RTFX_SPEC_K drafts/window).  Random draft +
-    # random target agree on ~nothing, so the natural run is the 0%%-
-    # acceptance LOWER bound; ECW_SPEC_FORCE_ACCEPT=1 measures the
-    # mechanical 100%%-acceptance UPPER bound (timing-only — real
-    # checkpoints land in between, e.g. distil-whisper drafts)
-    spec = os.environ.get("ECW_RTFX_SPEC", "")
-    draft = None
-    if spec:
-        d_layers, d_model, d_heads = (6, 512, 8) if spec == "base" else (4, 384, 6)
-        draft_config = WhisperConfig(
-            vocab_size=config.vocab_size, num_mel_bins=config.num_mel_bins,
-            d_model=d_model, encoder_layers=d_layers,
-            encoder_attention_heads=d_heads, decoder_layers=d_layers,
-            decoder_attention_heads=d_heads, encoder_ffn_dim=4 * d_model,
-            decoder_ffn_dim=4 * d_model,
-            max_source_positions=config.max_source_positions,
-            max_target_positions=config.max_target_positions,
-        )
-        draft = (draft_config, init_whisper_params(np.random.default_rng(7), draft_config))
-
     module = CBWhisper(
         dtype=dtype,
         # ECW_RTFX_VOCAB=int8: weight-only int8 vocab projection (serving
@@ -221,8 +200,6 @@ def main():
         # ECW_RTFX_KVCACHE=int8: int8 self-attention KV cache (approximate;
         # halves the per-step cache read that dominates batched beam decode)
         kv_cache_int8=os.environ.get("ECW_RTFX_KVCACHE", "") == "int8",
-        draft=draft,
-        speculative_k=int(os.environ.get("ECW_RTFX_SPEC_K", "8")),
         config=CBWhisperConfig(),
         whisper_config=config,
         whisper_params=params,
@@ -341,21 +318,6 @@ def main():
                 "eval_batch": batch_size,
                 **({"packed": True} if packed else {}),
                 **({"hetero_corpus_s": lengths} if hetero else {}),
-                **(
-                    {
-                        "speculative": spec,
-                        "spec_k": int(os.environ.get("ECW_RTFX_SPEC_K", "8")),
-                        "spec_forced": os.environ.get("ECW_SPEC_FORCE_ACCEPT", "0") == "1",
-                        "spec_tokens_per_window": round(
-                            (module.generator.speculative_stats() or {}).get(
-                                "tokens_per_window", 0.0
-                            ),
-                            2,
-                        ),
-                    }
-                    if spec
-                    else {}
-                ),
             }
         )
     )

@@ -347,7 +347,7 @@ def _build_generation_options(tokenizer, hf_gc, model_args, whisper_config=None)
             else 50  # 0 is a valid setting — `or 50` would override it
         ),
         # the reference's flagship width (cb_whisper.py:174); num_beams: 1
-        # is the greedy serving mode (and what speculative decoding needs)
+        # is the greedy serving mode
         num_beams=int(model_args.get("num_beams", 5)),
         condition_on_prev_tokens=False,  # set per-call by forward
     )
@@ -449,15 +449,6 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any],
         # per-token exact-scale-factoring scheme; halves the per-step
         # 1500-frame cross-K/V slab read)
         cross_kv_int8=bool(model_args.get("cross_kv_int8", False)),
-        # draft_ckpt: speculative greedy decoding (e.g. whisper-tiny or a
-        # distilled checkpoint drafting for the flagship) — emitted tokens
-        # stay identical to plain greedy (decoding/speculative.py)
-        draft=(
-            load_whisper_from_pretrained(model_args["draft_ckpt"])
-            if model_args.get("draft_ckpt")
-            else None
-        ),
-        speculative_k=int(model_args.get("speculative_k", 8)),
     )
 
     if model_args.get("kws_int8"):

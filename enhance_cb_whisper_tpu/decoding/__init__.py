@@ -1,7 +1,6 @@
 from .logits_process import LogitsProcessorConfig, apply_logits_processors
 from .beam import beam_search, greedy_search
 from .generate import WhisperGenerator, GenerationOptions
-from .speculative import speculative_greedy_search
 
 __all__ = [
     "LogitsProcessorConfig",
@@ -10,5 +9,4 @@ __all__ = [
     "greedy_search",
     "WhisperGenerator",
     "GenerationOptions",
-    "speculative_greedy_search",
 ]

@@ -39,7 +39,6 @@ from ..models.whisper import (
 from .beam import beam_search, greedy_search
 from .logits_process import LogitsProcessorConfig
 from .prompt import prepare_decoder_input_ids, segment_prev_tokens, strip_prompt
-from .speculative import speculative_greedy_search
 
 N_SEGMENT_FRAMES = 3000  # input_stride(2) * max_source_positions(1500)
 TIME_PRECISION = 0.02
@@ -175,8 +174,6 @@ class WhisperGenerator:
         decoder_int8: bool = False,
         kv_cache_int8: bool = False,
         cross_kv_int8: bool = False,
-        draft: Optional[Tuple["WhisperConfig", Dict[str, Any]]] = None,
-        speculative_k: int = 8,
     ):
         """``matmul_precision``: 'default' lets the TPU MXU round matmul
         operands to bfloat16 — comparable to the TF32 regime the reference
@@ -189,13 +186,13 @@ class WhisperGenerator:
         compile (the unrolled 24-layer program is dropped by the
         remote-compile relay; see models/whisper.py).
 
-        ``draft``: optional ``(config, params)`` of a small draft model for
-        speculative GREEDY decoding (decoding/speculative.py) — emitted
-        tokens are identical to plain greedy; the draft only amortizes the
-        target's per-step weight read over several positions.  Used when
-        ``num_beams == 1`` at temperature 0 (sampled fallback rungs and beam
-        search take their normal paths).  ``speculative_k`` = drafted tokens
-        per verify window."""
+        Speculative decoding (a draft model amortizing the per-step weight
+        read) was built, measured, and REMOVED in round 5 per the
+        flash-attention rule: random-draft acceptance is a 2× slowdown vs
+        int8 greedy, the ceiling over the best plain mode is 2.3×, and
+        self-speculation (draft = prefix layers) breaks even only at
+        α≥0.6 logit-lens agreement — docs/PERF.md keeps the full negative
+        result and break-even model."""
         self.config = config
         if vocab_int8:
             # serving mode: weight-only int8 vocab projection — halves the
@@ -255,20 +252,6 @@ class WhisperGenerator:
                 )
                 return logits[:, -1], new_cache
 
-        def _decode_chunk(tokens, cache, ctx):
-            # full-chunk logits (speculative verify: one forward scores k+1
-            # positions; cache["index"] may be a per-row vector)
-            with jax.default_matmul_precision(matmul_precision):
-                return decoder_forward(
-                    ctx["params"],
-                    tokens,
-                    ctx["cross_kv"],
-                    cfg,
-                    cache=cache,
-                    attention_mask=ctx["attn_mask"],
-                    dtype=dtype,
-                )
-
         @partial(jax.jit, static_argnames=("max_length",))
         def _prefill(prompt_padded, prompt_len, ctx, max_length: int):
             """Run the (right-padded) prompt through a fresh cache.
@@ -303,14 +286,12 @@ class WhisperGenerator:
         self._cross_kv_fn = lambda enc: _cross_kv(self.params, enc)
         self._encode_jit = _encode  # exposed for the no-recompile swap test
         self._decode_step = _decode_step
-        self._decode_chunk = _decode_chunk
         self._prefill = _prefill
         self._vocab_int8 = bool(vocab_int8)
         self._decoder_int8 = bool(decoder_int8)
         # int8 self-attention KV cache (serving approximation): halves the
         # dominant per-step cache read of batched beam decode.  Requires
-        # scan-over-layers; incompatible with the speculative per-row cache
-        # protocol (checked below).
+        # scan-over-layers.
         self._kv_cache_int8 = bool(kv_cache_int8)
         if kv_cache_int8 and not scan_layers:
             raise ValueError("kv_cache_int8 requires scan_layers=True")
@@ -319,51 +300,6 @@ class WhisperGenerator:
         self._cross_kv_int8 = bool(cross_kv_int8)
         if cross_kv_int8 and not scan_layers:
             raise ValueError("cross_kv_int8 requires scan_layers=True")
-
-        # ---- speculative decoding (optional draft model)
-        self.speculative_k = int(speculative_k)
-        self.draft: Optional["WhisperGenerator"] = None
-        if draft is not None and kv_cache_int8:
-            raise ValueError(
-                "kv_cache_int8 is incompatible with speculative decoding "
-                "(the chunked verify uses per-row cache indices)"
-            )
-        if draft is not None:
-            draft_config, draft_params = draft
-            if draft_config.vocab_size != config.vocab_size:
-                raise ValueError(
-                    "speculative draft must share the target vocabulary "
-                    f"({draft_config.vocab_size} != {config.vocab_size})"
-                )
-            if draft_config.max_target_positions < config.max_target_positions:
-                raise ValueError(
-                    "draft max_target_positions must cover the target's"
-                )
-            self.draft = WhisperGenerator(
-                draft_config,
-                draft_params,
-                dtype=dtype,
-                prompt_buckets=prompt_buckets,
-                matmul_precision=matmul_precision,
-                scan_layers=scan_layers,
-            )
-        # device scalars appended per spec launch; fetched lazily by
-        # speculative_stats() so the decode path never blocks on the relay
-        self._spec_windows: List[Any] = []
-        self._spec_emitted: List[Any] = []
-        # ---- acceptance auto-bailout (measured break-even, docs/PERF.md):
-        # on the round-3 sweep, speculative needs ≈3.2 emitted tokens per
-        # verify window (α≈0.28 at k=8) to beat plain int8 greedy at
-        # whisper-medium; a random/uncorrelated draft sits at 1.0 and is a
-        # 2× SLOWDOWN.  After _SPEC_BAILOUT_WINDOWS verify launches, if the
-        # running tokens-per-window is below this threshold the generator
-        # permanently falls back to plain greedy for the rest of its life
-        # (until swap_params installs new weights).  ECW_SPEC_MIN_TPW=0
-        # disables the bailout (bench bounds measurement needs that).
-        self.spec_min_tokens_per_window = float(
-            os.environ.get("ECW_SPEC_MIN_TPW", "3.2")
-        )
-        self._spec_bailed = False
 
     # ------------------------------------------------------------------ util
 
@@ -405,11 +341,6 @@ class WhisperGenerator:
                 "recompile; build a new WhisperGenerator instead)"
             )
         self.params = params
-        # new weights → new draft/target acceptance; give speculative
-        # decoding a fresh measurement window
-        self._spec_windows.clear()
-        self._spec_emitted.clear()
-        self._spec_bailed = False
 
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
@@ -491,16 +422,10 @@ class WhisperGenerator:
         return_timestamps: bool,
         temperature: float = 0.0,
         rng: Optional[jax.Array] = None,
-        draft_cross_kv: Any = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Prefill the prompt, run beam/greedy/sampling to
         max_target_positions; returns (full sequences incl. prompt
-        [B, max_len], scores [B], no_speech_probs [B]).
-
-        ``draft_cross_kv`` (per-segment draft-encoder cross K/V) switches
-        the temperature-0 greedy path to speculative decoding when a draft
-        model is configured — output-identical, see
-        decoding/speculative.py."""
+        [B, max_len], scores [B], no_speech_probs [B])."""
         batch, plen = decoder_input_ids.shape
         max_length = opts.max_target_positions
         bucket = min(self._bucket(plen), max_length)
@@ -558,45 +483,7 @@ class WhisperGenerator:
             no_speech_probs = np.zeros((batch,), np.float32)
 
         prompt_dev = jnp.asarray(padded)
-        if (
-            K == 1
-            and not use_sampling
-            and self.draft is not None
-            and draft_cross_kv is not None
-            and not self._spec_bailed
-        ):
-            draft_ctx = {
-                "cross_kv": draft_cross_kv,
-                "attn_mask": ctx["attn_mask"],
-                "params": self.draft.params,
-            }
-            draft_cache, _ = self.draft._prefill(
-                prompt_padded, plen, draft_ctx, max_length
-            )
-            seqs, scores, stats = speculative_greedy_search(
-                self._decode_chunk,
-                self.draft._decode_chunk,
-                prompt_dev,
-                plen,
-                cache,
-                draft_cache,
-                ctx,
-                draft_ctx,
-                processors,
-                k=self.speculative_k,
-                max_length=max_length,
-                pad_token_id=opts.pad_token_id,
-                eos_token_id=opts.eos_token_id,
-                # timing-only bench knob: mechanical upper bound at 100%
-                # acceptance (output is NOT a real greedy decode then)
-                force_accept=os.environ.get("ECW_SPEC_FORCE_ACCEPT", "0") == "1",
-            )
-            self._spec_windows.append(stats["windows"])
-            # mean over rows: a window emits per-row; the per-row mean over
-            # all launches / total windows is the amortization ratio
-            self._spec_emitted.append(stats["emitted"].astype(jnp.float32).mean())
-            self._maybe_spec_bailout()
-        elif K == 1:
+        if K == 1:
             seqs, scores = greedy_search(
                 self._decode_step,
                 prompt_dev,
@@ -637,56 +524,6 @@ class WhisperGenerator:
                 topk_impl=_resolve_topk_impl(self.config.d_model),
             )
         return np.asarray(seqs), np.asarray(scores), no_speech_probs
-
-    # number of verify launches to observe before judging acceptance; one
-    # whisper-medium segment at 1.0 tok/window is ~50-150 windows, so 32
-    # windows decide within the FIRST bad segment
-    _SPEC_BAILOUT_WINDOWS = 32
-    # check cadence (in spec launches): each check is one tiny host fetch
-    # (~a relay round-trip), so don't pay it per segment
-    _SPEC_BAILOUT_EVERY = 4
-
-    def _maybe_spec_bailout(self) -> None:
-        """Fall back to plain greedy permanently when the measured
-        acceptance sits below the break-even tokens-per-window
-        (docs/PERF.md: speculative below break-even is up to a 2× slowdown
-        — the draft is pure overhead).  ``ECW_SPEC_MIN_TPW=0`` disables."""
-        if (
-            self._spec_bailed
-            or self.spec_min_tokens_per_window <= 0
-            or len(self._spec_windows) % self._SPEC_BAILOUT_EVERY
-        ):
-            return
-        stats = self.speculative_stats()
-        if stats is None or stats["windows"] < self._SPEC_BAILOUT_WINDOWS:
-            return
-        if stats["tokens_per_window"] < self.spec_min_tokens_per_window:
-            self._spec_bailed = True
-            logger.warning(
-                "speculative decode: measured %.2f tokens/window over %d "
-                "verify launches < break-even %.2f — draft disabled, "
-                "falling back to plain greedy (see docs/PERF.md; "
-                "ECW_SPEC_MIN_TPW overrides)",
-                stats["tokens_per_window"],
-                int(stats["windows"]),
-                self.spec_min_tokens_per_window,
-            )
-
-    def speculative_stats(self) -> Optional[Dict[str, float]]:
-        """Fetch accumulated speculative-decode counters (None if the
-        speculative path never ran).  ``tokens_per_window`` is the mean
-        emitted tokens per verify launch — plain greedy is 1.0; the
-        speedup ceiling is roughly this ratio on a weight-read-bound
-        decode."""
-        if not self._spec_windows:
-            return None
-        windows = float(np.sum([np.asarray(w) for w in self._spec_windows]))
-        emitted = float(np.sum([np.asarray(e) for e in self._spec_emitted]))
-        return {
-            "windows": windows,
-            "emitted": emitted,
-            "tokens_per_window": emitted / max(windows, 1.0),
-        }
 
     # ------------------------------------------------------------- shortform
 
@@ -750,18 +587,8 @@ class WhisperGenerator:
         )
         seqs, _, _ = self._decode_prompted(
             cross_kv, decoder_ids, None, opts, return_timestamps=opts.return_timestamps,
-            draft_cross_kv=self._draft_cross_kv(padded_seg, opts),
         )
         return strip_prompt(seqs, len(prompt_ids))
-
-    def _draft_cross_kv(self, seg: np.ndarray, opts: GenerationOptions):
-        """Per-segment draft encode + cross K/V for speculative decoding
-        (None when no draft is configured or the mode can't use it — the
-        draft encoder is a wasted launch under beam search, and a
-        below-break-even draft is disabled by the acceptance bailout)."""
-        if self.draft is None or opts.num_beams != 1 or self._spec_bailed:
-            return None
-        return self.draft._cross_kv_fn(self.draft._encode(jnp.asarray(seg)))
 
     # -------------------------------------------------------------- longform
 
@@ -906,7 +733,6 @@ class WhisperGenerator:
             cross_kv, decoder_ids, attn, opts, cond_local,
             list(range(len(rows))),
             segment_idx=segment_idx,
-            draft_cross_kv=self._draft_cross_kv(seg, opts),
             vacant=[r is None for r in rows],
         )
 
@@ -1181,7 +1007,6 @@ class WhisperGenerator:
 
     def _generate_with_fallback(self, cross_kv, decoder_ids, attn, opts,
                                 condition_flags, active, segment_idx: int = 0,
-                                draft_cross_kv=None,
                                 vacant: Optional[List[bool]] = None):
         """Temperature fallback ladder (pba_whisper.py:425-442 → HF
         ``generate_with_fallback``): retry with increasing sampling
@@ -1210,7 +1035,6 @@ class WhisperGenerator:
         should_skip = [False] * B
         fallback_map = list(range(B))  # original row of each current row
         cur_cross_kv, cur_ids, cur_attn = cross_kv, decoder_ids, attn
-        cur_draft_kv = draft_cross_kv
         for ti, temperature in enumerate(opts.temperature):
             do_sample = temperature is not None and float(temperature) > 0.0
             # HF forces num_beams=1 on sampled rungs (OpenAI whisper
@@ -1225,7 +1049,6 @@ class WhisperGenerator:
                 # decorrelate retries across segments — a fixed per-rung key
                 # would replay the same noise at every segment
                 rng=jax.random.fold_in(jax.random.PRNGKey(ti), segment_idx),
-                draft_cross_kv=cur_draft_kv,
             )
             new_map: List[int] = []
             new_rows: List[int] = []
@@ -1260,8 +1083,6 @@ class WhisperGenerator:
             cur_ids = cur_ids[new_rows]
             cur_attn = cur_attn[new_rows] if cur_attn is not None else None
             cur_cross_kv = self._take_rows(cur_cross_kv, new_rows)
-            if cur_draft_kv is not None:
-                cur_draft_kv = self._take_rows(cur_draft_kv, new_rows)
         return np.stack(kept_seqs), kept_scores, should_skip
 
     @staticmethod

@@ -70,10 +70,9 @@ def apply_logits_processors(
 ) -> jax.Array:
     """Apply the processor stack; returns processed logits.
 
-    ``cur_len`` may be a per-row [B] vector (speculative decoding verifies
-    rows sitting at different positions in one launch) — all masks then
-    broadcast per row; a scalar keeps the original single-position
-    semantics bit-for-bit."""
+    ``cur_len`` may be a per-row [B] vector (rows sitting at different
+    positions in one launch) — all masks then broadcast per row; a scalar
+    keeps the original single-position semantics bit-for-bit."""
     vocab = cfg.vocab_size
     logits = logits.astype(jnp.float32)
     cur_len = jnp.asarray(cur_len)

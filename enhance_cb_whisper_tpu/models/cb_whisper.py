@@ -73,8 +73,6 @@ class CBWhisper:
         decoder_int8: bool = False,
         kv_cache_int8: bool = False,
         cross_kv_int8: bool = False,
-        draft: Optional[Tuple[WhisperConfig, Dict[str, Any]]] = None,
-        speculative_k: int = 8,
     ):
         self.config = config
         self.whisper_config = whisper_config
@@ -92,7 +90,6 @@ class CBWhisper:
             whisper_config, whisper_params, dtype=dtype, vocab_int8=vocab_int8,
             decoder_int8=decoder_int8, kv_cache_int8=kv_cache_int8,
             cross_kv_int8=cross_kv_int8,
-            draft=draft, speculative_k=speculative_k,
         )
         self.encoder_params = (
             stack_whisper_params(jax.tree.map(jnp.asarray, encoder_params))

@@ -953,24 +953,7 @@ def _decoder_layer(
             p, x, cross_kv, num_heads, cross_mask
         ), new_cache_layer
     if cache_layer is not None:
-        if jnp.ndim(cache_index) == 1:
-            # per-row positions (speculative decoding: rows accept different
-            # token counts, so each row's chunk starts at its own slot) —
-            # a batched scatter instead of one dynamic_update_slice;
-            # out-of-range slots (a row parked at max_length) are dropped
-            if "k_scale" in cache_layer:
-                raise ValueError(
-                    "int8 KV cache does not support per-row cache indices "
-                    "(speculative decoding) — use a bf16 cache there"
-                )
-            b_sz, t_sz = x.shape[0], x.shape[1]
-            rows = jnp.arange(b_sz)[:, None]
-            slots = cache_index[:, None] + jnp.arange(t_sz)[None, :]
-            k = cache_layer["k"].at[rows, slots].set(
-                k.astype(cache_layer["k"].dtype), mode="drop")
-            v = cache_layer["v"].at[rows, slots].set(
-                v.astype(cache_layer["v"].dtype), mode="drop")
-        elif "k_scale" in cache_layer:
+        if "k_scale" in cache_layer:
             # int8 KV cache, multi-token write (prompt prefill): quantize
             # per token, store int8 + scales, attend over the DEQUANTIZED
             # updated slab (prefill happens once per segment — the bf16
@@ -1067,10 +1050,8 @@ def decoder_forward(
     """Teacher-forcing (cache=None) or incremental decoding (cache given).
 
     With a cache, ``input_ids`` is the next chunk (usually length 1); its
-    positions start at ``cache['index']``.  ``cache['index']`` may be a
-    per-row [B] vector (speculative decoding: rows sit at different
-    positions) — position embeddings, the causal mask, and the cache writes
-    then resolve per row.  ``attention_mask`` covers the full cached length
+    positions start at ``cache['index']`` (a traced scalar).
+    ``attention_mask`` covers the full cached length
     (prompt padding is masked out, reproducing the reference's
     ``decoder_attention_mask`` from pad ids, src/model/pba_whisper.py:543).
 
@@ -1079,20 +1060,16 @@ def decoder_forward(
     p = params["decoder"]
     b, t = input_ids.shape
     offset = cache["index"] if cache is not None else 0
-    per_row = jnp.ndim(offset) == 1
+    assert jnp.ndim(offset) == 0, (
+        "cache['index'] must be a scalar (the per-row vector protocol "
+        "left with speculative decoding, round 5)"
+    )
 
     tok = jnp.asarray(p["embed_tokens"]["weight"])[input_ids].astype(dtype)
-    if per_row:
-        pos_ids = offset[:, None] + jnp.arange(t)[None, :]  # [B, T]
-        positions = jnp.asarray(p["embed_positions"]["weight"])[
-            jnp.clip(pos_ids, 0, p["embed_positions"]["weight"].shape[0] - 1)
-        ].astype(dtype)  # [B, T, D]
-        x = tok + positions
-    else:
-        positions = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(p["embed_positions"]["weight"]), offset, t, axis=0
-        ).astype(dtype)
-        x = tok + positions[None]
+    positions = jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(p["embed_positions"]["weight"]), offset, t, axis=0
+    ).astype(dtype)
+    x = tok + positions[None]
 
     if cache is not None:
         if _is_stacked(cache["layers"]):
@@ -1100,14 +1077,9 @@ def decoder_forward(
         else:
             max_len = cache["layers"][0]["k"].shape[1]
         key_pos = jnp.arange(max_len)
-        if per_row:
-            query_pos = offset[:, None] + jnp.arange(t)[None, :]  # [B, T]
-            mask = key_pos[None, None, :] <= query_pos[:, :, None]  # [B, T, max]
-            mask = mask[:, None]  # [B, 1, T, max_len]
-        else:
-            query_pos = offset + jnp.arange(t)
-            mask = key_pos[None, :] <= query_pos[:, None]  # causal over cache
-            mask = mask[None, None]  # [1, 1, T, max_len]
+        query_pos = offset + jnp.arange(t)
+        mask = key_pos[None, :] <= query_pos[:, None]  # causal over cache
+        mask = mask[None, None]  # [1, 1, T, max_len]
         if attention_mask is not None:
             mask = jnp.logical_and(mask, attention_mask[:, None, None, :].astype(bool))
     else:
@@ -1144,7 +1116,6 @@ def decoder_forward(
         inplace = (
             cache is not None
             and t == 1
-            and not per_row
             and os.environ.get("ECW_CACHE_INPLACE", "1") != "0"
         )
         if inplace:

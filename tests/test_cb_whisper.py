@@ -517,58 +517,6 @@ def test_int8_spotting_accumulates_calibration_batches(cb):
     assert again_b == ref_b
 
 
-def test_forward_with_draft_matches_plain(cb):
-    """CBWhisper with a speculative draft (serving greedy mode) transcribes
-    identically to the plain module — spotting, biased prompts, and the
-    longform loop all ride the same path; only the decode schedule changes
-    (decoding/speculative.py)."""
-    draft_hf = transformers.WhisperModel(
-        transformers.WhisperConfig(
-            vocab_size=128, num_mel_bins=8, d_model=16,
-            encoder_layers=1, encoder_attention_heads=2,
-            decoder_layers=1, decoder_attention_heads=2,
-            encoder_ffn_dim=32, decoder_ffn_dim=32,
-            max_source_positions=24, max_target_positions=40,
-            pad_token_id=0, bos_token_id=1, eos_token_id=2,
-            decoder_start_token_id=3,
-            suppress_tokens=None, begin_suppress_tokens=None,
-        )
-    )
-    torch.manual_seed(5)
-    draft_config = WhisperConfig.from_hf(draft_hf.config)
-    draft_params = load_hf_whisper(draft_hf.state_dict(), draft_config)
-
-    import dataclasses as _dc
-
-    greedy_opts = _dc.replace(cb.opts, num_beams=1)
-
-    def build(draft):
-        return CBWhisper(
-            config=CBWhisperConfig(kws_features_size=OUT, keywords_per_group=2),
-            whisper_config=cb.whisper_config,
-            whisper_params=cb.generator.params,
-            kws_model=cb.kws_model,
-            kws_variables=cb.kws_variables,
-            catalog=cb.catalog,
-            generation_options=greedy_opts,
-            prompt_ids_fn=cb.prompt_ids_fn,
-            decode_fn=cb.decode_fn,
-            kws_layer_slice=cb.kws_layer_slice,
-            draft=draft,
-            speculative_k=3,
-        )
-
-    plain = build(None)
-    spec = build((draft_config, draft_params))
-    rng = np.random.default_rng(11)
-    short = rng.standard_normal((1, 8, 48), dtype=np.float32)
-    long = rng.standard_normal((1, 8, 130), dtype=np.float32)
-    assert plain.forward(short) == spec.forward(short)
-    assert plain.forward(long) == spec.forward(long)
-    stats = spec.generator.speculative_stats()
-    assert stats is not None and stats["windows"] >= 1
-
-
 def test_int8_kws_encoder_requires_separate_encoder(cb):
     with pytest.raises(ValueError, match="separate KWS encoder"):
         cb.enable_int8_kws_encoder()

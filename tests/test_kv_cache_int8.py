@@ -6,7 +6,7 @@ scale factors out of the attention contractions exactly, so the ONLY
 error source is the 8-bit rounding of K/V.  These tests pin (a) numeric
 closeness of decode logits vs the bf16 cache, (b) transcript equality on
 tiny random models across greedy/beam/longform (8-bit K/V error is far
-below random-logit decision gaps), (c) the guard rails (speculative /
+below random-logit decision gaps), (c) the guard rails (
 unrolled-layout rejection).
 """
 
@@ -92,11 +92,8 @@ def test_int8_cache_logits_close():
     np.testing.assert_allclose(sc, sc8, atol=2e-2)
 
 
-def test_int8_cache_rejects_speculative_and_unrolled():
+def test_int8_cache_rejects_unrolled():
     config, params = _make(seed=3)
-    with pytest.raises(ValueError, match="speculative"):
-        WhisperGenerator(config, params, kv_cache_int8=True,
-                         draft=(config, params))
     with pytest.raises(ValueError, match="scan_layers"):
         WhisperGenerator(config, params, kv_cache_int8=True, scan_layers=False)
     with pytest.raises(ValueError, match="stacked"):

@@ -257,40 +257,6 @@ def test_packed_one_prompt_bucket(gen):
     assert len(set(plens)) == 1, plens
 
 
-def test_packed_composes_with_speculative(built, gen):
-    """Packed scheduling × speculative greedy decoding: with a draft model
-    configured, packed output equals the plain (non-draft) packed output —
-    speculative decode is token-identical, and the scheduler composes."""
-    hf_config = transformers.WhisperConfig(
-        vocab_size=128, num_mel_bins=8, d_model=16,
-        encoder_layers=1, encoder_attention_heads=2,
-        decoder_layers=1, decoder_attention_heads=2,
-        encoder_ffn_dim=32, decoder_ffn_dim=32,
-        max_source_positions=24, max_target_positions=40,
-        pad_token_id=0, bos_token_id=1, eos_token_id=2,
-        decoder_start_token_id=3,
-        suppress_tokens=None, begin_suppress_tokens=None,
-    )
-    torch.manual_seed(5)
-    draft_hf = transformers.WhisperModel(hf_config)
-    draft_config = WhisperConfig.from_hf(hf_config)
-    draft_params = load_hf_whisper(draft_hf.state_dict(), draft_config)
-    config, params = built
-    spec_gen = WhisperGenerator(
-        config,
-        params,
-        prompt_buckets=(8, 16, 32),
-        draft=(draft_config, draft_params),
-        speculative_k=4,
-    )
-    opts = _opts(num_beams=1, condition_on_prev_tokens=True)
-    mels = _mels([130, 60, 200], seed=11)
-    plain = _run_packed(gen, mels, opts, slots=2)
-    spec = _run_packed(spec_gen, mels, opts, slots=2)
-    for i in range(len(mels)):
-        assert spec[i].tolist() == plain[i].tolist(), f"utt {i}"
-
-
 def test_packed_composes_with_int8_decoder(built):
     """Packed scheduling × weight-only int8 serving decode: schedule
     independence (slots=2 == slots=1) holds under quantized weights."""
