@@ -24,6 +24,15 @@ half-overlap) plus hard negatives (frame-shuffled copies of planted
 keywords) over a background of random keywords — a spread of
 easy/marginal/absent scores rather than a single planted spike.
 
+Memory/transfer design (the r5c sweep OOMed at 172 GiB): the raw
+[100352, 3, 75, 1024] catalog is 86 GiB in f32 — too big for this host
+AND for the ~18 MB/s relay link.  Background rows are therefore
+generated ON DEVICE (jax.random.normal inside the projection jit, one
+key per chunk, projected output only is kept — ~1.5 GB bf16); the only
+host→device uploads are the utterances and the ≤2·n_planted·n_utts
+special rows (planted keywords + their frame-shuffled hard negatives),
+whose projections are scattered over the device catalog.
+
 Env knobs: ECW_REC_N (catalog rows, default 100352), ECW_REC_UTTS (8),
 ECW_REC_CHUNK (128), ECW_REC_DIMS=full|tiny (tiny = CPU-sized smoke),
 ECW_REC_OUT (npz dump path), ECW_REC_KS (comma Ks).
@@ -39,40 +48,62 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+KW_SEED = 7  # per-row stream base for host-defined keyword rows
+
+
+def kw_raw(row, L, T_K, D):
+    """Deterministic host-side content for catalog row ``row`` — regenerable
+    on demand so no full raw catalog ever materializes."""
+    return np.random.default_rng([KW_SEED, int(row)]).standard_normal(
+        (L, T_K, D), dtype=np.float32
+    )
+
 
 def build_corpus(rng, n_cat, n_utts, L, D, T_K, T_U, n_planted=12):
     """Synthetic corpus: per utterance, graded planted matches + hard
-    negatives inside a random catalog.  Returns (cat_kwd [N,L,T_K,D],
-    utts [n,L,T_U,D], planted: list of {row: corruption} per utt)."""
-    cat = rng.standard_normal((n_cat, L, T_K, D)).astype(np.float32)
-    utts = rng.standard_normal((n_utts, L, T_U, D)).astype(np.float32)
+    negatives inside a random catalog.  Returns (utts [n,L,T_U,D],
+    planted: list of {row: corruption} per utt, overrides: {row ->
+    (src_row, frame_perm)} hard-negative catalog patches).  Catalog row
+    content: ``kw_raw(row)`` for rows in planted/special sets, iid normal
+    (device-generated) otherwise — both N(0,1), so the background
+    distribution is unchanged."""
+    utts = rng.standard_normal((n_utts, L, T_U, D), dtype=np.float32)
     grades = [0.0, 0.25, 0.5, 1.0, "half"]
     planted = []
+    overrides = {}
+    all_planted = set()
     for u in range(n_utts):
         rows = rng.choice(n_cat, size=n_planted, replace=False)
         info = {}
         pos = 0
         for i, row in enumerate(rows):
+            row = int(row)
+            # a later plant supersedes an earlier hard-negative patch (the
+            # planted fragment must match the catalog row exactly)
+            overrides.pop(row, None)
             g = grades[i % len(grades)]
-            kw = cat[row]  # [L, T_K, D]
+            kw = kw_raw(row, L, T_K, D)
             if g == "half":  # only the first half of the keyword appears
                 span = T_K // 2
                 frag = kw[:, :span]
             else:
                 span = T_K
-                frag = kw + np.float32(g) * rng.standard_normal(kw.shape).astype(np.float32)
+                frag = kw + np.float32(g) * rng.standard_normal(
+                    kw.shape, dtype=np.float32
+                )
             if pos + span > T_U:
                 pos = 0
             utts[u, :, pos : pos + span] = frag[:, :span]
             pos += span + 3
-            info[int(row)] = str(g)
+            info[row] = str(g)
+            all_planted.add(row)
             # hard negative: frame-shuffled copy of this keyword elsewhere
             # in the CATALOG (same marginal stats, no aligned match)
             neg_row = int(rng.integers(n_cat))
-            if neg_row not in info:
-                cat[neg_row] = kw[:, rng.permutation(T_K)]
+            if neg_row not in info and neg_row not in all_planted:
+                overrides[neg_row] = (row, rng.permutation(T_K))
         planted.append(info)
-    return cat, utts, planted
+    return utts, planted, overrides
 
 
 def main():
@@ -103,6 +134,7 @@ def main():
         resnet = "resnet-50"
         model_dtype = jnp.bfloat16
         cat_dtype = jnp.bfloat16
+        bs = 512
     else:  # tiny CPU smoke
         N = int(os.environ.get("ECW_REC_N", "256"))
         L, D, U, T_K, T_U = 2, 32, 16, 12, 80
@@ -110,6 +142,8 @@ def main():
         resnet = "resnet-18"
         model_dtype = jnp.float32
         cat_dtype = jnp.float32
+        bs = 64
+    assert N % bs == 0, f"catalog rows ({N}) must be a multiple of gen batch ({bs})"
     n_utts = int(os.environ.get("ECW_REC_UTTS", "8"))
     ks_env = os.environ.get("ECW_REC_KS", "256,512,1024,2048,4096,8192")
     Ks = [int(k) for k in ks_env.split(",") if 0 < int(k) <= N]
@@ -121,36 +155,70 @@ def main():
     model = EfficientKWSModel(config, dtype=model_dtype)
 
     rng = np.random.default_rng(0)
-    cat_raw, utts, planted = build_corpus(rng, N, n_utts, L, D, T_K, T_U)
+    utts, planted, overrides = build_corpus(rng, N, n_utts, L, D, T_K, T_U)
     utt_mask = np.ones((1, L, T_U), np.float32)
     variables = model.init(
-        jax.random.PRNGKey(0), cat_raw[:2], utts[:1],
+        jax.random.PRNGKey(0),
+        np.stack([kw_raw(0, L, T_K, D), kw_raw(1, L, T_K, D)]),
+        utts[:1],
         np.ones((2, L, T_K), np.float32), utt_mask,
     )
 
-    # pre-project the catalog in batches (the real pipeline's layout)
-    @jax.jit
-    def proj(x, m):
-        out, pooled = model.apply(
-            variables, x, m, train=False, method=EfficientKWSModel.project
-        )
-        return out, pooled
+    # ---- catalog projection: device-generated background + host special rows
+    ones_mask = jnp.asarray(np.ones((bs, L, T_K), np.float32))
 
+    @jax.jit
+    def proj_random_chunk(key):
+        raw = jax.random.normal(key, (bs, L, T_K, D), jnp.float32)
+        out, pooled = model.apply(
+            variables, raw, ones_mask, train=False, method=EfficientKWSModel.project
+        )
+        return out.astype(cat_dtype), pooled.astype(cat_dtype)
+
+    @jax.jit
+    def proj_batch(x):
+        out, pooled = model.apply(
+            variables, x, ones_mask, train=False, method=EfficientKWSModel.project
+        )
+        return out.astype(cat_dtype), pooled.astype(cat_dtype)
+
+    base_key = jax.random.PRNGKey(42)
     outs, pmasks = [], []
-    bs = 512 if dims == "full" else 64
-    ones = np.ones((bs, L, T_K), np.float32)
-    for i in range(0, N, bs):
-        o, pm = proj(jnp.asarray(cat_raw[i : i + bs]), jnp.asarray(ones[: min(bs, N - i)]))
-        outs.append(np.asarray(o, np.float32))
-        pmasks.append(np.asarray(pm, np.float32))
+    for c in range(N // bs):
+        o, pm = proj_random_chunk(jax.random.fold_in(base_key, c))
+        outs.append(o)  # stays on device — no host round-trip
+        pmasks.append(pm)
+    kwd = jnp.concatenate(outs)
+    kwd_mask = jnp.concatenate(pmasks)
+    del outs, pmasks
+
+    # special rows: every planted keyword + every hard negative, projected
+    # from host-defined raw content and scattered over the device catalog
+    special = sorted(set().union(*[set(p) for p in planted], overrides))
+    sp_raw = np.zeros((((len(special) + bs - 1) // bs) * bs, L, T_K, D), np.float32)
+    for i, row in enumerate(special):
+        if row in overrides:
+            src, perm = overrides[row]
+            sp_raw[i] = kw_raw(src, L, T_K, D)[:, perm]
+        else:
+            sp_raw[i] = kw_raw(row, L, T_K, D)
+    sp_outs, sp_masks = [], []
+    for i in range(0, sp_raw.shape[0], bs):
+        o, pm = proj_batch(jnp.asarray(sp_raw[i : i + bs]))
+        sp_outs.append(o)
+        sp_masks.append(pm)
+    sp_idx = jnp.asarray(np.asarray(special, np.int32))
+    kwd = kwd.at[sp_idx].set(jnp.concatenate(sp_outs)[: len(special)])
+    kwd_mask = kwd_mask.at[sp_idx].set(jnp.concatenate(sp_masks)[: len(special)])
+    del sp_raw, sp_outs, sp_masks
+
     catalog = {
-        "kwd": jnp.asarray(np.concatenate(outs), cat_dtype),
-        "kwd_mask": jnp.asarray(np.concatenate(pmasks), cat_dtype),
+        "kwd": kwd,
+        "kwd_mask": kwd_mask,
         "mask": jnp.asarray(np.ones((N,), np.float32)),
         "num_keywords": N,
         "chunk": chunk,
     }
-    del cat_raw, outs, pmasks
 
     full = make_projected_score_fn(model, chunk=chunk)
 
