@@ -300,6 +300,49 @@ def main(n_devices: int) -> None:
         probs, _ = score(kv, cat_dev, jnp.asarray(utt), w)
         print("sharded catalog scoring ok:", np.asarray(probs).shape)
 
+        # ---- 2b. two-stage cascade scoring on the model-sharded projected
+        #          catalog (paper-2 open-vocab path): top_k over the sharded
+        #          MaxSim proxy + shortlist row gather + scatter, all under
+        #          GSPMD — parity vs the unsharded cascade
+        from enhance_cb_whisper_tpu.efficient_kws import (
+            EfficientKWSConfig,
+            EfficientKWSModel,
+        )
+        from enhance_cb_whisper_tpu.efficient_kws.catalog import (
+            make_cascade_score_fn,
+            project_catalog,
+        )
+
+        ecfg = EfficientKWSConfig(
+            n_layers=2, embedding_dim=16, learn_features=True, proj_mlp=True,
+            proj_mlp_units=8, resnet_version="resnet-18",
+        )
+        emodel = EfficientKWSModel(ecfg)
+        egroups = [
+            {
+                "kwd": nprng.standard_normal((4, 2, 16, 16), dtype=np.float32),
+                "kwd_mask": np.ones((4, 2, 16), np.float32),
+                "mask": np.ones((4,), np.float32),
+            }
+            for _ in range(2 * model_axis)
+        ]
+        eutt = nprng.standard_normal((1, 2, 32, 16), dtype=np.float32)
+        eutt[0, :, 8:24, :] = egroups[1]["kwd"][1]  # planted match (row 5)
+        eutt_mask = np.ones((1, 2, 32), np.float32)
+        evars = emodel.init(
+            jax.random.PRNGKey(2), egroups[0]["kwd"], eutt,
+            egroups[0]["kwd_mask"], eutt_mask,
+        )
+        ecat = project_catalog(emodel, evars, egroups, chunk=4)
+        casc = make_cascade_score_fn(emodel, chunk=4, shortlist=8)
+        want_c = np.asarray(casc(evars, ecat, jnp.asarray(eutt), jnp.asarray(eutt_mask)))
+        earrays = {k: v for k, v in ecat.items() if k in ("kwd", "kwd_mask", "mask")}
+        ecat_sh = {**ecat, **shard_catalog(earrays, mesh, axis="model")}
+        got_c = np.asarray(casc(evars, ecat_sh, jnp.asarray(eutt), jnp.asarray(eutt_mask)))
+        assert 5 in np.flatnonzero(got_c), "sharded cascade missed the planted match"
+        np.testing.assert_allclose(got_c, want_c, rtol=1e-4, atol=1e-6)
+        print("sharded cascade scoring ok:", int(np.count_nonzero(got_c)), "shortlisted")
+
         # ---- 3. tensor-parallel Whisper encoder forward
         wcfg = WhisperConfig(
             vocab_size=64, num_mel_bins=8, d_model=32,

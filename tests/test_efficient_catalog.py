@@ -184,6 +184,43 @@ def test_cascade_planted_match_survives_shortlist():
     assert np.all(got[np.setdiff1d(np.arange(len(got)), nonzero)] == 0.0)
 
 
+def test_cascade_sharded_over_model_axis():
+    """The cascade must compile and run with the catalog sharded over the
+    mesh ``model`` axis (top_k over a sharded proxy vector + row gather +
+    scatter under GSPMD), matching the unsharded path: machinery parity at
+    shortlist == N_pad (membership-complete, so sharded reduction-order
+    changes cannot move marginal rows), plus a planted clear-margin match
+    at shortlist < N_pad."""
+    from enhance_cb_whisper_tpu.efficient_kws.catalog import make_cascade_score_fn
+    from enhance_cb_whisper_tpu.parallel import make_mesh, shard_catalog
+
+    model, variables, groups, _, utt, utt_mask = _cascade_fixture("LE", seed=11)
+    planted = 5  # group 1, row 1 — embedded verbatim at frames 20:36
+    groups[1]["kwd_mask"][1] = 1.0
+    utt = np.array(utt)
+    utt[0, :, 20:36, :] = groups[1]["kwd"][1]
+    catalog = project_catalog(model, variables, groups, chunk=4)
+
+    full = make_projected_score_fn(model, chunk=4)
+    casc_full = make_cascade_score_fn(model, chunk=4, shortlist=catalog["kwd"].shape[0])
+    casc_short = make_cascade_score_fn(model, chunk=4, shortlist=8)
+    uj, mj = jnp.asarray(utt), jnp.asarray(utt_mask)
+    want = np.asarray(full(variables, catalog, uj, mj))
+
+    mesh = make_mesh({"data": 1, "model": 8})
+    with mesh:
+        arrays = {k: v for k, v in catalog.items() if k in ("kwd", "kwd_mask", "mask")}
+        sharded = {**catalog, **shard_catalog(arrays, mesh, axis="model")}
+        got_full = np.asarray(casc_full(variables, sharded, uj, mj))
+        got_short = np.asarray(casc_short(variables, sharded, uj, mj))
+
+    np.testing.assert_allclose(got_full, want, rtol=1e-4, atol=1e-6)
+    nonzero = np.flatnonzero(got_short)
+    assert 0 < len(nonzero) <= 8
+    assert planted in nonzero, "sharded MaxSim proxy failed to shortlist the planted match"
+    np.testing.assert_allclose(got_short[nonzero], want[nonzero], rtol=1e-4, atol=1e-6)
+
+
 def test_cascade_int8_stage2_matches_full_int8():
     """Cascade with the int8 classifier: shortlisted rows must equal the full
     int8 scorer's probabilities (same quantized chunk_fn)."""
