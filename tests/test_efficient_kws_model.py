@@ -185,14 +185,22 @@ def test_LEF_variant_matches_with_copied_weights():
 
 def test_bfloat16_compute_dtype_close_to_f32():
     """Paper-2 bf16 training (EfficientTrainConfig.compute_dtype) keeps f32
-    params/BN/loss: same init as the f32 engine, one train step's loss
-    within bf16 rounding, params stay float32 and move."""
+    params/BN/loss.  A one-step LOSS comparison cannot be tight here: the
+    random-init train-mode BN ResNet is chaotic — rounding only the INPUT
+    features through bf16 and running the pure-f32 network moves the logits
+    by up to ~0.4 (measured; ~200x amplification over 18 BN layers), so any
+    end-to-end tolerance that passes is vacuous.  Instead pin (a) tight
+    parity at the shallow projection surface (MLP+Conv+BN — bounded
+    amplification), (b) the dtype contract (params stay f32, projection
+    computes in bf16), and (c) that the step runs and moves f32 params with
+    a finite f32 loss."""
     import jax.numpy as jnp
 
     from enhance_cb_whisper_tpu.efficient_kws.engine import (
         EfficientKWSEngine,
         EfficientTrainConfig,
     )
+    from enhance_cb_whisper_tpu.efficient_kws.model import EfficientKWSModel
 
     cfg = EfficientKWSConfig(
         n_layers=L, embedding_dim=D, learn_features=True, proj_mlp=True,
@@ -206,22 +214,43 @@ def test_bfloat16_compute_dtype_close_to_f32():
         "utt_mask": np.ones((4, L, 24), np.float32),
         "labels": np.array([0, 1, 1, 0]),
     }
-    losses, moved = {}, {}
+    engines, states = {}, {}
     for dtype in ("float32", "bfloat16"):
-        engine = EfficientKWSEngine(
+        engines[dtype] = EfficientKWSEngine(
             cfg, EfficientTrainConfig(compute_dtype=dtype), ckpt_dir=None
         )
-        params, stats, opt = engine.init_state(batch)
-        step = engine.make_train_step()
-        p2, stats2, _, metrics = step(
-            params, stats, opt, batch, jax.random.PRNGKey(0)
+        states[dtype] = engines[dtype].init_state(batch)
+
+    # (a) shallow-surface parity: the projection stack (where the bf16
+    # matmuls live) must match f32 within bf16 rounding at 2-layer depth
+    params_f32 = states["float32"][0]
+    for eng, tol in ((engines["float32"], 0.0), (engines["bfloat16"], 0.03)):
+        out, _ = eng.model.apply(
+            {"params": params_f32, "batch_stats": states["float32"][1]},
+            batch["utt_features"], batch["utt_mask"], train=False,
+            method=EfficientKWSModel.project,
         )
-        losses[dtype] = float(np.asarray(metrics["loss"]))
+        if tol == 0.0:
+            want = np.asarray(out, np.float32)
+        else:
+            # (b) dtype contract: bf16 engine projects in bf16
+            assert out.dtype == jnp.bfloat16
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32), want, rtol=tol, atol=tol * scale
+            )
+
+    # (c) the bf16 step runs: finite f32 loss, f32 params that move
+    for dtype in ("float32", "bfloat16"):
+        params, stats, opt = states[dtype]
+        step = engines[dtype].make_train_step()
+        p2, _, _, metrics = step(params, stats, opt, batch, jax.random.PRNGKey(0))
+        loss = np.asarray(metrics["loss"])
+        assert loss.dtype == np.float32 and np.isfinite(loss)
         leaves = jax.tree.leaves(p2)
         assert all(l.dtype == jnp.float32 for l in leaves), "params must stay f32"
-        moved[dtype] = float(
-            sum(np.abs(np.asarray(a) - np.asarray(b)).sum()
-                for a, b in zip(jax.tree.leaves(params), leaves))
+        moved = sum(
+            np.abs(np.asarray(a) - np.asarray(b)).sum()
+            for a, b in zip(jax.tree.leaves(params), leaves)
         )
-    assert moved["bfloat16"] > 0
-    np.testing.assert_allclose(losses["bfloat16"], losses["float32"], rtol=0.05)
+        assert moved > 0
