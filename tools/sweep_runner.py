@@ -23,7 +23,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.environ.get("ECW_SWEEP_RESULTS", "/tmp/sweep_results.jsonl")
-PROBE_TIMEOUT = 240  # relay hangs (not fails) when down; bound the probe
+PROBE_TIMEOUT = float(os.environ.get("ECW_PROBE_TIMEOUT", 240))
+# relay hangs (not fails) when down; bound the probe.  Healthy-but-cold
+# backend init has been measured at ~4 min right after a box reboot —
+# raise via ECW_PROBE_TIMEOUT when the default misclassifies up-but-slow.
 STAGE_TIMEOUT = 7200
 RETRY_SLEEP = 300  # between health probes while the relay is down
 DEADLINE_S = float(os.environ.get("ECW_SWEEP_DEADLINE_S", 10 * 3600))
