@@ -200,6 +200,10 @@ def main():
         # ECW_RTFX_KVCACHE=int8: int8 self-attention KV cache (approximate;
         # halves the per-step cache read that dominates batched beam decode)
         kv_cache_int8=os.environ.get("ECW_RTFX_KVCACHE", "") == "int8",
+        # ECW_RTFX_STAGING=W: staged cache writes — the big-slab
+        # read-modify-write (47% of beam decode device time, PERF.md
+        # round-5 attribution) amortizes /W
+        kv_staging=int(os.environ.get("ECW_RTFX_STAGING", "0")),
         config=CBWhisperConfig(),
         whisper_config=config,
         whisper_params=params,

@@ -449,6 +449,12 @@ def _run_cbwhisper(subcommand: str, config: Dict[str, Any],
         # per-token exact-scale-factoring scheme; halves the per-step
         # 1500-frame cross-K/V slab read)
         cross_kv_int8=bool(model_args.get("cross_kv_int8", False)),
+        # kv_staging: staged KV-cache writes, window W (exact for bf16/f32
+        # caches up to softmax summation order; composes with
+        # kv_cache_int8).  Removes the per-step full-slab cache-write
+        # read-modify-write — 47% of beam decode device time at
+        # whisper-medium (docs/PERF.md round-5 attribution)
+        kv_staging=int(model_args.get("kv_staging", 0)),
     )
 
     if model_args.get("kws_int8"):

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.whisper import flush_staging
 from .logits_process import NEG_INF, LogitsProcessorConfig, apply_logits_processors
 from .topk import exact_top_k
 
@@ -65,6 +66,50 @@ def _gather_beams(tree: Any, beam_idx: jax.Array, batch: int, beams: int) -> Any
 
     return jax.tree.map(gather, tree)
 
+
+
+
+def _run_decode_loop(not_done, step, init, cache_idx):
+    """``while_loop(not_done, step, init)`` — or, for staged-write KV caches
+    (models/whisper.py:init_cache staging_window), a while loop over
+    W-step windows with ONE unconditional ``flush_staging`` per window.
+
+    The flush must be unconditional for the while-carry to keep aliasing
+    the K/V slabs in place (a ``lax.cond``-gated flush re-copies the slab
+    every step — microbenched at 78-152 us/layer-step,
+    tools/bench_kv_dus.py).  Steps past the stop condition inside the last
+    window run as garbage compute: everything EXCEPT the cache — tokens,
+    scores, finished sets, and ``cur_len`` itself — freezes via a
+    scalar-pred select, so the loop's observable results are identical to
+    the step-granular guard; the cache keeps advancing (its writes land at
+    positions the frozen outputs never attend) to keep the staging window
+    and flush base in lockstep.  At most W-1 wasted steps per segment
+    (~2-4% of a flagship decode at W=16)."""
+    cache = init[cache_idx]
+    staged = isinstance(cache, dict) and "base" in cache
+    if not staged:
+        return jax.lax.while_loop(not_done, step, init)
+
+    W = cache["layers"]["ks"].shape[2]
+
+    def window(state):
+        def inner(_, s):
+            active = not_done(s)
+            ns = step(s)
+            return tuple(
+                n if i == cache_idx
+                else jax.tree.map(lambda a, b: jnp.where(active, a, b), n, o)
+                for i, (n, o) in enumerate(zip(ns, s))
+            )
+
+        state = jax.lax.fori_loop(0, W, inner, state)
+        return (
+            state[:cache_idx]
+            + (flush_staging(state[cache_idx]),)
+            + state[cache_idx + 1:]
+        )
+
+    return jax.lax.while_loop(not_done, window, init)
 
 @partial(
     jax.jit,
@@ -282,7 +327,7 @@ def beam_search(
         )
 
     (cur_len, tokens, running_scores, _, fin_tokens, fin_scores, fin_flags, done) = (
-        jax.lax.while_loop(not_done, step, init_state)
+        _run_decode_loop(not_done, step, init_state, cache_idx=3)
     )
 
     # finalize: when the loop ended at max_length, the running beams retire
@@ -383,5 +428,6 @@ def greedy_search(
         finished = finished | (next_tok == eos_token_id)
         return cur_len + 1, tokens, cache, sum_lp, n_gen, finished
 
-    _, tokens, _, sum_lp, _, _ = jax.lax.while_loop(not_done, step, init)
+    _, tokens, _, sum_lp, _, _ = _run_decode_loop(not_done, step, init,
+                                                   cache_idx=2)
     return tokens, sum_lp

@@ -174,6 +174,7 @@ class WhisperGenerator:
         decoder_int8: bool = False,
         kv_cache_int8: bool = False,
         cross_kv_int8: bool = False,
+        kv_staging: int = 0,
     ):
         """``matmul_precision``: 'default' lets the TPU MXU round matmul
         operands to bfloat16 — comparable to the TF32 regime the reference
@@ -262,7 +263,8 @@ class WhisperGenerator:
             ``prompt_len`` — this keeps the loop body uniform."""
             batch = prompt_padded.shape[0]
             cache = init_cache(cfg, batch, max_length, dtype=dtype,
-                               stacked=scan_layers, kv_int8=kv_cache_int8)
+                               stacked=scan_layers, kv_int8=kv_cache_int8,
+                               staging_window=kv_staging)
             with jax.default_matmul_precision(matmul_precision):
                 logits, cache = decoder_forward(
                     ctx["params"],
@@ -274,6 +276,12 @@ class WhisperGenerator:
                     dtype=dtype,
                 )
             cache["index"] = prompt_len - 1
+            if kv_staging:
+                # staged-write mode: the prompt lives in the big slab; the
+                # decode loop's first step re-feeds the final prompt token
+                # into staging slot 0, so the flush base excludes its
+                # (identical) prefill copy at prompt_len - 1
+                cache["base"] = prompt_len - 1
             # logits at the final prompt position predict the first generated
             # token — the slot the no-speech probability is read from (HF
             # WhisperNoSpeechDetection at begin_index)
@@ -295,6 +303,15 @@ class WhisperGenerator:
         self._kv_cache_int8 = bool(kv_cache_int8)
         if kv_cache_int8 and not scan_layers:
             raise ValueError("kv_cache_int8 requires scan_layers=True")
+        # staged cache writes (serving mode): the last <=W tokens live in a
+        # small window buffer so the per-step big-slab read-modify-write
+        # (47% of beam decode device time, docs/PERF.md round-5
+        # attribution) amortizes /W.  Exact for bf16/f32 caches up to
+        # softmax summation order; composes with kv_cache_int8 (window
+        # tokens quantize at flush).
+        self._kv_staging = int(kv_staging)
+        if kv_staging and not scan_layers:
+            raise ValueError("kv_staging requires scan_layers=True")
         # int8 cross-attention K/V (serving approximation, same per-token
         # exact-scale-factoring scheme as the self-attention cache)
         self._cross_kv_int8 = bool(cross_kv_int8)

@@ -73,6 +73,7 @@ class CBWhisper:
         decoder_int8: bool = False,
         kv_cache_int8: bool = False,
         cross_kv_int8: bool = False,
+        kv_staging: int = 0,
     ):
         self.config = config
         self.whisper_config = whisper_config
@@ -89,7 +90,7 @@ class CBWhisper:
         self.generator = WhisperGenerator(
             whisper_config, whisper_params, dtype=dtype, vocab_int8=vocab_int8,
             decoder_int8=decoder_int8, kv_cache_int8=kv_cache_int8,
-            cross_kv_int8=cross_kv_int8,
+            cross_kv_int8=cross_kv_int8, kv_staging=kv_staging,
         )
         self.encoder_params = (
             stack_whisper_params(jax.tree.map(jnp.asarray, encoder_params))

@@ -654,7 +654,7 @@ def encoder_kws_stack(
 
 def init_cache(
     config: WhisperConfig, batch: int, max_len: int, dtype: Any = jnp.float32,
-    stacked: bool = False, kv_int8: bool = False,
+    stacked: bool = False, kv_int8: bool = False, staging_window: int = 0,
 ) -> Dict[str, Any]:
     """``kv_int8`` (stacked only): the K/V slabs are stored int8 with
     per-token (per layer, per row) f32 scales — halves the dominant
@@ -662,7 +662,20 @@ def init_cache(
     (8-bit K/V rounding; the per-token scale is exact w.r.t. the stored
     representation since it factors out of the q·k dot product and folds
     into the softmax weights on the value side).  Serving lever — qualify
-    with tools/validate_approx.py like the other int8 modes."""
+    with tools/validate_approx.py like the other int8 modes.
+
+    ``staging_window`` W > 0 (stacked only): staged cache writes.  The
+    attention dot forces the big K/V slabs into a position-on-lanes layout
+    where every single-token dynamic-update-slice pays a full-slab
+    read-modify-write (measured 47% of beam-decode device time at
+    whisper-medium — docs/PERF.md round-5 attribution); with staging the
+    last ≤W tokens live in small ``ks``/``vs`` window buffers (compute
+    dtype) that the attention reads as an extra score block, and the big
+    slab is written once every W steps.  Exact for ``dtype`` caches (same
+    exponential set, f32-rounding-level concat-order differences); for
+    ``kv_int8`` the window tokens are attended at full precision until the
+    flush quantizes them — at most MORE accurate than immediate
+    quantization, still an approximate serving lever."""
     head_dim = config.d_model // config.decoder_attention_heads
     shape = (batch, max_len, config.decoder_attention_heads, head_dim)
     if kv_int8:
@@ -684,18 +697,75 @@ def init_cache(
             {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(config.decoder_layers)
         ]
-    return {"index": jnp.zeros((), dtype=jnp.int32), "layers": layers}
+    cache = {"index": jnp.zeros((), dtype=jnp.int32), "layers": layers}
+    if staging_window:
+        if not stacked:
+            raise ValueError(
+                "staging_window requires scan-over-layers (stacked)")
+        if not (0 < staging_window < max_len):
+            raise ValueError(
+                f"staging_window must be in (0, max_len={max_len}); "
+                f"got {staging_window}")
+        wshape = (
+            config.decoder_layers, batch, staging_window,
+            config.decoder_attention_heads, head_dim,
+        )
+        layers["ks"] = jnp.zeros(wshape, dtype)
+        layers["vs"] = jnp.zeros(wshape, dtype)
+        cache["base"] = jnp.zeros((), dtype=jnp.int32)
+    return cache
+
+
+def flush_staging(cache: Dict[str, Any]) -> Dict[str, Any]:
+    """Commit the staging window into the big K/V slabs (staged-write mode).
+
+    The decode loops call this once every W steps at the window boundary
+    (decoding/beam.py) — UNCONDITIONALLY, so the while-loop carry keeps
+    aliasing the slabs in place.  A ``lax.cond``-gated per-step flush was
+    microbenched at 78-152 us/layer-step (the cond re-copies the slab every
+    iteration, ``tools/bench_kv_dus.py``); the window flush pays the
+    full-slab read-modify-write once per W steps instead.
+
+    For int8 slabs the W-block quantizes here with the same per-token
+    scales the unstaged path would have used.  No-op for non-staged
+    caches."""
+    if not (isinstance(cache, dict) and "base" in cache):
+        return cache
+    layers = cache["layers"]
+    base = cache["base"]
+    W = layers["ks"].shape[2]
+    ks, vs = layers["ks"], layers["vs"]
+    out = dict(layers)
+    if "k_scale" in layers:
+        kq, ksc = _quantize_kv(ks)
+        vq, vsc = _quantize_kv(vs)
+        out["k"] = jax.lax.dynamic_update_slice(
+            layers["k"], kq, (0, 0, base, 0, 0))
+        out["v"] = jax.lax.dynamic_update_slice(
+            layers["v"], vq, (0, 0, base, 0, 0))
+        out["k_scale"] = jax.lax.dynamic_update_slice(
+            layers["k_scale"], ksc, (0, 0, base))
+        out["v_scale"] = jax.lax.dynamic_update_slice(
+            layers["v_scale"], vsc, (0, 0, base))
+    else:
+        out["k"] = jax.lax.dynamic_update_slice(
+            layers["k"], ks.astype(layers["k"].dtype), (0, 0, base, 0, 0))
+        out["v"] = jax.lax.dynamic_update_slice(
+            layers["v"], vs.astype(layers["v"].dtype), (0, 0, base, 0, 0))
+    return dict(cache, layers=out, base=base + W)
 
 
 def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-token int8: x [B, t, H, Dh] → (int8 same shape, scale [B, t]).
+    """Per-token int8: x [..., t, H, Dh] → (int8 same shape, scale [..., t]).
 
     The scale is per (row, token) over all heads/dims, so dequantization
-    factors out of attention contractions exactly: q·(s·k8) = s·(q·k8)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3))
+    factors out of attention contractions exactly: q·(s·k8) = s·(q·k8).
+    Works on [B, t, H, Dh] slabs and on [L, B, W, H, Dh] staging blocks
+    (staged-write flush) alike — the reduction is over the head/dim axes."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(-2, -1))
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[:, :, None, None]), -127, 127
+        jnp.round(x.astype(jnp.float32) / scale[..., None, None]), -127, 127
     ).astype(jnp.int8)
     return q, scale
 
@@ -808,6 +878,9 @@ def _attention_split(
     mask: jax.Array,  # broadcastable [B, H, 1, T], True=keep; STRICT (< index)
     k_scale: Optional[jax.Array] = None,  # [B, T] per-token int8 dequant
     v_scale: Optional[jax.Array] = None,
+    stage_k: Optional[jax.Array] = None,  # [B, W, H, Dh] staged recent tokens
+    stage_v: Optional[jax.Array] = None,
+    stage_mask: Optional[jax.Array] = None,  # broadcastable [B, 1, 1, W]
 ) -> jax.Array:
     """Decode-step attention that reads the cache WITHOUT writing it first.
 
@@ -818,7 +891,16 @@ def _attention_split(
     of exponentials enters the softmax; only the summation order differs
     at f32 rounding level).  With ``k_scale``/``v_scale`` the cache slabs
     are int8 and the per-token scale factors out of the contractions:
-    q·(s·k8) = s·(q·k8) on the score side, (p·s)·v8 on the value side."""
+    q·(s·k8) = s·(q·k8) on the score side, (p·s)·v8 on the value side.
+
+    ``stage_k``/``stage_v`` (staged-write serving mode, round 5): the last
+    ≤W tokens live in a small position-window buffer instead of the big
+    slab (whose dot-forced position-on-lanes layout makes every in-carry
+    single-token write a full-slab read-modify-write — docs/PERF.md
+    round-5 attribution); they contribute a third score block.  The big
+    slab's ``mask`` must already exclude the staged positions (key_pos <
+    flush base), so the exponential set is identical to the unstaged
+    path."""
     cdt = q.dtype
     scores_c = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k_cache.astype(cdt),
@@ -827,18 +909,32 @@ def _attention_split(
     if k_scale is not None:
         scores_c = scores_c * k_scale[:, None, None, :]
     scores_c = jnp.where(mask, scores_c, jnp.finfo(jnp.float32).min)
+    blocks = [scores_c]
+    if stage_k is not None:
+        scores_s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, stage_k.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        scores_s = jnp.where(stage_mask, scores_s, jnp.finfo(jnp.float32).min)
+        blocks.append(scores_s)
     score_n = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k_new, preferred_element_type=jnp.float32
     )
-    probs = jax.nn.softmax(
-        jnp.concatenate([scores_c, score_n], axis=-1), axis=-1
-    )
-    probs_c = probs[..., :-1]
+    blocks.append(score_n)
+    probs = jax.nn.softmax(jnp.concatenate(blocks, axis=-1), axis=-1)
+    T = k_cache.shape[1]
+    probs_c = probs[..., :T]
     if v_scale is not None:
         probs_c = probs_c * v_scale[:, None, None, :]
-    return jnp.einsum(
+    out = jnp.einsum(
         "bhqk,bkhd->bqhd", probs_c.astype(cdt), v_cache.astype(cdt)
     ) + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:].astype(cdt), v_new)
+    if stage_k is not None:
+        out = out + jnp.einsum(
+            "bhqk,bkhd->bqhd", probs[..., T:-1].astype(cdt),
+            stage_v.astype(cdt),
+        )
+    return out
 
 
 def _ancestry_attention_split(
@@ -851,6 +947,11 @@ def _ancestry_attention_split(
     mask: jax.Array,  # [B·K or 1, 1, 1, T], True=keep; STRICT (< index)
     k_scale: Optional[jax.Array] = None,  # [B·K, T] per-token int8 dequant
     v_scale: Optional[jax.Array] = None,
+    stage_k: Optional[jax.Array] = None,  # [B·K, W, H, Dh] staged tokens
+    stage_v: Optional[jax.Array] = None,
+    stage_mask: Optional[jax.Array] = None,  # broadcastable [B·K or 1,1,1,W]
+    stage_onehot: Optional[jax.Array] = None,  # [B, K, K', W] — ancestry at
+    #                                            the staged positions
 ) -> jax.Array:
     """`_ancestry_attention` with the deferred-write current-token column.
 
@@ -859,7 +960,13 @@ def _ancestry_attention_split(
     row appends in place, ancestry at the current slot is identity), so
     its score/value bypass the selector.  int8 per-token cache scales fold
     INTO the one-hot selector (exactly one physical row is selected per
-    slot, so scaling the selector scales the selected product)."""
+    slot, so scaling the selector scales the selected product).
+
+    ``stage_k``/``stage_v`` (staged-write serving mode): the last ≤W
+    tokens live in a small window buffer (see ``_attention_split``); their
+    positions resolve through ``stage_onehot`` (the ancestry columns at
+    the staged positions) exactly like big-slab history — beam rows stay
+    physically unpermuted in the staging buffer too."""
     Bi, Kb, Kp, T = beam_onehot.shape
     H, Dh = q.shape[2], q.shape[3]
     cdt = q.dtype
@@ -878,20 +985,42 @@ def _ancestry_attention_split(
     else:
         m = mask.reshape(Bi, Kb, 1, T).transpose(0, 2, 1, 3)  # [Bi, 1, Kb, T]
     scores = jnp.where(m, scores, jnp.finfo(jnp.float32).min)
+    blocks = [scores]
+    if stage_k is not None:
+        W = stage_k.shape[1]
+        sb = stage_k.reshape(Bi, Kp, W, H, Dh).astype(cdt)
+        scores_s = jnp.einsum(
+            "bkhd,bpthd->bhkpt", qb, sb, preferred_element_type=jnp.float32
+        )
+        scores_s = jnp.einsum(
+            "bhkpt,bkpt->bhkt", scores_s, stage_onehot.astype(jnp.float32)
+        )
+        if stage_mask.shape[0] == 1:
+            ms = stage_mask[:, :, 0, :][:, :, None, :]
+        else:
+            ms = stage_mask.reshape(Bi, Kb, 1, W).transpose(0, 2, 1, 3)
+        scores_s = jnp.where(ms, scores_s, jnp.finfo(jnp.float32).min)
+        blocks.append(scores_s)
     score_n = jnp.einsum(
         "bkhd,bkhd->bhk", qb, k_new.reshape(Bi, Kb, H, Dh),
         preferred_element_type=jnp.float32,
     )  # own-row current token
-    probs = jax.nn.softmax(
-        jnp.concatenate([scores, score_n[..., None]], axis=-1), axis=-1
-    )  # [Bi, H, Kb, T+1]
+    blocks.append(score_n[..., None])
+    probs = jax.nn.softmax(jnp.concatenate(blocks, axis=-1), axis=-1)
     sel_v = beam_onehot.astype(jnp.float32)
     if v_scale is not None:
         sel_v = sel_v * v_scale.reshape(Bi, Kp, T)[:, None, :, :]
     w2 = jnp.einsum("bhkt,bkpt->bhkpt", probs[..., :T], sel_v).astype(cdt)
     attn = jnp.einsum("bhkpt,bpthd->bkhd", w2, vb) + jnp.einsum(
-        "bhk,bkhd->bkhd", probs[..., T].astype(cdt), v_new.reshape(Bi, Kb, H, Dh)
+        "bhk,bkhd->bkhd", probs[..., -1].astype(cdt), v_new.reshape(Bi, Kb, H, Dh)
     )
+    if stage_k is not None:
+        vsb = stage_v.reshape(Bi, Kp, W, H, Dh).astype(cdt)
+        w2s = jnp.einsum(
+            "bhkt,bkpt->bhkpt", probs[..., T:-1],
+            stage_onehot.astype(jnp.float32),
+        ).astype(cdt)
+        attn = attn + jnp.einsum("bhkpt,bpthd->bkhd", w2s, vsb)
     return attn.reshape(Bi * Kb, 1, H, Dh)
 
 
@@ -906,6 +1035,9 @@ def _decoder_layer(
     cross_mask: Optional[jax.Array] = None,
     beam_onehot: Optional[jax.Array] = None,
     inplace_cache: bool = False,  # defer the cache write (self_mask STRICT)
+    stage_layer: Optional[Dict[str, jax.Array]] = None,  # {"ks","vs"} window
+    stage_mask: Optional[jax.Array] = None,
+    stage_onehot: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     head_dim = x.shape[-1] // num_heads
 
@@ -922,22 +1054,38 @@ def _decoder_layer(
         # whisper-medium, docs/PERF.md).  The layer returns just the
         # current token's K/V; decoder_forward commits all layers with one
         # tiny dynamic_update_slice the while-loop carry can alias.
+        # With ``stage_layer`` (staged-write mode) that commit goes into
+        # the small position-window buffer instead and this layer's
+        # attention reads big slab + staging + current token.
         int8_cache = "k_scale" in cache_layer
         ks = cache_layer["k_scale"] if int8_cache else None
         vs = cache_layer["v_scale"] if int8_cache else None
+        stage_k = stage_layer["ks"] if stage_layer is not None else None
+        stage_v = stage_layer["vs"] if stage_layer is not None else None
         if beam_onehot is not None:
             attn = _ancestry_attention_split(
                 q, cache_layer["k"], cache_layer["v"],
                 k.astype(q.dtype), v.astype(q.dtype),
                 beam_onehot, self_mask, k_scale=ks, v_scale=vs,
+                stage_k=stage_k, stage_v=stage_v, stage_mask=stage_mask,
+                stage_onehot=stage_onehot,
             )
         else:
             attn = _attention_split(
                 q, cache_layer["k"], cache_layer["v"],
                 k.astype(q.dtype), v.astype(q.dtype), self_mask,
                 k_scale=ks, v_scale=vs,
+                stage_k=stage_k, stage_v=stage_v, stage_mask=stage_mask,
             )
-        if int8_cache:
+        if stage_layer is not None:
+            # staged write: keep the token in the compute dtype; int8
+            # quantization (if any) happens at flush time on the whole
+            # W-block (decoder_forward._flush_staging)
+            new_cache_layer = {
+                "k": k.astype(stage_layer["ks"].dtype),
+                "v": v.astype(stage_layer["vs"].dtype),
+            }
+        elif int8_cache:
             k_q, k_s = _quantize_kv(k)
             v_q, v_s = _quantize_kv(v)
             new_cache_layer = {
@@ -1060,6 +1208,7 @@ def decoder_forward(
     p = params["decoder"]
     b, t = input_ids.shape
     offset = cache["index"] if cache is not None else 0
+    new_base = None  # staged-write mode: set by the flush cond below
     assert jnp.ndim(offset) == 0, (
         "cache['index'] must be a scalar (the per-row vector protocol "
         "left with speculative decoding, round 5)"
@@ -1118,12 +1267,61 @@ def decoder_forward(
             and t == 1
             and os.environ.get("ECW_CACHE_INPLACE", "1") != "0"
         )
+        staged = inplace and "ks" in cache["layers"]
         if inplace:
             # strict causal mask over cache slots: slot `offset` (the
             # current token, stale in the cache) comes from the split
-            # attention's extra column instead
-            strict = key_pos[None, :] < query_pos[:, None]
-            strict = strict[None, None]  # [1, 1, 1, max_len]
+            # attention's extra column instead.  Staged-write mode
+            # additionally excludes [base, offset) — those positions live
+            # in the staging window, not the big slab.
+            n_layers = cache["layers"]["k"].shape[0]
+            scale_keys = [k_ for k_ in ("k_scale", "v_scale")
+                          if k_ in cache["layers"]]
+            stage_keys, smask, stage_onehot = [], None, None
+            if staged:
+                stage_keys = ["ks", "vs"]
+                W = cache["layers"]["ks"].shape[2]
+                base = cache["base"]
+                stage_off = offset - base  # this token's staging slot
+                strict = key_pos[None, :] < base
+                strict = strict[None, None]  # [1, 1, 1, max_len]
+                # staged positions base+j: valid iff j < stage_off, and
+                # subject to the same per-position attention_mask the big
+                # slab applied when it held them (gathered, since base+W
+                # can run past max_len near the end — masked slots then)
+                spos = base + jnp.arange(W)
+                sposc = jnp.clip(spos, 0, max_len - 1)
+                svalid = (jnp.arange(W) < stage_off) & (spos < max_len)
+                if attention_mask is not None:
+                    am_s = jnp.take_along_axis(
+                        attention_mask.astype(bool),
+                        jnp.broadcast_to(
+                            sposc[None, :], (attention_mask.shape[0], W)
+                        ),
+                        axis=1,
+                    )
+                    smask = (svalid[None, :] & am_s)[:, None, None, :]
+                else:
+                    smask = svalid[None, None, None, :]
+                if beam_onehot is not None:
+                    anc = cache["anc"]
+                    anc_s = jnp.take_along_axis(
+                        anc,
+                        jnp.broadcast_to(
+                            sposc[None, None, :],
+                            (anc.shape[0], anc.shape[1], W),
+                        ),
+                        axis=2,
+                    )
+                    stage_onehot = (
+                        anc_s[:, :, None, :]
+                        == jnp.arange(anc.shape[1], dtype=anc.dtype)[
+                            None, None, :, None
+                        ]
+                    )
+            else:
+                strict = key_pos[None, :] < query_pos[:, None]
+                strict = strict[None, None]  # [1, 1, 1, max_len]
             if attention_mask is not None:
                 strict = jnp.logical_and(
                     strict, attention_mask[:, None, None, :].astype(bool)
@@ -1137,46 +1335,75 @@ def decoder_forward(
             # XLA would not alias a buffer read by the nested scan, so
             # every step still paid a full-cache copy (profiled 712 ms ×2
             # per 462-step launch at medium beam-5); carry DUS aliases.
-            n_layers = cache["layers"]["k"].shape[0]
-            scale_keys = [k_ for k_ in ("k_scale", "v_scale")
-                          if k_ in cache["layers"]]
+            # (Round-5 addendum: even the in-carry single-token DUS pays a
+            # full-slab read-modify-write under the dot-forced
+            # position-on-lanes layout — 47% of beam device time, PERF.md
+            # attribution.  Staged-write mode shrinks the per-step r-m-w
+            # extent to the W-token window and flushes every W steps.)
+            all_keys = ["k", "v"] + scale_keys + stage_keys
 
             def body(carry, xs):
                 h = carry[0]
-                slabs = dict(zip(["k", "v"] + scale_keys, carry[1:]))
+                slabs = dict(zip(all_keys, carry[1:]))
                 layer_p, ckv, i = xs
                 cl = {
                     name: jax.lax.dynamic_index_in_dim(
-                        buf, i, axis=0, keepdims=False
+                        slabs[name], i, axis=0, keepdims=False
                     )
-                    for name, buf in slabs.items()
+                    for name in ["k", "v"] + scale_keys
                 }
+                sl = None
+                if staged:
+                    sl = {
+                        name: jax.lax.dynamic_index_in_dim(
+                            slabs[name], i, axis=0, keepdims=False
+                        )
+                        for name in stage_keys
+                    }
                 h, new_kv = _decoder_layer(
                     layer_p, h, ckv, heads, strict, cl, offset, cross_mask,
                     beam_onehot, inplace_cache=True,
+                    stage_layer=sl, stage_mask=smask,
+                    stage_onehot=stage_onehot,
                 )
-                slabs["k"] = jax.lax.dynamic_update_slice(
-                    slabs["k"], new_kv["k"][None], (i, 0, offset, 0, 0)
-                )
-                slabs["v"] = jax.lax.dynamic_update_slice(
-                    slabs["v"], new_kv["v"][None], (i, 0, offset, 0, 0)
-                )
-                for sk in scale_keys:
-                    slabs[sk] = jax.lax.dynamic_update_slice(
-                        slabs[sk], new_kv[sk][None], (i, 0, offset)
+                if staged:
+                    slabs["ks"] = jax.lax.dynamic_update_slice(
+                        slabs["ks"], new_kv["k"][None], (i, 0, stage_off, 0, 0)
                     )
-                return (h, *[slabs[n] for n in ["k", "v"] + scale_keys]), None
+                    slabs["vs"] = jax.lax.dynamic_update_slice(
+                        slabs["vs"], new_kv["v"][None], (i, 0, stage_off, 0, 0)
+                    )
+                else:
+                    slabs["k"] = jax.lax.dynamic_update_slice(
+                        slabs["k"], new_kv["k"][None], (i, 0, offset, 0, 0)
+                    )
+                    slabs["v"] = jax.lax.dynamic_update_slice(
+                        slabs["v"], new_kv["v"][None], (i, 0, offset, 0, 0)
+                    )
+                    for sk in scale_keys:
+                        slabs[sk] = jax.lax.dynamic_update_slice(
+                            slabs[sk], new_kv[sk][None], (i, 0, offset)
+                        )
+                return (h, *[slabs[n] for n in all_keys]), None
 
             init = (
                 x,
-                *[cache["layers"][n] for n in ["k", "v"] + scale_keys],
+                *[cache["layers"][n] for n in all_keys],
             )
             carry, _ = jax.lax.scan(
                 body, init,
                 (p["layers"], cross_kv, jnp.arange(n_layers, dtype=jnp.int32)),
             )
             x = carry[0]
-            new_layers = dict(zip(["k", "v"] + scale_keys, carry[1:]))
+            new_layers = dict(zip(all_keys, carry[1:]))
+            if staged:
+                # the flush is the DECODE LOOP's job, once every W steps
+                # (beam.py window bodies call flush_staging) — a
+                # cond-gated flush here was microbenched at 78-152 us/step
+                # (lax.cond breaks the while-carry aliasing and re-copies
+                # the slab every step, tools/bench_kv_dus.py); the
+                # unconditional window flush aliases and amortizes ÷W
+                new_base = base
         elif cache is not None:
             def body(h, xs):
                 layer_p, ckv, cl = xs
@@ -1186,9 +1413,22 @@ def decoder_forward(
                 )
                 return h, new_cl
 
+            # staged-write mode: multi-token (prefill) writes go straight
+            # to the big slab; the staging buffers don't enter the scan and
+            # come back untouched (empty — `base` covers the whole prompt)
+            slab_layers = {
+                n: buf for n, buf in cache["layers"].items()
+                if n not in ("ks", "vs")
+            }
             x, new_layers = jax.lax.scan(
-                body, x, (p["layers"], cross_kv, cache["layers"])
+                body, x, (p["layers"], cross_kv, slab_layers)
             )
+            if "ks" in cache["layers"]:
+                new_layers = dict(
+                    new_layers,
+                    ks=cache["layers"]["ks"],
+                    vs=cache["layers"]["vs"],
+                )
         else:
             def body(h, xs):
                 layer_p, ckv = xs
@@ -1244,6 +1484,11 @@ def decoder_forward(
         new_cache = {"index": offset + t, "layers": new_layers}
         if "anc" in cache:
             new_cache["anc"] = cache["anc"]  # updated by the beam loop, not here
+        if "base" in cache:
+            # staged-write mode: single-token steps advance the flush base
+            # on flush (the cond above); multi-token (prefill) writes went
+            # straight to the big slab, so the staging window stays empty
+            new_cache["base"] = new_base if new_base is not None else offset + t
     else:
         new_cache = None
     return logits, new_cache

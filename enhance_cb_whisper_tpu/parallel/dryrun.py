@@ -37,7 +37,7 @@ import numpy as np
 def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
                             tp: bool = False, packed: bool = False,
                             kv_int8: bool = False, xkv_int8: bool = False,
-                            lang_detect: bool = False):
+                            lang_detect: bool = False, kv_staging: int = 0):
     """Mesh-parallel batched longform CB-Whisper decode.
 
     Builds a tiny random Whisper + ResNet KWS + keyword catalog, runs the
@@ -132,6 +132,7 @@ def flagship_longform_stage(mesh, seed: int = 0, num_beams: int = 5,
         return CBWhisper(
             kv_cache_int8=kv_int8,
             cross_kv_int8=xkv_int8,
+            kv_staging=kv_staging,
             config=CBWhisperConfig(
                 kws_features_size=(32, 48), keywords_per_group=8,
             ),
@@ -400,9 +401,11 @@ def main(n_devices: int) -> None:
     #         per-row language auto-detection (each slot detects on its
     #         OWN first window), through the packed scheduler — still
     #         schedule/sharding-independent
+    # + staged cache writes (rank-5 window buffers riding the sharded
+    #   cache pytree; flush DUS under GSPMD) — PERF.md round-5 lever
     ref_q, got_q = flagship_longform_stage(
         mesh, packed=True, kv_int8=True, xkv_int8=True, lang_detect=True,
-        num_beams=1
+        num_beams=1, kv_staging=4
     )
     assert [s.tolist() for s in got_q["sequences"]] == [
         s.tolist() for s in ref_q["sequences"]

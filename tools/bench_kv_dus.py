@@ -90,6 +90,27 @@ def main() -> None:
                         stage, upd, (0, widx, 0, 0)
                     )
                     acc = acc + dot(q, cache) + dot(q, stage)
+                elif loop_kind == "dot_dus_staged_flush":
+                    # the real protocol: staged single-token writes + a
+                    # cond-gated W-block flush into the big slab every W
+                    # steps — measures whether lax.cond keeps the carry
+                    # aliasing (the known risk of cond-in-while bodies)
+                    widx = jax.lax.rem(i, W)
+                    stage = jax.lax.dynamic_update_slice(
+                        stage, upd, (0, widx, 0, 0)
+                    )
+                    base = (i // W) * W % (T - W)
+
+                    def flush(args):
+                        cache, stage = args
+                        return jax.lax.dynamic_update_slice(
+                            cache, stage, (0, base, 0, 0)
+                        )
+
+                    cache = jax.lax.cond(
+                        widx == W - 1, flush, lambda a: a[0], (cache, stage)
+                    )
+                    acc = acc + dot(q, cache) + dot(q, stage)
                 return (acc, cache, stage)
 
             acc, cache, stage = jax.lax.fori_loop(
@@ -100,7 +121,7 @@ def main() -> None:
         return jax.jit(run, static_argnums=(0,))
 
     out = {}
-    for kind in ["dot_only", "dot_dus", "dus_only", "dot_dus_staged"]:
+    for kind in ["dot_only", "dot_dus", "dus_only", "dot_dus_staged", "dot_dus_staged_flush"]:
         f = make(kind)
         times = {}
         for n in (512, 4096):
