@@ -254,11 +254,14 @@ def test_validate_decode_int8_kv_qualifier(tmp_path, monkeypatch, whisper_ckpt,
     va = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(va)
 
-    report = va.validate_decode(str(cfg_path), None, None, levers=("kv",))
-    assert set(report) == {"exact", "kv"}
-    kv = report["kv"]
-    assert 0.0 <= kv["transcript_diff_rate"] <= 1.0
-    assert 0.0 <= kv["transcript_similarity_mean"] <= 1.0
-    assert "entity_recall_delta" in kv
-    # int8 KV rounding is a small perturbation, not a rewrite
-    assert kv["transcript_similarity_mean"] > 0.5
+    report = va.validate_decode(str(cfg_path), None, None,
+                                levers=("kv", "kv+stg"))
+    assert set(report) == {"exact", "kv", "kv+stg"}
+    for mode in ("kv", "kv+stg"):
+        kv = report[mode]
+        assert 0.0 <= kv["transcript_diff_rate"] <= 1.0
+        assert 0.0 <= kv["transcript_similarity_mean"] <= 1.0
+        assert "entity_recall_delta" in kv
+        # int8 KV rounding (staged or not) is a small perturbation, not a
+        # rewrite
+        assert kv["transcript_similarity_mean"] > 0.5

@@ -250,8 +250,9 @@ def validate_decode(config_path, ckpt, placeholders, levers=None):
     each (reference exact decode being approximated:
     /root/reference/src/model/pba_whisper.py:365-465).
 
-    ``levers``: iterable of mode names from {"kv", "xkv", "kv+xkv"}
-    (default all three).  Exact (both off) always runs as the baseline."""
+    ``levers``: iterable of mode names from {"kv", "xkv", "kv+xkv",
+    "kv+stg", "kv+xkv+stg"} (default kv,xkv,kv+xkv).  Exact (all off)
+    always runs as the baseline."""
     import difflib
 
     from enhance_cb_whisper_tpu.cli.config import load_config
@@ -262,6 +263,12 @@ def validate_decode(config_path, ckpt, placeholders, levers=None):
         "kv": {"kv_cache_int8": True},
         "xkv": {"cross_kv_int8": True},
         "kv+xkv": {"kv_cache_int8": True, "cross_kv_int8": True},
+        # staged writes (kv_staging) are EXACT for bf16/f32 caches (same
+        # attended key set); the qualifiable combination is int8 cache +
+        # staging, where window tokens stay unquantized until the flush
+        "kv+stg": {"kv_cache_int8": True, "kv_staging": 16},
+        "kv+xkv+stg": {"kv_cache_int8": True, "cross_kv_int8": True,
+                       "kv_staging": 16},
     }
     modes = ["exact"] + [m for m in (levers or ("kv", "xkv", "kv+xkv"))
                          if m in mode_flags and m != "exact"]
@@ -274,6 +281,7 @@ def validate_decode(config_path, ckpt, placeholders, levers=None):
         init = config.setdefault("model", {}).setdefault("init_args", {})
         init["kv_cache_int8"] = False
         init["cross_kv_int8"] = False
+        init["kv_staging"] = 0
         init.update(mode_flags[mode])
         p = []
         res = _run_cbwhisper("test", config, predictions_out=p)
@@ -423,7 +431,8 @@ def main(argv=None):
                          "through the cb-whisper path (needs "
                          "--cbwhisper_config)")
     ap.add_argument("--decode_levers", default="kv,xkv,kv+xkv",
-                    help="comma list from {kv, xkv, kv+xkv}")
+                    help="comma list from {kv, xkv, kv+xkv, kv+stg, "
+                         "kv+xkv+stg} (stg = staged cache writes, W=16)")
     ap.add_argument("--efficient_config", help="paper-2 (efficient_kws) YAML "
                     "for cascade-retrieval validation")
     ap.add_argument("--efficient_ckpt", help="paper-2 checkpoint "
